@@ -1,0 +1,79 @@
+"""Single pipeline config object (parity-critical knobs pinned).
+
+Mirrors the reference's single-Pydantic-config pattern
+(/root/reference/src/event_dedup/matching/config.py:135-146): every
+weight / threshold / strategy in one validated object so the recall
+gate, tests and bench all run the exact same shingle/signature config
+(north rule: "same shingle/signature config").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+# Thresholds mirror the reference's three-way decision bands
+# (/root/reference/src/event_dedup/matching/config.py:37-42:
+# match>=0.75, no_match<=0.35, ambiguous between) re-keyed to Jaccard
+# over MinHash signatures.
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling / signatures (parity-critical; BASELINE.md) ---
+    shingle_k: int = 5            # 5-gram token shingles
+    num_perms: int = 128          # MinHash permutations
+    lsh_bands: int = 16           # b
+    lsh_rows: int = 8             # r; b*r == num_perms
+    simhash_bits: int = 64
+    hamming_radius: int = 3       # SimHash near-dup distance
+    seed: int = 42
+
+    # --- decision thresholds (reference combiner analog, P7) ---
+    jaccard_match: float = 0.75       # >= -> "match"
+    jaccard_no_match: float = 0.35    # <= -> "no_match"; between -> "ambiguous"
+    ambiguous_is_match: bool = False  # MVP: ambiguous pairs are not edges
+
+    # --- blocking-group skew handling (SURVEY.md §4.2 "Skew") ---
+    max_block_pairs: int = 64     # all-pairs only for groups <= this size
+    # groups larger than max_block_pairs fall back to star+chain pair
+    # enumeration (O(n) pairs, connectivity-preserving) and are counted
+    # in stage metrics as "salted" groups.
+
+    # --- clustering guards (reference coherence validator analog, C2) ---
+    max_cluster_size: int = 1000  # clusters above this get needs_review=True
+    max_cc_rounds: int = 12       # hash-to-min iteration cap (log2 diameter)
+
+    # --- candidate-generation passes enabled ---
+    use_minhash: bool = True
+    use_simhash: bool = False
+    use_substring: bool = False   # suffix/substring fingerprint pass
+
+    # --- quality gates before keying (reference B3 analog) ---
+    min_text_chars: int = 1       # docs shorter than this are passthrough singletons
+    langs: tuple[str, ...] = ()   # empty = all languages
+
+    # --- representative selection strategy (reference C3 analog) ---
+    representative_strategy: str = "longest_text"  # longest_text|earliest_ts|min_url
+
+    # --- execution knobs ---
+    sig_batch_size: int = 512     # docs per batch in the signature stage
+    sig_concurrency: int | None = None  # actor pool size; None = stateless tasks
+    join_num_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perms:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"!= num_perms ({self.num_perms})"
+            )
+        if self.representative_strategy not in (
+            "longest_text", "earliest_ts", "min_url"
+        ):
+            raise ValueError(f"unknown strategy {self.representative_strategy!r}")
+
+    def with_overrides(self, **kwargs: Any) -> "DedupConfig":
+        return replace(self, **kwargs)
+
+
+DEFAULT_CONFIG = DedupConfig()

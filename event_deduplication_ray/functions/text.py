@@ -1,0 +1,75 @@
+"""Vectorized text kernels: HTML → text extraction and normalization.
+
+Reference analogs: normalizer M1 (lowercase → NFC → umlaut expansion →
+whitespace collapse → punctuation strip keeping hyphens,
+/root/reference/src/event_dedup/preprocessing/normalizer.py:16-67) and
+the ingest flattening projection M10 re-keyed to html→text extraction.
+All functions operate on a whole pandas Series at once (C-level string
+kernels) — never per row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+# Umlaut expansion table (reference normalizer.py:34-41) — multi-char
+# outputs, applied via str.translate (ordinal -> replacement string).
+_UMLAUTS = {
+    ord("ä"): "ae", ord("ö"): "oe", ord("ü"): "ue", ord("ß"): "ss",
+    ord("Ä"): "ae", ord("Ö"): "oe", ord("Ü"): "ue",
+}
+
+# html.escape(quote=True) produces exactly these five entities; the
+# inverse must unescape &amp; LAST so "&amp;lt;" round-trips correctly.
+_UNESCAPES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#x27;", "'"), ("&amp;", "&"),
+]
+
+
+def normalize_text(s: pd.Series) -> pd.Series:
+    """Canonical text form used for shingling.
+
+    lowercase → NFC → umlaut expansion → punctuation strip (keep
+    hyphens and word chars) → whitespace collapse.  Deterministic and
+    identical across workers (pure pandas string kernels).
+    """
+    out = s.fillna("").str.lower().str.normalize("NFC").str.translate(_UMLAUTS)
+    out = out.str.replace(r"[^\w\s-]+", " ", regex=True)
+    out = out.str.replace(r"\s+", " ", regex=True).str.strip()
+    return out
+
+
+def unescape_html(s: pd.Series) -> pd.Series:
+    for ent, ch in _UNESCAPES:
+        s = s.str.replace(ent, ch, regex=False)
+    return s
+
+
+def extract_text_from_html(html: pd.Series) -> pd.Series:
+    """Extract the main text from an HTML page, byte-identically.
+
+    Contract (BASELINE.md "per-row invariant"): for pages produced by
+    the fixture wrapper (``fixtures.wrap_html``) the extracted text is
+    byte-identical to the original ``text`` column for every ``url``.
+
+    Strategy: prefer the ``<article>…</article>`` payload (site chrome
+    like <nav>/<footer> outside it is dropped); fall back to a generic
+    strip (remove <script>/<style> blocks, then all tags). Tags inside
+    the payload are removed and the five standard HTML entities are
+    unescaped — the exact inverse of ``html.escape``.
+    """
+    s = html.fillna("")
+    article = s.str.extract(r"(?s)<article>(.*?)</article>", expand=False)
+    generic = s.str.replace(r"(?s)<(script|style)[^>]*>.*?</\1>", " ", regex=True)
+    payload = article.fillna(generic)
+    payload = payload.str.replace(r"(?s)<[^>]+>", "", regex=True)
+    return unescape_html(payload)
+
+
+def decode_binary_html(html_bytes: pd.Series) -> pd.Series:
+    """binary column → str (utf-8, errors replaced)."""
+    if html_bytes.dtype == object and len(html_bytes) and isinstance(
+        html_bytes.dropna().iloc[0] if html_bytes.notna().any() else b"", (bytes, bytearray)
+    ):
+        return html_bytes.str.decode("utf-8", errors="replace").fillna("")
+    return html_bytes.fillna("").astype(str)
