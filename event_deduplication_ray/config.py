@@ -47,7 +47,13 @@ class DedupConfig:
     # --- candidate-generation passes enabled ---
     use_minhash: bool = True
     use_simhash: bool = False
-    use_substring: bool = False   # suffix/substring fingerprint pass
+    use_substring: bool = False   # substring fingerprint pass
+
+    # --- substring (containment) pass ---
+    substring_mod_p: int = 16     # keep shingle fps where h % p == 0
+    substring_containment: float = 0.8   # shared/min(|A|,|B|) match threshold
+    substring_min_fps: int = 3    # both sides need >= this many fps
+    substring_drop_group: int = 4096     # fp groups above this = boilerplate, dropped
 
     # --- quality gates before keying (reference B3 analog) ---
     min_text_chars: int = 1       # docs shorter than this are passthrough singletons

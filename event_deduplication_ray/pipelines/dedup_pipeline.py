@@ -1,0 +1,102 @@
+"""Flagship pipeline: docs → signatures → candidates → verified pairs
+→ clusters → canonical representatives.
+
+Reference analog: the full pipeline driver C7
+(/root/reference/src/event_dedup/matching/pipeline.py:202-268) —
+blocking → scoring → clustering → synthesis — re-expressed as a lazy
+Ray Data DAG.  Library code never calls ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray.data as rd
+from ray.data import Dataset
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.stages.banding import (
+    minhash_band_table,
+    simhash_band_table,
+    substring_fp_table,
+)
+from event_deduplication_ray.stages.cluster import (
+    assignments_with_singletons,
+    connected_components,
+)
+from event_deduplication_ray.stages.extract import extract_stage
+from event_deduplication_ray.stages.pairs import (
+    minhash_candidate_pairs,
+    simhash_match_pairs,
+    substring_match_pairs,
+)
+from event_deduplication_ray.stages.signatures import signature_stage
+from event_deduplication_ray.stages.synthesize import synthesize_clusters
+from event_deduplication_ray.stages.verify import match_edges, verify_pairs
+
+
+@dataclass
+class DedupResult:
+    """Handles to every stage output (lazy Datasets unless noted)."""
+    docs: Dataset              # extracted + normalized, html dropped
+    signatures: Dataset        # doc_id, minhash, simhash, substr_fps
+    verified_pairs: Dataset    # id_a, id_b, score, decision, tier
+    edges: Dataset             # match-decision pairs (all tiers)
+    assignments: Dataset       # doc_id, cluster_id (incl. singletons)
+    canonical: Dataset         # one row per cluster
+    metrics: dict = field(default_factory=dict)
+
+
+def read_docs(path: str) -> Dataset:
+    """Read the CC-style docs table (url, warc_ts, html, text, lang)."""
+    return rd.read_parquet(path)
+
+
+def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
+    """Run the full near-duplicate pipeline on a docs Dataset.
+
+    Everything stays lazy; consume via .canonical/.assignments (e.g.
+    write_parquet).  The clustering stage internally materializes only
+    the narrow edge table between label-propagation rounds.
+    """
+    cfg = cfg or DedupConfig()
+
+    extracted = extract_stage(docs, cfg)
+    sigs = signature_stage(extracted, cfg)
+    # signatures feed 2-3 passes + two verification cogroups — pin the
+    # narrow table once instead of recomputing the whole prefix
+    sigs = sigs.materialize()
+
+    pair_sets = []
+    if cfg.use_minhash:
+        band = minhash_band_table(sigs, cfg)
+        candidates = minhash_candidate_pairs(band, cfg)
+        verified = verify_pairs(candidates, sigs, cfg)
+    else:
+        verified = rd.from_items([])
+    if cfg.use_simhash:
+        pair_sets.append(simhash_match_pairs(simhash_band_table(sigs, cfg), cfg))
+    if cfg.use_substring:
+        pair_sets.append(substring_match_pairs(substring_fp_table(sigs, cfg), cfg))
+
+    edges = match_edges(verified, cfg) if cfg.use_minhash else None
+    for extra in pair_sets:
+        ex = extra.select_columns(["id_a", "id_b", "score", "tier"])
+        edges = ex if edges is None else edges.union(ex)
+
+    labels = connected_components(edges.select_columns(["id_a", "id_b"]), cfg)
+    assignments = assignments_with_singletons(extracted, labels, cfg)
+    canonical = synthesize_clusters(extracted, assignments, cfg)
+
+    return DedupResult(
+        docs=extracted,
+        signatures=sigs,
+        verified_pairs=verified,
+        edges=edges,
+        assignments=assignments,
+        canonical=canonical,
+    )
+
+
+def dedup_path(path: str, cfg: DedupConfig | None = None) -> DedupResult:
+    return dedup_docs(read_docs(path), cfg)

@@ -1,0 +1,75 @@
+"""Evaluation harness: pair-level precision / recall / F1 against
+golden ground truth.
+
+Reference analog: E1 pair metrics
+(/root/reference/src/event_dedup/evaluation/metrics.py:35-83) — TP/FP/
+FN over canonicalized pairs; driver-side set ops over the bounded
+golden pair table (SURVEY.md §2.9: "driver-side set ops over collected
+pair tables (small)").  This is the dup-pair recall ≥0.99 gate.
+
+A predicted pair is "same" iff both docs land in the same final
+cluster — i.e. recall is measured on CLUSTER assignments (transitive
+closure included), matching the north rule's "matches the reference's
+cluster assignments".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+import pyarrow as pa
+
+from event_deduplication_ray.functions.hashing import doc_ids_for_urls
+
+
+@dataclass
+class PairMetrics:
+    tp: int
+    fp: int
+    fn: int
+    tn: int
+
+    @property
+    def precision(self) -> float:
+        return self.tp / (self.tp + self.fp) if (self.tp + self.fp) else 1.0
+
+    @property
+    def recall(self) -> float:
+        return self.tp / (self.tp + self.fn) if (self.tp + self.fn) else 1.0
+
+    @property
+    def f1(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if (p + r) else 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "tp": self.tp, "fp": self.fp, "fn": self.fn, "tn": self.tn,
+            "precision": round(self.precision, 6),
+            "recall": round(self.recall, 6),
+            "f1": round(self.f1, 6),
+        }
+
+
+def evaluate_pairs(
+    assignments: pd.DataFrame, golden_pairs: pa.Table | pd.DataFrame
+) -> PairMetrics:
+    """assignments: (doc_id, cluster_id) — golden_pairs: (url_a, url_b,
+    label∈{same,different}).  Golden urls are mapped to doc ids with the
+    same stable hash the pipeline uses."""
+    gp = golden_pairs.to_pandas() if isinstance(golden_pairs, pa.Table) else golden_pairs.copy()
+    gp["id_a"] = doc_ids_for_urls(gp["url_a"])
+    gp["id_b"] = doc_ids_for_urls(gp["url_b"])
+
+    lab = assignments.set_index("doc_id")["cluster_id"]
+    ca = gp["id_a"].map(lab)
+    cb = gp["id_b"].map(lab)
+    pred_same = (ca == cb) & ca.notna()
+
+    is_same = gp["label"] == "same"
+    tp = int((pred_same & is_same).sum())
+    fp = int((pred_same & ~is_same).sum())
+    fn = int((~pred_same & is_same).sum())
+    tn = int((~pred_same & ~is_same).sum())
+    return PairMetrics(tp, fp, fn, tn)

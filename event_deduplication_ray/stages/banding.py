@@ -1,0 +1,118 @@
+"""Stage 3a — explode signatures into candidate-generation key tables.
+
+Reference analog: blocking-key generation B1
+(/root/reference/src/event_dedup/preprocessing/blocking.py:69-121) —
+re-keyed per the north rule to LSH band hashes, SimHash chunk buckets
+and substring fingerprints.  Each pass yields a narrow key table
+``(band_key:int64, doc_id:int64, ...)`` that feeds the same
+groupby-style pair generator (pairs.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.functions import hashing as H
+
+U64 = np.uint64
+# per-pass salts so keys from different passes never collide
+_MINHASH_SALT = U64(0x5851F42D4C957F2D)
+_SIMHASH_SALT = U64(0x14057B7EF767814F)
+
+
+def _mix_to_int63(x: np.ndarray) -> np.ndarray:
+    return (H._splitmix_array(x, H._GOLDEN, U64(0)) >> U64(1)).astype(np.int64)
+
+
+def minhash_band_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
+    """Explode each doc into ``lsh_bands`` rows (band_key, doc_id)."""
+    bands, rows, seed = cfg.lsh_bands, cfg.lsh_rows, cfg.seed
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        sig = t["minhash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        sig = sig.reshape(n, bands * rows)
+        bh = H.band_hashes(sig, bands, rows, seed)          # (n, bands) uint64
+        with np.errstate(over="ignore"):
+            keyed = bh ^ (np.arange(bands, dtype=U64)[None, :] * H._GOLDEN) ^ _MINHASH_SALT
+        band_key = _mix_to_int63(keyed.reshape(-1))
+        doc_id = np.repeat(t["doc_id"].to_numpy(), bands)
+        # docs with no shingles have the all-max sentinel signature:
+        # identical for every empty doc; exclude them from keying
+        n_sh = np.repeat(t["n_shingles"].to_numpy(), bands)
+        keep = n_sh > 0
+        return pa.table(
+            {"band_key": pa.array(band_key[keep]), "doc_id": pa.array(doc_id[keep])}
+        )
+
+    return signatures.map_batches(explode, batch_format="pyarrow")
+
+
+def simhash_band_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
+    """SimHash chunk buckets: split the 64-bit fingerprint into
+    (hamming_radius+1) chunks — pigeonhole guarantees two fingerprints
+    within the radius share at least one exact chunk.  Rows carry the
+    full fingerprint so the pair generator can compute Hamming distance
+    in-place (no signature join needed — 8 bytes/row).
+    """
+    n_chunks = cfg.hamming_radius + 1
+    bits = cfg.simhash_bits
+    chunk_bits = bits // n_chunks
+
+    def explode(t: pa.Table) -> pa.Table:
+        fp = t["simhash"].to_numpy().astype(U64)
+        n = len(fp)
+        keys = []
+        for c in range(n_chunks):
+            lo = c * chunk_bits
+            hi = bits if c == n_chunks - 1 else lo + chunk_bits
+            mask = (U64(1) << U64(hi - lo)) - U64(1) if hi - lo < 64 else U64(0xFFFFFFFFFFFFFFFF)
+            chunk = (fp >> U64(lo)) & mask
+            with np.errstate(over="ignore"):
+                keys.append(chunk ^ (U64(c) * H._GOLDEN) ^ _SIMHASH_SALT)
+        band_key = _mix_to_int63(np.concatenate(keys))
+        doc_id = np.tile(t["doc_id"].to_numpy(), n_chunks)
+        simhash = np.tile(fp, n_chunks)
+        n_tok = np.tile(t["n_tokens"].to_numpy(), n_chunks)
+        keep = n_tok > 0
+        return pa.table(
+            {
+                "band_key": pa.array(band_key[keep]),
+                "doc_id": pa.array(doc_id[keep]),
+                "simhash": pa.array(simhash[keep]),
+            }
+        )
+
+    return signatures.map_batches(explode, batch_format="pyarrow")
+
+
+def substring_fp_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
+    """Explode substring fingerprints to (fp_key, doc_id, n_fps) rows.
+
+    n_fps (the doc's total fingerprint count) rides along so the pair
+    aggregator can compute containment = shared / min(|A|,|B|) without
+    a join back to the signature table.
+    """
+    min_fps = cfg.substring_min_fps
+
+    def explode(t: pa.Table) -> pa.Table:
+        fps = t["substr_fps"]
+        lens = pa.compute.list_value_length(fps).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens).astype(np.int64)
+        flat = fps.combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(U64)
+        doc_id = np.repeat(t["doc_id"].to_numpy(), lens)
+        n_fps = np.repeat(lens, lens)
+        keep = n_fps >= min_fps
+        return pa.table(
+            {
+                "fp_key": pa.array(_mix_to_int63(flat[keep])),
+                "doc_id": pa.array(doc_id[keep]),
+                "n_fps": pa.array(n_fps[keep]),
+            }
+        )
+
+    return signatures.map_batches(explode, batch_format="pyarrow")

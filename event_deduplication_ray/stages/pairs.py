@@ -1,0 +1,190 @@
+"""Stage 3b — candidate pairs from keyed tables (the blocking self-join).
+
+Reference analog: candidate pair generator B4
+(/root/reference/src/event_dedup/matching/candidate_pairs.py:31-76):
+invert the blocking index, enumerate unordered pairs per block with
+canonical ordering id_a < id_b, dedup globally.  Re-expressed as a
+hash-partitioned shuffle with fully vectorized per-partition pandas
+(see shuffle.py for why not Ray's groupby.aggregate).
+
+Skew (SURVEY.md §4.2): groups larger than ``max_block_pairs`` are not
+enumerated quadratically — they fall back to star pairing against the
+group's min doc id (O(g) pairs, connectivity-preserving: every member
+still reaches every other through the hub after clustering).  Hot-group
+counts are exposed in the pair-stats metrics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.functions.hashing import hamming_distance_u64
+from event_deduplication_ray.stages.shuffle import partition_apply
+
+
+def _pairs_from_groups(df: pd.DataFrame, key: str, cap: int) -> pd.DataFrame:
+    """Vectorized within-partition pair enumeration.
+
+    all-pairs (via self-merge) for groups of size 2..cap, star-to-min
+    for larger groups.  Returns columns id_a, id_b (canonical order)
+    plus any extra per-row columns suffixed _a/_b from the self-merge.
+    """
+    df = df.drop_duplicates([key, "doc_id"])
+    sizes = df.groupby(key)["doc_id"].transform("size")
+    multi = df[sizes > 1]
+    if len(multi) == 0:
+        return multi.iloc[0:0].merge(multi.iloc[0:0], on=key, suffixes=("_a", "_b"))
+    sizes = sizes[sizes > 1]
+    small = multi[sizes <= cap]
+    hot = multi[sizes > cap]
+
+    out = []
+    if len(small):
+        m = small.merge(small, on=key, suffixes=("_a", "_b"))
+        out.append(m[m["doc_id_a"] < m["doc_id_b"]])
+    if len(hot):
+        # star pairing: hub row = the group's min-doc_id ROW (all its
+        # payload columns intact), paired with every other member
+        idx = hot.groupby(key)["doc_id"].idxmin()
+        hubs = hot.loc[idx]
+        m2 = hubs.merge(hot, on=key, suffixes=("_a", "_b"))
+        out.append(m2[m2["doc_id_a"] < m2["doc_id_b"]])
+    if not out:
+        return multi.iloc[0:0].merge(multi.iloc[0:0], on=key, suffixes=("_a", "_b"))
+    res = pd.concat(out, ignore_index=True)
+    return res.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
+
+
+def minhash_candidate_pairs(band_table: Dataset, cfg: DedupConfig) -> Dataset:
+    """(band_key, doc_id) → distinct (id_a, id_b) candidate pairs."""
+    cap = cfg.max_block_pairs
+    P = cfg.join_num_partitions
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        p = _pairs_from_groups(df, "band_key", cap)
+        return p[["id_a", "id_b"]].drop_duplicates()
+
+    raw = partition_apply(band_table, ["band_key"], P, gen)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])
+
+    return partition_apply(raw, ["id_a", "id_b"], P, dedup)
+
+
+def simhash_match_pairs(sim_band_table: Dataset, cfg: DedupConfig) -> Dataset:
+    """(band_key, doc_id, simhash) → verified pairs within the Hamming
+    radius; no signature join needed (fingerprints ride on the rows).
+    Output: id_a, id_b, score (1 - hamming/bits), decision, tier.
+    """
+    cap = cfg.max_block_pairs
+    P = cfg.join_num_partitions
+    radius, bits = cfg.hamming_radius, cfg.simhash_bits
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        p = _pairs_from_groups(df, "band_key", cap)
+        if len(p) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
+        d = hamming_distance_u64(
+            p["simhash_a"].to_numpy().astype(np.uint64),
+            p["simhash_b"].to_numpy().astype(np.uint64),
+        )
+        p = p.assign(score=1.0 - d / bits)[d <= radius]
+        return p[["id_a", "id_b", "score"]].drop_duplicates(["id_a", "id_b"])
+
+    raw = partition_apply(sim_band_table, ["band_key"], P, gen)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("score", ascending=False).drop_duplicates(["id_a", "id_b"])
+        df["decision"] = "match"
+        df["tier"] = "simhash"
+        return df
+
+    return partition_apply(raw, ["id_a", "id_b"], P, dedup)
+
+
+def substring_match_pairs(fp_table: Dataset, cfg: DedupConfig) -> Dataset:
+    """(fp_key, doc_id, n_fps) → containment-verified pairs.
+
+    Within each fp group, enumerate pairs; count shared fingerprints
+    per pair; keep pairs with shared/min(n_fps_a, n_fps_b) >= the
+    containment threshold.
+
+    Skew: fp groups larger than ``max_block_pairs`` (hot templates)
+    are split into salted sub-buckets by a deterministic per-doc salt
+    — the SAME doc always salts the same way, so a pair is either
+    co-bucketed in every fp group (full, exact shared counts) or in
+    none; connectivity across buckets flows through a hub (the group's
+    min doc id, added to every bucket), whose pair counts are also
+    exact because the hub is present in every group it fingerprints.
+    Groups larger than ``substring_drop_group`` are dropped outright
+    (true boilerplate carries no containment signal).
+    Output: id_a, id_b, score (containment), decision, tier.
+    """
+    cap = cfg.max_block_pairs
+    drop_cap = cfg.substring_drop_group
+    P = cfg.join_num_partitions
+    thresh = cfg.substring_containment
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["fp_key", "doc_id"])
+        sizes = df.groupby("fp_key")["doc_id"].transform("size")
+        df = df[(sizes > 1) & (sizes <= drop_cap)]
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "na": pd.Series(dtype="int64"), "nb": pd.Series(dtype="int64")}
+        )
+        if len(df) == 0:
+            return empty
+        sizes = sizes[sizes.index.isin(df.index)]
+        small = df[sizes <= cap]
+        hot = df[sizes > cap]
+        outs = []
+        if len(small):
+            m = small.merge(small, on="fp_key", suffixes=("_a", "_b"))
+            outs.append(m[m["doc_id_a"] < m["doc_id_b"]])
+        if len(hot):
+            # consistent per-doc salt → exact counts within sub-buckets
+            gmax = int(hot.groupby("fp_key")["doc_id"].size().max())
+            nsub = max(2, -(-gmax // cap))          # ceil(max group / cap)
+            ids = hot["doc_id"].to_numpy().astype(np.uint64)
+            with np.errstate(over="ignore"):
+                salt = ((ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(nsub)
+            h = hot.assign(__salt=salt.astype(np.int64))
+            m = h.merge(h, on=["fp_key", "__salt"], suffixes=("_a", "_b"))
+            outs.append(m[m["doc_id_a"] < m["doc_id_b"]].drop(columns=["__salt"]))
+            # hub link: group min doc paired with every member
+            idx = hot.groupby("fp_key")["doc_id"].idxmin()
+            hubs = hot.loc[idx]
+            m2 = hubs.merge(hot, on="fp_key", suffixes=("_a", "_b"))
+            outs.append(m2[m2["doc_id_a"] < m2["doc_id_b"]])
+        if not outs:
+            return empty
+        res = pd.concat(outs, ignore_index=True)
+        res = res.drop_duplicates(["fp_key", "doc_id_a", "doc_id_b"])
+        return res.rename(
+            columns={"doc_id_a": "id_a", "doc_id_b": "id_b",
+                     "n_fps_a": "na", "n_fps_b": "nb"}
+        )[["id_a", "id_b", "na", "nb"]]
+
+    shared_rows = partition_apply(fp_table, ["fp_key"], P, gen)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["id_a", "id_b"], as_index=False)
+            .agg(shared=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+        )
+        g["score"] = g["shared"] / np.minimum(g["na"], g["nb"])
+        g = g[g["score"] >= thresh]
+        g["decision"] = "match"
+        g["tier"] = "substring"
+        return g[["id_a", "id_b", "score", "decision", "tier"]]
+
+    return partition_apply(shared_rows, ["id_a", "id_b"], P, agg)

@@ -1,0 +1,89 @@
+"""Stage 2 — MinHash / SimHash / substring-fingerprint signatures.
+
+Stateful actor-pool stage (the reference's load-once-per-worker
+pattern, /root/reference/src/event_dedup/ingestion/file_processor.py:162-171):
+the permutation constants are built once in ``__init__`` and reused
+for every batch.  Signature layout is
+``minhash: fixed_size_list<uint64, num_perms>`` — fixed-width, compact
+through the object store (SURVEY.md §4.2 "keep signatures compact").
+
+Output schema (narrow; text is NOT carried):
+  doc_id int64, n_tokens int64, n_shingles int64,
+  minhash fixed_size_list<uint64,P>, simhash uint64,
+  substr_fps list<uint64>  (mod-p sampled shingle fingerprints —
+  position-independent, so a doc embedded inside a longer page shares
+  its interior fingerprints; the suffix-array-style substring pass)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.functions import hashing as H
+
+
+class SignatureStage:
+    """Callable class for map_batches actor pools."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        self.mults, self.adds = H.perm_constants(cfg.num_perms, cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        text = batch["text_norm"].to_pandas()
+        flat_tokens, doc_lens = H.tokenize_offsets(text)
+        token_hashes = H.hash_strings_u64(flat_tokens)
+        shingles, spd = H.shingle_hashes(token_hashes, doc_lens, cfg.shingle_k, cfg.seed)
+        sig = H.minhash_signatures(shingles, spd, self.mults, self.adds)
+        simhash = H.simhash_fingerprints(token_hashes, doc_lens, cfg.simhash_bits)
+
+        # substring fingerprints: mod-p sample of shingle hashes,
+        # deduped per doc (content-defined selection → position-free)
+        p = np.uint64(cfg.substring_mod_p)
+        sel = shingles % p == 0
+        ends = np.cumsum(spd)
+        starts = ends - spd
+        fp_lists = []
+        for d in range(len(spd)):
+            seg = shingles[starts[d] : ends[d]][sel[starts[d] : ends[d]]]
+            fp_lists.append(np.unique(seg))
+
+        n = len(batch)
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig.reshape(-1), pa.uint64()), cfg.num_perms
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(doc_lens, pa.int64()),
+                "n_shingles": pa.array(spd.astype(np.int64), pa.int64()),
+                "minhash": sig_arr,
+                "simhash": pa.array(simhash, pa.uint64()),
+                "substr_fps": pa.array(
+                    [l.tolist() for l in fp_lists], pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+
+def signature_stage(
+    docs: Dataset, cfg: DedupConfig, concurrency: int | None = None
+) -> Dataset:
+    """docs (with doc_id + text_norm) → signatures dataset."""
+    kwargs: dict = dict(batch_format="pyarrow", batch_size=cfg.sig_batch_size)
+    conc = concurrency if concurrency is not None else cfg.sig_concurrency
+    narrow = docs.select_columns(["doc_id", "text_norm"])
+    if conc:
+        # actor pool: constants built once per actor in __init__
+        return narrow.map_batches(
+            SignatureStage, fn_constructor_args=(cfg,), concurrency=conc, **kwargs
+        )
+    # stateless tasks: the instance (with precomputed constants) ships
+    # in the task closure — still built once per worker process cache
+    return narrow.map_batches(SignatureStage(cfg), **kwargs)

@@ -1,0 +1,100 @@
+"""Stage 6 — canonical / representative synthesis per cluster.
+
+Reference analog: canonical synthesizer C3 + field strategies C3a-g
+(/root/reference/src/event_dedup/canonical/synthesizer.py:16-126) and
+cluster coherence C2 (clustering/coherence.py:16-65).  Re-keyed: the
+representative is one member document chosen by a named strategy
+(longest_text / earliest_ts / min_url — all order-insensitive with
+deterministic doc_id tie-breaks, unlike the reference's
+first-occurrence tie-break, synthesizer.py:225-249), with per-field
+provenance pointing at contributing members.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.stages.shuffle import cogroup_apply, partition_apply
+
+
+def synthesize_clusters(
+    docs_meta: Dataset, assignments: Dataset, cfg: DedupConfig
+) -> Dataset:
+    """docs meta (doc_id, url, warc_ts, lang, text) ⋈ assignments →
+    one canonical row per cluster.
+
+    Output: cluster_id, rep_doc_id, rep_url, n_members, first_ts,
+    last_ts, rep_text_len, needs_review, first_ts_doc_id (provenance
+    of the earliest crawl), strategy.
+    """
+    P = cfg.join_num_partitions
+    strategy = cfg.representative_strategy
+    max_size = cfg.max_cluster_size
+
+    def attach(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(r, on="doc_id", how="inner")
+        m["text_len"] = m["text"].str.len().astype(np.int64)
+        return m.drop(columns=["text"])
+
+    meta = docs_meta.select_columns(["doc_id", "url", "warc_ts", "lang", "text"])
+    joined = cogroup_apply(meta, assignments, ["doc_id"], ["doc_id"], P, attach)
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        # order-insensitive representative choice with doc_id tie-break
+        if strategy == "longest_text":
+            df = df.sort_values(["text_len", "doc_id"], ascending=[False, True])
+        elif strategy == "earliest_ts":
+            df = df.sort_values(["warc_ts", "doc_id"], ascending=[True, True])
+        else:  # min_url
+            df = df.sort_values(["url", "doc_id"], ascending=[True, True])
+        g = df.groupby("cluster_id", sort=False)
+        rep = g.head(1).set_index("cluster_id")
+        agg = g.agg(
+            n_members=("doc_id", "size"),
+            first_ts=("warc_ts", "min"),
+            last_ts=("warc_ts", "max"),
+            total_text_len=("text_len", "sum"),
+        )
+        # provenance: which member supplied the earliest crawl
+        first_idx = df.sort_values(["warc_ts", "doc_id"]).groupby(
+            "cluster_id", sort=False
+        ).head(1).set_index("cluster_id")["doc_id"]
+        out = agg.join(rep[["doc_id", "url", "lang", "text_len"]]).rename(
+            columns={"doc_id": "rep_doc_id", "url": "rep_url",
+                     "lang": "rep_lang", "text_len": "rep_text_len"}
+        )
+        out["first_ts_doc_id"] = first_idx
+        out["needs_review"] = out["n_members"] > max_size
+        out["strategy"] = strategy
+        return out.reset_index()
+
+    return partition_apply(joined, ["cluster_id"], P, synth)
+
+
+def cluster_confidence(
+    verified_pairs: Dataset, assignments: Dataset, cfg: DedupConfig
+) -> Dataset:
+    """Mean intra-cluster edge score per cluster (reference C4 analog,
+    matching/pipeline.py:282-301).  Singletons have no edges → absent
+    (the reference's None)."""
+    P = cfg.join_num_partitions
+
+    def attach(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(r.rename(columns={"doc_id": "id_a"}), on="id_a", how="inner")
+        return m[["cluster_id", "score"]]
+
+    edges = verified_pairs.select_columns(["id_a", "score"])
+    with_cluster = cogroup_apply(edges, assignments, ["id_a"], ["doc_id"], P, attach)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("cluster_id", as_index=False)["score"]
+            .mean()
+            .rename(columns={"score": "match_confidence"})
+        )
+
+    return partition_apply(with_cluster, ["cluster_id"], P, agg)
