@@ -60,10 +60,10 @@ def extract_text_from_html(html: pd.Series) -> pd.Series:
     """
     s = html.fillna("")
     article = s.str.extract(r"(?s)<article>(.*?)</article>", expand=False)
+    article = article.str.replace(r"(?s)<[^>]+>", "", regex=True)
     generic = s.str.replace(r"(?s)<(script|style)[^>]*>.*?</\1>", " ", regex=True)
-    payload = article.fillna(generic)
-    payload = payload.str.replace(r"(?s)<[^>]+>", "", regex=True)
-    return unescape_html(payload)
+    generic = generic.str.replace(r"(?s)<[^>]+>", "", regex=True).str.strip()
+    return unescape_html(article.where(article.notna(), generic))
 
 
 def decode_binary_html(html_bytes: pd.Series) -> pd.Series:

@@ -1,0 +1,79 @@
+"""End-to-end pipeline on the golden fixture corpus — the dup-pair
+recall ≥0.99 gate (BASELINE.md; reference pattern:
+tests/test_end_to_end.py + the E1 P/R/F1 harness)."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.functions.hashing import doc_ids_for_urls
+from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
+from event_deduplication_ray.pipelines.eval import evaluate_pairs
+
+CFG = DedupConfig(use_substring=True, join_num_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def result(corpus_dir):
+    return dedup_path(f"{corpus_dir}/docs.parquet", CFG)
+
+
+@pytest.fixture(scope="module")
+def assignments(result) -> pd.DataFrame:
+    return result.assignments.to_pandas()
+
+
+def test_every_doc_assigned_exactly_once(assignments, corpus_dir):
+    docs = pq.read_table(f"{corpus_dir}/docs.parquet", columns=["url"])
+    assert len(assignments) == docs.num_rows
+    assert assignments["doc_id"].is_unique
+
+
+def test_recall_gate(assignments, corpus_dir):
+    gp = pq.read_table(f"{corpus_dir}/golden_pairs.parquet")
+    m = evaluate_pairs(assignments, gp)
+    assert m.recall >= 0.99, m.as_dict()
+    assert m.precision >= 0.99, m.as_dict()
+
+
+def test_exact_dups_always_cluster(assignments, corpus_dir):
+    gc = pq.read_table(f"{corpus_dir}/golden_clusters.parquet").to_pandas()
+    gc["doc_id"] = doc_ids_for_urls(gc["url"])
+    lab = assignments.set_index("doc_id")["cluster_id"]
+    exact = gc[gc["kind"].isin(["base", "exact"])]
+    for _, grp in exact.groupby("cluster_id"):
+        if len(grp) > 1:
+            assert grp["doc_id"].map(lab).nunique() == 1
+
+
+def test_extraction_byte_identical(result, corpus_dir):
+    got = result.docs.to_pandas()[["url", "text"]]
+    want = pq.read_table(f"{corpus_dir}/docs.parquet", columns=["url", "text"]).to_pandas()
+    m = want.merge(got, on="url", suffixes=("_want", "_got"))
+    assert len(m) == len(want)
+    assert (m["text_want"] == m["text_got"]).all()
+
+
+def test_canonical_one_row_per_cluster(result, assignments):
+    can = result.canonical.to_pandas()
+    assert can["cluster_id"].is_unique
+    assert set(can["cluster_id"]) == set(assignments["cluster_id"].unique())
+    assert int(can["n_members"].sum()) == len(assignments)
+    # representative is a member of its own cluster
+    lab = assignments.set_index("doc_id")["cluster_id"]
+    assert (can["rep_doc_id"].map(lab) == can["cluster_id"]).all()
+
+
+def test_verified_pairs_canonical_order(result):
+    vp = result.verified_pairs.to_pandas()
+    assert (vp["id_a"] < vp["id_b"]).all()
+    assert not vp.duplicated(["id_a", "id_b"]).any()
+    assert set(vp["decision"].unique()) <= {"match", "ambiguous", "no_match"}
+
+
+def test_determinism_two_runs(corpus_dir, assignments):
+    res2 = dedup_path(f"{corpus_dir}/docs.parquet", CFG)
+    a2 = res2.assignments.to_pandas()
+    m = assignments.merge(a2, on="doc_id", suffixes=("_1", "_2"))
+    assert (m["cluster_id_1"] == m["cluster_id_2"]).all()
