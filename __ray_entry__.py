@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in library code.
 """
 
 from __future__ import annotations
@@ -20,25 +17,32 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship near-dup pipeline on the deterministic CC-style corpus
+    derived from /root/testdata/sf0.001 → canonical representative
+    table (one row per cluster)."""
+    from event_deduplication_ray import fixtures as F
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
+
+    corpus = F.materialize_corpus(
+        "/tmp/edr_corpora", 1000, seed=42,
+        base_texts=F.load_base_texts("/root/testdata/sf0.001"),
+    )
+    cfg = DedupConfig(use_substring=True)
+    res = dedup_path(f"{corpus}/docs.parquet", cfg)
+    return res.canonical
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented pipeline/operator (SURVEY.md §2)."""
+    from event_deduplication_ray.pipelines.queries import RAY_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(RAY_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for the SQL-expressible queries; dedup /
+    similarity / fingerprint pipelines are rows-only checked."""
+    from event_deduplication_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)
+and print ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: run the flagship pipeline twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warm)
+input and print both throughputs + scaling efficiency — the sandbox
+stand-in for the north rule's N-vs-4N-node criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_ROOT = "/tmp/edr_bench_corpora"
+
+
+def corpus_docs_for(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_documents = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return int(min(100_000, max(1_000, 2 * n_documents)))
+
+
+def ensure_corpus(sf_dir: str) -> tuple[str, int]:
+    """Generate (once) the deterministic CC-style corpus for this sf
+    tier and warm the page cache; returns (corpus_dir, n_docs)."""
+    from event_deduplication_ray import fixtures as F
+
+    n = corpus_docs_for(sf_dir)
+    d = F.materialize_corpus(CORPUS_ROOT, n, seed=42,
+                             base_texts=F.load_base_texts(sf_dir))
+    with open(f"{d}/docs.parquet", "rb") as f:     # warm page cache
+        while f.read(1 << 24):
+            pass
+    return d, n
+
+
+def run_flagship(corpus_dir: str) -> float:
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
+
+    cfg = DedupConfig(use_substring=True, join_num_partitions=max(16, NCPU))
+    t0 = time.time()
+    res = dedup_path(f"{corpus_dir}/docs.parquet", cfg)
+    n_clusters = res.assignments.count()  # consumes the pipeline
+    dt = time.time() - t0
+    assert n_clusters > 0
+    return dt
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from event_deduplication_ray.pipelines import queries as Q
+    from ray.data import Dataset
+
+    names = [
+        "q01_pricing_summary", "q06_user_hourly_windows", "q08_token_counts",
+        "q10_exact_dedup", "q11_embedding_topk", "q20_minhash_clusters",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        r = Q.RAY_QUERIES[name](sf_dir)
+        if isinstance(r, Dataset):
+            r.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    corpus_dir, n_docs = ensure_corpus(SF_DIR)
+    flagship_sec = run_flagship(corpus_dir)
+    only_flagship = os.environ.get("GRAFT_BENCH_ONLY") == "flagship"
+    qtimes = {} if only_flagship else run_queries(SF_DIR)
+    result = {
+        "metric": "flagship_dedup_sec",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "corpus_docs": n_docs,
+        "docs_per_sec": round(n_docs / flagship_sec, 1),
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    # generate + warm input once, outside the timed runs
+    from event_deduplication_ray import fixtures as F  # noqa: F401
+
+    ensure_corpus(SF_DIR)
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ONLY="flagship")
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "corpus_docs": r_hi["corpus_docs"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,120 @@
+"""Text-analysis kernels for training-data pipelines: token counting,
+quality scoring, n-gram language ID, rolling-hash fingerprints.
+
+All vectorized over pandas Series (hot-path safe inside map_batches).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from event_deduplication_ray.functions import hashing as H
+
+# tiny per-language stopword profiles (public common-word lists) for
+# the n-gram/stopword heuristic language identifier
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that it for was with as his on be at by".split()),
+    "de": frozenset("der die das und ist nicht ein eine mit von zu den im auf fuer".split()),
+    "fr": frozenset("le la les et de des un une est pour dans que qui sur pas".split()),
+    "es": frozenset("el la los las y de un una es en que por con no para".split()),
+}
+
+
+def token_counts(text: pd.Series) -> np.ndarray:
+    """Whitespace token count per doc (int64); empty/None → 0."""
+    return text.fillna("").str.split().str.len().fillna(0).to_numpy(np.int64)
+
+
+def word_token_counts(text: pd.Series) -> np.ndarray:
+    """BPE-ish word-token count: word chars runs + standalone
+    punctuation marks each count as one token."""
+    return (
+        text.fillna("")
+        .str.findall(r"\w+|[^\w\s]")
+        .str.len()
+        .fillna(0)
+        .to_numpy(np.int64)
+    )
+
+
+def quality_features(text: pd.Series) -> pd.DataFrame:
+    """Length / punctuation / stopword-ratio quality features.
+
+    Columns: n_chars, n_words, mean_word_len, punct_ratio,
+    stop_ratio_en, alpha_ratio.
+    """
+    t = text.fillna("")
+    n_chars = t.str.len().to_numpy(np.int64)
+    words = t.str.split()
+    n_words = words.str.len().fillna(0).to_numpy(np.int64)
+    n_nospace = t.str.replace(r"\s", "", regex=True).str.len().to_numpy(np.int64)
+    n_alpha = t.str.count(r"[A-Za-zÀ-ÿ]").to_numpy(np.int64)
+    n_punct = t.str.count(r"[^\w\s]").to_numpy(np.int64)
+    stops = _LANG_PROFILES["en"]
+    stop_hits = words.map(
+        lambda ws: sum(w.lower() in stops for w in ws) if isinstance(ws, list) else 0
+    ).to_numpy(np.int64)
+    safe_words = np.maximum(n_words, 1)
+    safe_chars = np.maximum(n_nospace, 1)
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "mean_word_len": n_nospace / safe_words,
+            "punct_ratio": n_punct / safe_chars,
+            "stop_ratio_en": stop_hits / safe_words,
+            "alpha_ratio": n_alpha / safe_chars,
+        }
+    )
+
+
+def language_id(text: pd.Series) -> pd.Series:
+    """Stopword-profile language ID → ISO code or 'und'.
+
+    Scores each language by stopword hit-rate over lowercased tokens;
+    deterministic argmax with fixed language order.
+    """
+    langs = sorted(_LANG_PROFILES)
+    toks = text.fillna("").str.lower().str.split()
+
+    def score_row(ws) -> str:
+        if not isinstance(ws, list) or not ws:
+            return "und"
+        best, best_score = "und", 0.0
+        for lang in langs:
+            prof = _LANG_PROFILES[lang]
+            s = sum(w in prof for w in ws) / len(ws)
+            if s > best_score:
+                best, best_score = lang, s
+        return best if best_score >= 0.05 else "und"
+
+    return toks.map(score_row)
+
+
+def doc_fingerprints(text: pd.Series, k: int = 8, seed: int = 42) -> np.ndarray:
+    """Order-sensitive rolling-hash document fingerprint (int64 ≥ 0).
+
+    Polynomial rolling hash over token hashes — equal texts get equal
+    fingerprints; any token change/reorder changes it (vs MinHash
+    which is order-insensitive).
+    """
+    flat, lens = H.tokenize_offsets(text.fillna(""))
+    th = H.hash_strings_u64(flat)
+    out = np.zeros(len(lens), dtype=np.uint64)
+    B = np.uint64(0x100000001B3)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    maxlen = int(lens.max()) if len(lens) else 0
+    with np.errstate(over="ignore"):
+        # pw[j] = B^j mod 2^64;  hash(seg) = Σ seg[i] * B^(L-1-i)
+        pw = np.ones(max(maxlen, 1), dtype=np.uint64)
+        if maxlen > 1:
+            pw[1:] = np.cumprod(np.full(maxlen - 1, B, dtype=np.uint64))
+        for i in range(len(lens)):
+            L = int(lens[i])
+            if L:
+                seg = th[starts[i]:ends[i]]
+                out[i] = (seg * pw[L - 1::-1]).sum(dtype=np.uint64) + np.uint64(seed) * pw[L - 1] * B
+    mixed = H._splitmix_array(out, H._GOLDEN, np.uint64(seed))
+    return (mixed >> np.uint64(1)).astype(np.int64)

@@ -1,0 +1,489 @@
+"""Query battery over the driver's testdata tables (TESTDATA.md).
+
+Re-expresses the reference's query surface (SURVEY.md §2.8 Q1-Q7:
+filter+sort+paginate, distincts, joins, dashboard aggregates, daily
+time series, review-queue top-k) plus the training-data-pipeline
+operators (dedup family, text analysis, similarity search) as
+Ray-Data-first implementations.  Each function takes ``sf_dir`` and
+returns a pandas DataFrame or Dataset; ``__ray_entry__.oracle_sql``
+carries the DuckDB-equivalent SQL with IDENTICAL column names.
+
+Conventions for oracle parity:
+- timestamps grouped/bucketed via strftime STRINGS (no tz/precision
+  ambiguity between Arrow and DuckDB);
+- float aggregates rounded (sum→2, avg/cos→6) on both sides;
+- counts are int64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data import Dataset
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.functions import hashing as H
+from event_deduplication_ray.functions import textstats as TS
+from event_deduplication_ray.stages.aggregate import (
+    grouped_aggregate,
+    grouped_aggregate_distributed,
+)
+from event_deduplication_ray.stages.shuffle import partition_apply
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+QCFG = DedupConfig(join_num_partitions=16)
+
+
+# ---------------------------------------------------------------- relational
+
+def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style dashboard aggregate (reference Q5 analog)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = grouped_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", "sum", "l_quantity"),
+            ("sum_base_price", "sum", "l_extendedprice"),
+            ("avg_qty", "mean", "l_quantity"),
+            ("avg_price", "mean", "l_extendedprice"),
+            ("count_order", "count", "l_quantity"),
+        ],
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_base_price"] = out["sum_base_price"].round(2)
+    out["avg_qty"] = out["avg_qty"].round(6)
+    out["avg_price"] = out["avg_price"].round(6)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q02_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-k sort with deterministic tie-break (reference Q7 analog)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.to_pandas()
+
+
+def q03_distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """Distinct values (reference Q2/Q3 analog)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    parts = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return parts.drop_duplicates().sort_values("event_type").reset_index(drop=True)
+
+
+def q04_segment_revenue(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer (broadcast small side) → per-segment revenue."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_by_key = cust.set_index("c_custkey")["c_mktsegment"]
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df["c_mktsegment"] = df["o_custkey"].map(seg_by_key)
+        return df[["c_mktsegment", "o_totalprice"]]
+
+    joined = orders.map_batches(attach, batch_format="pandas")
+    out = grouped_aggregate(
+        joined, ["c_mktsegment"],
+        [("n_orders", "count", "o_totalprice"),
+         ("sum_price", "sum", "o_totalprice"),
+         ("avg_price", "mean", "o_totalprice")],
+    )
+    out["sum_price"] = out["sum_price"].round(2)
+    out["avg_price"] = out["avg_price"].round(6)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q05_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Daily time series (reference Q6 analog, dashboard.py:85-116)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return df[["day", "value"]]
+
+    keyed = ds.map_batches(add_day, batch_format="pandas")
+    out = grouped_aggregate(
+        keyed, ["day"],
+        [("n_events", "count", "value"), ("sum_value", "sum", "value")],
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q06_user_hourly_windows(sf_dir: str) -> Dataset:
+    """Tumbling 1h windows per user — distributed combine (high-
+    cardinality key)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start"] = df["ts"].dt.strftime("%Y-%m-%d %H:00:00")
+        return df[["user_id", "window_start", "value"]]
+
+    keyed = ds.map_batches(add_hour, batch_format="pandas")
+    agg = grouped_aggregate_distributed(
+        keyed, ["user_id", "window_start"],
+        [("n_events", "count", "value"), ("sum_value", "sum", "value")],
+        num_parts=QCFG.join_num_partitions,
+    )
+
+    def final_round(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return agg.map_batches(final_round, batch_format="pandas")
+
+
+def q12_filtered_export(sf_dir: str) -> Dataset:
+    """Timestamp-filtered export (reference S9 filtered export)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01")))
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q13_region_customers(sf_dir: str) -> pd.DataFrame:
+    """3-way join with broadcast dims: region ⋈ nation ⋈ customer."""
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    rname_by_nation = dim.set_index("n_nationkey")["r_name"]
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df["r_name"] = df["c_nationkey"].map(rname_by_nation)
+        return df[["r_name"]]
+
+    joined = cust.map_batches(attach, batch_format="pandas")
+    out = grouped_aggregate(joined, ["r_name"], [("n_customers", "count", "r_name")])
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------- text / documents
+
+def q07_lang_distribution(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["lang"])
+    out = grouped_aggregate(ds, ["lang"], [("n_docs", "count", "lang")])
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q08_token_counts(sf_dir: str) -> Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_tokens": TS.token_counts(df["text"])}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q09_doc_quality(sf_dir: str) -> Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        q = TS.quality_features(df["text"])
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"],
+             "n_chars": q["n_chars"],
+             "n_words": q["n_words"],
+             "mean_word_len": q["mean_word_len"].round(6)}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q10_exact_dedup(sf_dir: str) -> Dataset:
+    """Exact dedup: hash-partition text groups, min-doc_id
+    representative + duplicate count per distinct text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(text_hash=H.hash_strings_u64(df["text"]).astype(np.int64))
+        g = df.groupby("text_hash", as_index=False).agg(
+            rep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text_hash", as_index=False).agg(
+            rep_doc_id=("rep_doc_id", "min"), n_dups=("n_dups", "sum")
+        )
+        return g[["rep_doc_id", "n_dups"]]
+
+    return partition_apply(parts, ["text_hash"], QCFG.join_num_partitions, combine)
+
+
+def q23_doc_fingerprints(sf_dir: str) -> Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"],
+             "fingerprint": TS.doc_fingerprints(df["text"])}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q24_langid(sf_dir: str) -> Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang_pred": TS.language_id(df["text"])}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# ------------------------------------------------------------ dedup pipelines
+
+def _docs_from_documents(sf_dir: str) -> Dataset:
+    """documents table → dedup-pipeline input shape (doc_id from the
+    table, text as extracted text)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    from event_deduplication_ray.functions.text import normalize_text
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df["text_norm"] = normalize_text(df["text"])
+        return df
+
+    return ds.map_batches(prep, batch_format="pandas")
+
+
+def q20_minhash_clusters(sf_dir: str) -> Dataset:
+    """MinHash+LSH near-dup clustering of the documents table →
+    (doc_id, cluster_id)."""
+    from event_deduplication_ray.stages.banding import minhash_band_table
+    from event_deduplication_ray.stages.cluster import (
+        assignments_with_singletons,
+        connected_components,
+    )
+    from event_deduplication_ray.stages.pairs import minhash_candidate_pairs
+    from event_deduplication_ray.stages.signatures import signature_stage
+    from event_deduplication_ray.stages.verify import match_edges, verify_pairs
+
+    docs = _docs_from_documents(sf_dir)
+    sigs = signature_stage(docs, QCFG).materialize()
+    pairs = minhash_candidate_pairs(minhash_band_table(sigs, QCFG), QCFG)
+    verified = verify_pairs(pairs, sigs, QCFG)
+    labels = connected_components(
+        match_edges(verified, QCFG).select_columns(["id_a", "id_b"]), QCFG
+    )
+    return assignments_with_singletons(docs, labels, QCFG)
+
+
+def q21_simhash_pairs(sf_dir: str) -> Dataset:
+    from event_deduplication_ray.stages.banding import simhash_band_table
+    from event_deduplication_ray.stages.pairs import simhash_match_pairs
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    docs = _docs_from_documents(sf_dir)
+    sigs = signature_stage(docs, QCFG)
+    return simhash_match_pairs(simhash_band_table(sigs, QCFG), QCFG)
+
+
+def q22_substring_pairs(sf_dir: str) -> Dataset:
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.pairs import substring_match_pairs
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    docs = _docs_from_documents(sf_dir)
+    sigs = signature_stage(docs, QCFG)
+    return substring_match_pairs(substring_fp_table(sigs, QCFG), QCFG)
+
+
+# ------------------------------------------------------------- similarity
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = t.to_pandas()
+    row = df[df["vec_id"] == 0].iloc[0]
+    return np.asarray(row["embedding"], dtype=np.float64)
+
+
+def q11_embedding_topk(sf_dir: str) -> pd.DataFrame:
+    """Result carries only the ranked ids: cosine floats differ in the
+    last ulps between numpy float64 and DuckDB's float32 kernel, so
+    the float column itself is not hash-stable across engines."""
+    from event_deduplication_ray.stages.similarity import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(emb, _query_vec(sf_dir), k=10, exclude_ids={0})
+    return out[["vec_id"]]
+
+
+def q25_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    from event_deduplication_ray.stages.similarity import lsh_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(emb, _query_vec(sf_dir), k=10)
+
+
+def q26_embedding_dup_pairs(sf_dir: str) -> Dataset:
+    from event_deduplication_ray.stages.similarity import embedding_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dup_pairs(emb, QCFG, cos_threshold=0.99)
+
+
+# ------------------------------------------------------------- flagship
+
+def q27_flagship_dedup(sf_dir: str) -> Dataset:
+    """Full flagship pipeline over the deterministic CC-style corpus
+    derived from this sf tier's documents table → (url, cluster_id)."""
+    from event_deduplication_ray import fixtures as F
+    from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n = int(min(4000, max(500, 2 * n_docs)))
+    corpus = F.materialize_corpus(
+        "/tmp/edr_corpora", n, seed=42, base_texts=F.load_base_texts(sf_dir)
+    )
+    cfg = DedupConfig(use_substring=True)
+    res = dedup_path(f"{corpus}/docs.parquet", cfg)
+    asn = res.assignments
+
+    def attach_url(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        return l.merge(r, on="doc_id", how="inner")[["url", "cluster_id"]]
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply
+
+    urls = res.docs.select_columns(["doc_id", "url"])
+    return cogroup_apply(urls, asn, ["doc_id"], ["doc_id"],
+                         cfg.join_num_partitions, attach_url)
+
+
+RAY_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_orders": q02_top_orders,
+    "q03_distinct_event_types": q03_distinct_event_types,
+    "q04_segment_revenue": q04_segment_revenue,
+    "q05_daily_events": q05_daily_events,
+    "q06_user_hourly_windows": q06_user_hourly_windows,
+    "q07_lang_distribution": q07_lang_distribution,
+    "q08_token_counts": q08_token_counts,
+    "q09_doc_quality": q09_doc_quality,
+    "q10_exact_dedup": q10_exact_dedup,
+    "q11_embedding_topk": q11_embedding_topk,
+    "q12_filtered_export": q12_filtered_export,
+    "q13_region_customers": q13_region_customers,
+    "q20_minhash_clusters": q20_minhash_clusters,
+    "q21_simhash_pairs": q21_simhash_pairs,
+    "q22_substring_pairs": q22_substring_pairs,
+    "q23_doc_fingerprints": q23_doc_fingerprints,
+    "q24_langid": q24_langid,
+    "q25_lsh_topk": q25_lsh_topk,
+    "q26_embedding_dup_pairs": q26_embedding_dup_pairs,
+    "q27_flagship_dedup": q27_flagship_dedup,
+}
+
+
+ORACLE_SQL = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)        AS sum_qty,
+               round(sum(l_extendedprice), 2)   AS sum_base_price,
+               round(avg(l_quantity), 6)        AS avg_qty,
+               round(avg(l_extendedprice), 6)   AS avg_price,
+               count(*)                         AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q02_top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q03_distinct_event_types": """
+        SELECT DISTINCT event_type FROM events ORDER BY event_type
+    """,
+    "q04_segment_revenue": """
+        SELECT c_mktsegment,
+               count(*)                          AS n_orders,
+               round(sum(o_totalprice), 2)       AS sum_price,
+               round(avg(o_totalprice), 6)       AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "q05_daily_events": """
+        SELECT strftime(ts, '%Y-%m-%d')          AS day,
+               count(*)                          AS n_events,
+               round(sum(value), 4)              AS sum_value
+        FROM events GROUP BY day ORDER BY day
+    """,
+    "q06_user_hourly_windows": """
+        SELECT user_id,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+               count(*)                          AS n_events,
+               round(sum(value), 4)              AS sum_value
+        FROM events GROUP BY user_id, window_start
+    """,
+    "q07_lang_distribution": """
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "q08_token_counts": """
+        SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
+        FROM documents
+    """,
+    "q09_doc_quality": """
+        SELECT doc_id,
+               length(text)                          AS n_chars,
+               len(regexp_extract_all(text, '\\S+')) AS n_words,
+               round(length(regexp_replace(text, '\\s', '', 'g'))
+                     / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6)
+                                                     AS mean_word_len
+        FROM documents
+    """,
+    "q10_exact_dedup": """
+        SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups
+        FROM documents GROUP BY text
+    """,
+    "q11_embedding_topk": """
+        SELECT vec_id
+        FROM embeddings
+        WHERE vec_id != 0
+        ORDER BY list_cosine_similarity(
+                   embedding,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                 vec_id
+        LIMIT 10
+    """,
+    "q12_filtered_export": """
+        SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+    "q13_region_customers": """
+        SELECT r_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+}

@@ -39,11 +39,16 @@ _PART_COL = "__part"
 
 
 def _key_to_part(arrs: list[np.ndarray], num_parts: int) -> np.ndarray:
-    """Mix int64 key column(s) into a partition id (splitmix-style)."""
+    """Mix key column(s) (int-like or string) into a partition id."""
     acc = np.zeros(len(arrs[0]), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for a in arrs:
-            v = a.astype(np.uint64, copy=False)
+            if a.dtype.kind not in "iuf":
+                v = pd.util.hash_array(np.asarray(a, dtype=object))
+            elif a.dtype.kind == "f":
+                v = pd.util.hash_array(a)
+            else:
+                v = a.astype(np.uint64, copy=False)
             acc ^= v + np.uint64(0x9E3779B97F4A7C15) + (acc << np.uint64(6)) + (acc >> np.uint64(2))
         z = (acc ^ (acc >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z ^= z >> np.uint64(31)

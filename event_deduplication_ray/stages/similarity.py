@@ -1,0 +1,184 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: broadcast query matrix (ray.put once),
+  per-batch numpy matmul + local top-k, tiny driver combine;
+- SRP/LSH-bucketed variant: signed-random-projection bucket keys
+  prune the search to buckets near the query's bucket (the scale
+  path — touches a fraction of batsom rows, same shape of answer);
+- embedding near-dup pairs: SRP bucket → within-bucket cosine pairs
+  above a threshold (feeds the same edges→union-find clustering as
+  the text passes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.stages.pairs import _pairs_from_groups
+from event_deduplication_ray.stages.shuffle import partition_apply
+
+
+def _emb_matrix(col) -> np.ndarray:
+    """Arrow list<float> column (or pandas object series) → (n, d) float64."""
+    if isinstance(col, (pa.ChunkedArray, pa.Array)):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(col)
+        return flat.reshape(n, -1)
+    return np.vstack(col.to_numpy()).astype(np.float64)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-12)
+
+
+def brute_force_topk(
+    embeddings: Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_ids: set[int] | None = None,
+) -> pd.DataFrame:
+    """Top-k rows by cosine similarity to one query vector.
+
+    Per-batch local top-k keeps the driver combine at
+    O(num_batches * k) rows.  Returns (vec_id, cos) sorted desc with
+    deterministic vec_id tie-break; cos rounded to 6 decimals.
+    """
+    q = query_vec.astype(np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    q_ref = ray.put(q)
+    excl = exclude_ids or set()
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _normalize_rows(_emb_matrix(t[emb_col]))
+        cos = m @ qv
+        ids = t[id_col].to_numpy()
+        if excl:
+            mask = ~np.isin(ids, list(excl))
+            cos, ids = cos[mask], ids[mask]
+        top = np.argsort(-cos, kind="stable")[:k]
+        return pa.table({id_col: pa.array(ids[top]), "cos": pa.array(cos[top])})
+
+    parts = embeddings.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+    parts["cos"] = parts["cos"].round(6)
+    return parts.reset_index(drop=True)
+
+
+def srp_bucket_codes(m: np.ndarray, n_bits: int, seed: int, dim: int) -> np.ndarray:
+    """Signed-random-projection bucket codes (uint64)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits))
+    bits = (m @ planes) > 0
+    code = np.zeros(len(m), dtype=np.uint64)
+    for b in range(n_bits):
+        code |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return code
+
+
+def lsh_topk(
+    embeddings: Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Bucketed ANN: only score rows whose SRP bucket is within
+    Hamming distance 1 of the query bucket (recall/cost trade-off —
+    the 100TB path; the brute-force variant is the correctness
+    baseline)."""
+    q = query_vec.astype(np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    dim = len(q)
+    q_code = int(srp_bucket_codes(qn[None, :], n_bits, seed, dim)[0])
+    near = {q_code} | {q_code ^ (1 << b) for b in range(n_bits)}
+    near_arr = np.array(sorted(near), dtype=np.uint64)
+    q_ref = ray.put(qn)
+
+    def local(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _normalize_rows(_emb_matrix(t[emb_col]))
+        codes = srp_bucket_codes(m, n_bits, seed, dim)
+        mask = np.isin(codes, near_arr)
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        cos = m[mask] @ qv
+        ids = t[id_col].to_numpy()[mask]
+        top = np.argsort(-cos, kind="stable")[:k]
+        return pa.table({id_col: pa.array(ids[top]), "cos": pa.array(cos[top])})
+
+    parts = embeddings.map_batches(local, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+    parts["cos"] = parts["cos"].round(6)
+    return parts.reset_index(drop=True)
+
+
+def embedding_dup_pairs(
+    embeddings: Dataset,
+    cfg: DedupConfig,
+    cos_threshold: float = 0.95,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Embedding-cosine near-dup pairs via SRP buckets.
+
+    Explode each vector into its bucket + the n_bits 1-bit-flip
+    neighbor buckets (multi-probe → a pair within small angular
+    distance shares at least one probe bucket w.h.p.), enumerate
+    pairs per bucket, verify cosine >= threshold.
+    Output: id_a, id_b, score, decision, tier='embedding'.
+    """
+    seed = cfg.seed
+
+    def explode(t: pa.Table) -> pa.Table:
+        m = _normalize_rows(_emb_matrix(t[emb_col]))
+        dim = m.shape[1]
+        codes = srp_bucket_codes(m, n_bits, seed, dim)
+        ids = t[id_col].to_numpy()
+        all_codes = [codes]
+        for b in range(n_bits):
+            all_codes.append(codes ^ (np.uint64(1) << np.uint64(b)))
+        band_key = np.concatenate(all_codes).astype(np.int64)
+        doc_id = np.tile(ids, n_bits + 1)
+        emb_rep = pa.chunked_array([t[emb_col].combine_chunks()] * (n_bits + 1))
+        return pa.table({"band_key": pa.array(band_key), "doc_id": pa.array(doc_id),
+                         "emb": emb_rep})
+
+    keyed = embeddings.map_batches(explode, batch_format="pyarrow")
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        p = _pairs_from_groups(df, "band_key", cfg.max_block_pairs)
+        if len(p) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        ea = _normalize_rows(_emb_matrix(p["emb_a"]))
+        eb = _normalize_rows(_emb_matrix(p["emb_b"]))
+        cos = (ea * eb).sum(axis=1)
+        p = p.assign(score=np.round(cos, 6))[cos >= cos_threshold]
+        return p[["id_a", "id_b", "score"]].drop_duplicates(["id_a", "id_b"])
+
+    raw = partition_apply(keyed, ["band_key"], cfg.join_num_partitions, gen)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["id_a", "id_b"]).copy()
+        df["decision"] = "match"
+        df["tier"] = "embedding"
+        return df
+
+    return partition_apply(raw, ["id_a", "id_b"], cfg.join_num_partitions, dedup)
