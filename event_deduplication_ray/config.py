@@ -43,6 +43,7 @@ class DedupConfig:
     # --- clustering guards (reference coherence validator analog, C2) ---
     max_cluster_size: int = 1000  # clusters above this get needs_review=True
     max_cc_rounds: int = 12       # hash-to-min iteration cap (log2 diameter)
+    cc_driver_edge_limit: int = 5_000_000  # contracted edges below this finish on the driver
 
     # --- candidate-generation passes enabled ---
     use_minhash: bool = True

@@ -17,6 +17,29 @@ import pandas as pd
 U64 = np.uint64
 _GOLDEN = U64(0x9E3779B97F4A7C15)
 
+_HEAP_WARMED = False
+
+
+def warm_numpy_heap(nbytes: int = 64 * 1024 * 1024, rounds: int = 3) -> None:
+    """Pre-fault the worker heap for the signature kernels.
+
+    First-touch of large fresh allocations costs seconds in this
+    sandbox (measured ~5 s for a 76 MB uint64 broadcast multiply on
+    first touch, ~0.03 s after).  Touching a few arena-sized buffers
+    once per worker process moves that cost out of the first batches.
+    Module-level flag → runs once per process, cheap no-op after.
+    """
+    global _HEAP_WARMED
+    if _HEAP_WARMED:
+        return
+    n = nbytes // 8
+    with np.errstate(over="ignore"):
+        for _ in range(rounds):
+            a = np.ones(n, dtype=U64)
+            a *= U64(0x9E3779B97F4A7C15)
+            del a
+    _HEAP_WARMED = True
+
 
 def hash_strings_u64(values: "pd.Series | np.ndarray | list[str]") -> np.ndarray:
     """Stable 64-bit hash of each string (pandas siphash, fixed key)."""

@@ -61,7 +61,11 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
     """
     cfg = cfg or DedupConfig()
 
-    extracted = extract_stage(docs, cfg)
+    # extracted feeds signatures + assignments + synthesis; pin it so
+    # the read+extract prefix runs once.  (At 100 TB the equivalent is
+    # a run-dir parquet checkpoint — see state/runstate.py — not an
+    # object-store pin of the whole corpus.)
+    extracted = extract_stage(docs, cfg).materialize()
     sigs = signature_stage(extracted, cfg)
     # signatures feed 2-3 passes + two verification cogroups — pin the
     # narrow table once instead of recomputing the whole prefix
@@ -100,3 +104,61 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
 
 def dedup_path(path: str, cfg: DedupConfig | None = None) -> DedupResult:
     return dedup_docs(read_docs(path), cfg)
+
+
+def dedup_path_resumable(
+    path: str, run_dir: str, cfg: DedupConfig | None = None
+) -> DedupResult:
+    """Checkpointed flagship run: every stage lands in
+    ``{run_dir}/{stage}/part-*.parquet`` with lineage + metrics in the
+    manifest; a rerun (same input + config) skips completed stages
+    (north rule: resumable from checkpoint with per-partition lineage).
+    """
+    from event_deduplication_ray.state.runstate import RunState
+
+    cfg = cfg or DedupConfig()
+    rs = RunState(run_dir, cfg, path)
+
+    extracted = rs.stage("extracted", lambda: extract_stage(read_docs(path), cfg))
+    sigs = rs.stage("signatures", lambda: signature_stage(extracted, cfg))
+
+    def compute_edges() -> Dataset:
+        verified = (
+            verify_pairs(
+                minhash_candidate_pairs(minhash_band_table(sigs, cfg), cfg),
+                sigs, cfg,
+            )
+            if cfg.use_minhash
+            else None
+        )
+        edges = match_edges(verified, cfg) if verified is not None else None
+        extra_sets = []
+        if cfg.use_simhash:
+            extra_sets.append(simhash_match_pairs(simhash_band_table(sigs, cfg), cfg))
+        if cfg.use_substring:
+            extra_sets.append(substring_match_pairs(substring_fp_table(sigs, cfg), cfg))
+        for extra in extra_sets:
+            ex = extra.select_columns(["id_a", "id_b", "score", "tier"])
+            edges = ex if edges is None else edges.union(ex)
+        return edges
+
+    edges = rs.stage("edges", compute_edges)
+    labels = rs.stage(
+        "cc_labels",
+        lambda: connected_components(edges.select_columns(["id_a", "id_b"]), cfg),
+    )
+    assignments = rs.stage(
+        "assignments", lambda: assignments_with_singletons(extracted, labels, cfg)
+    )
+    canonical = rs.stage(
+        "canonical", lambda: synthesize_clusters(extracted, assignments, cfg)
+    )
+    rs.record_metric("n_docs", rs.manifest["stages"]["extracted"]["rows"])
+    rs.record_metric("n_edges", rs.manifest["stages"]["edges"]["rows"])
+    rs.record_metric("n_clusters", rs.manifest["stages"]["canonical"]["rows"])
+
+    return DedupResult(
+        docs=extracted, signatures=sigs, verified_pairs=edges, edges=edges,
+        assignments=assignments, canonical=canonical,
+        metrics=dict(rs.manifest["metrics"]),
+    )

@@ -97,10 +97,34 @@ def _hash_to_min_round(df: pd.DataFrame) -> pd.DataFrame:
 
 def connected_components(edges: Dataset, cfg: DedupConfig) -> Dataset:
     """Distributed CC: (id_a, id_b) edges → (doc_id, cluster_id) labels
-    for every node that appears in an edge (min-id cluster labels)."""
+    for every node that appears in an edge (min-id cluster labels).
+
+    Hybrid: after the distributed per-block union-find contraction the
+    graph has at most one (node, root) edge per node.  If that
+    contracted table is provably small (< cfg.cc_driver_edge_limit) it
+    is collected and finished with one driver-side union-find — same
+    labels, no iterative shuffles (the guide's "union-find on the
+    driver only if the candidate set is provably small").  Otherwise
+    the iterative hash-to-min groupby-merge rounds run fully
+    distributed (the 100 TB path, exercised directly in tests)."""
+    import ray.data as rd
+
     P = cfg.join_num_partitions
 
-    star = local_unionfind_contract(edges)
+    star = local_unionfind_contract(edges).materialize()
+    if star.count() <= cfg.cc_driver_edge_limit:
+        df = star.to_pandas().rename(columns={"u": "id_a", "v": "id_b"})
+        from event_deduplication_ray.state.unionfind import (
+            connected_components_pandas,
+        )
+
+        labels = connected_components_pandas(df)
+        return rd.from_pandas(labels)
+    return _connected_components_distributed(star, cfg)
+
+
+def _connected_components_distributed(star: Dataset, cfg: DedupConfig) -> Dataset:
+    P = cfg.join_num_partitions
 
     def bidir(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy()

@@ -60,7 +60,14 @@ def _pairs_from_groups(df: pd.DataFrame, key: str, cap: int) -> pd.DataFrame:
 
 
 def minhash_candidate_pairs(band_table: Dataset, cfg: DedupConfig) -> Dataset:
-    """(band_key, doc_id) → distinct (id_a, id_b) candidate pairs."""
+    """(band_key, doc_id) → (id_a, id_b) candidate pairs.
+
+    Pairs are deduped within each band partition only; the global
+    dedup (a pair found in several bands) happens for free inside the
+    verification stage's first cogroup, which partitions by id_a —
+    all copies of a pair land in the same partition there (one fewer
+    all-to-all than a dedicated distinct pass).
+    """
     cap = cfg.max_block_pairs
     P = cfg.join_num_partitions
 
@@ -68,12 +75,7 @@ def minhash_candidate_pairs(band_table: Dataset, cfg: DedupConfig) -> Dataset:
         p = _pairs_from_groups(df, "band_key", cap)
         return p[["id_a", "id_b"]].drop_duplicates()
 
-    raw = partition_apply(band_table, ["band_key"], P, gen)
-
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["id_a", "id_b"])
-
-    return partition_apply(raw, ["id_a", "id_b"], P, dedup)
+    return partition_apply(band_table, ["band_key"], P, gen)
 
 
 def simhash_match_pairs(sim_band_table: Dataset, cfg: DedupConfig) -> Dataset:

@@ -83,11 +83,15 @@ def partition_apply(
     """
     parted = with_partition_col(ds, key_cols, num_parts)
 
+    from event_deduplication_ray.functions.hashing import warm_numpy_heap
+
     if batch_format == "pandas":
         def run(g: pd.DataFrame) -> pd.DataFrame:
+            warm_numpy_heap()
             return fn(g.drop(columns=[_PART_COL]))
     else:
         def run(t: pa.Table) -> pa.Table:
+            warm_numpy_heap()
             return fn(t.drop_columns([_PART_COL]))
 
     return parted.groupby(_PART_COL).map_groups(run, batch_format=batch_format)
@@ -141,6 +145,9 @@ def cogroup_apply(
     both = lt.union(rt)
 
     def run(g: pa.Table) -> pa.Table:
+        from event_deduplication_ray.functions.hashing import warm_numpy_heap
+
+        warm_numpy_heap()
         sides = g["__side"]
         l = g.filter(pc.equal(sides, 0)).select(l_names).to_pandas()
         r = g.filter(pc.equal(sides, 1)).select(r_names).to_pandas()

@@ -36,6 +36,7 @@ class SignatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        H.warm_numpy_heap()          # once per worker process
         text = batch["text_norm"].to_pandas()
         flat_tokens, doc_lens = H.tokenize_offsets(text)
         token_hashes = H.hash_strings_u64(flat_tokens)

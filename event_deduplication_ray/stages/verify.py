@@ -53,6 +53,10 @@ def verify_pairs(pairs: Dataset, signatures: Dataset, cfg: DedupConfig) -> Datas
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
                  "minhash": pd.Series(dtype="object")}
             )
+        # global pair dedup happens here: this cogroup partitions by
+        # id_a, so every copy of (id_a, id_b) from different bands is
+        # in this partition (see minhash_candidate_pairs)
+        l = l.drop_duplicates(["id_a", "id_b"])
         m = l.merge(r.rename(columns={"doc_id": "id_a"}), on="id_a", how="inner")
         return m[["id_a", "id_b", "minhash"]]
 

@@ -1,0 +1,135 @@
+"""Run-directory checkpointing: per-stage Parquet + manifest with
+lineage and metrics — the resumable-run story.
+
+Reference analogs: the SHA-256 file-ingestion idempotency ledger
+(/root/reference/src/event_dedup/ingestion/json_loader.py:104-117,
+ingestion/file_processor.py:187-196 — "hash-check → skip") and the
+clear-and-replace output commit (worker/persistence.py:73-157),
+re-keyed to batch-engine semantics:
+
+- every stage writes to ``{run_dir}/{stage}.tmp-*`` then atomically
+  renames to ``{run_dir}/{stage}`` and records the stage in
+  ``manifest.json`` with its row count and input lineage;
+- a rerun with the same (input fingerprint, config fingerprint)
+  skips completed stages by reading their Parquet back;
+- a config or input change invalidates the whole run dir (full
+  recompute — the reference's own recovery model);
+- per-stage metrics (row counts, durations) accumulate in the
+  manifest (candidate-stats analog, matching/candidate_pairs.py:66-76).
+
+North rule: "checkpoints per-partition signatures, band tables, and
+union-find state with lineage + metrics" — signatures, edges, CC
+label state, assignments and canonical are each checkpointable stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict
+
+from ray.data import Dataset
+
+from event_deduplication_ray.config import DedupConfig
+
+
+def config_fingerprint(cfg: DedupConfig) -> str:
+    return hashlib.sha256(
+        json.dumps(asdict(cfg), sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+def input_fingerprint(path: str) -> str:
+    """Cheap lineage key: file names + sizes + mtimes under the input
+    path (content-hash-free so 100 TB inputs don't need a full read;
+    object stores expose etags for the same purpose)."""
+    entries = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            entries.append((name, st.st_size, int(st.st_mtime)))
+    else:
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, int(st.st_mtime)))
+    return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]
+
+
+class RunState:
+    """Stage-granular checkpoint/resume for one pipeline run."""
+
+    def __init__(self, run_dir: str, cfg: DedupConfig, input_path: str):
+        self.run_dir = run_dir
+        self.cfg = cfg
+        self.lineage = {
+            "input_path": input_path,
+            "input_fingerprint": input_fingerprint(input_path),
+            "config_fingerprint": config_fingerprint(cfg),
+        }
+        os.makedirs(run_dir, exist_ok=True)
+        self.manifest_path = os.path.join(run_dir, "manifest.json")
+        self.manifest = self._load_or_init()
+
+    def _load_or_init(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                m = json.load(f)
+            if m.get("lineage") == self.lineage:
+                return m
+            # input or config changed → invalidate (full recompute)
+        return {"lineage": self.lineage, "stages": {}, "metrics": {}}
+
+    def _save(self) -> None:
+        tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.manifest_path)
+
+    def stage_dir(self, stage: str) -> str:
+        return os.path.join(self.run_dir, stage)
+
+    def is_done(self, stage: str) -> bool:
+        return (
+            stage in self.manifest["stages"]
+            and os.path.isdir(self.stage_dir(stage))
+        )
+
+    def write_stage(self, stage: str, ds: Dataset) -> Dataset:
+        """Write a stage atomically (tmp dir → rename) and record it."""
+        import ray.data as rd
+
+        final = self.stage_dir(stage)
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        t0 = time.time()
+        ds.write_parquet(tmp)
+        if os.path.isdir(final):          # stale partial from a dead run
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        out = rd.read_parquet(final)
+        n = out.count()
+        self.manifest["stages"][stage] = {
+            "rows": n,
+            "sec": round(time.time() - t0, 3),
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        self._save()
+        return out
+
+    def read_stage(self, stage: str) -> Dataset:
+        import ray.data as rd
+
+        return rd.read_parquet(self.stage_dir(stage))
+
+    def stage(self, name: str, compute) -> Dataset:
+        """Return the checkpointed stage, computing it if missing."""
+        if self.is_done(name):
+            return self.read_stage(name)
+        return self.write_stage(name, compute())
+
+    def record_metric(self, key: str, value) -> None:
+        self.manifest["metrics"][key] = value
+        self._save()

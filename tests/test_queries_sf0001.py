@@ -1,0 +1,84 @@
+"""queries() vs oracle_sql() at sf0.001 — mirrors the driver compare
+(row count + order-insensitive value equality) so regressions show up
+in pytest before the driver runs."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(obj):
+    from ray.data import Dataset
+
+    if isinstance(obj, Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+SQL_CHECKED = [
+    "q01_pricing_summary", "q02_top_orders", "q03_distinct_event_types",
+    "q04_segment_revenue", "q05_daily_events", "q06_user_hourly_windows",
+    "q07_lang_distribution", "q08_token_counts", "q09_doc_quality",
+    "q10_exact_dedup", "q11_embedding_topk", "q12_filtered_export",
+    "q13_region_customers",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_checked_query(name, sf_dir, con):
+    from event_deduplication_ray.pipelines.queries import ORACLE_SQL, RAY_QUERIES
+
+    got = _canon(_to_pandas(RAY_QUERIES[name](sf_dir)))
+    want = _canon(con.execute(ORACLE_SQL[name]).fetchdf())
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+
+
+ROWS_ONLY = [
+    "q20_minhash_clusters", "q21_simhash_pairs", "q22_substring_pairs",
+    "q23_doc_fingerprints", "q24_langid", "q25_lsh_topk",
+    "q26_embedding_dup_pairs",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(name, sf_dir):
+    from event_deduplication_ray.pipelines.queries import RAY_QUERIES
+
+    got = _to_pandas(RAY_QUERIES[name](sf_dir))
+    assert got is not None
+    # empty results may surface with no schema (Ray map_groups on an
+    # empty dataset); non-empty results must carry columns
+    if len(got) > 0:
+        assert len(got.columns) > 0

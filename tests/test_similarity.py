@@ -1,0 +1,60 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.stages.similarity import (
+    brute_force_topk,
+    embedding_dup_pairs,
+    lsh_topk,
+)
+
+CFG = DedupConfig(join_num_partitions=4)
+
+
+def _emb_ds(n=200, d=16, planted=None, seed=0):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    for (i, j, noise) in planted or []:
+        m[j] = m[i] + noise * rng.standard_normal(d)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.astype(np.float32).tolist() for row in m],
+                              pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(t), m
+
+
+def test_brute_force_topk_matches_numpy():
+    ds, m = _emb_ds()
+    q = m[0]
+    got = brute_force_topk(ds, q, k=5, exclude_ids={0})
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    cos = mn @ qn
+    cos[0] = -np.inf
+    want = set(np.argsort(-cos)[:5].tolist())
+    assert set(got["vec_id"]) == want
+    assert (got["cos"].diff().dropna() <= 1e-9).all()  # sorted desc
+
+
+def test_lsh_topk_finds_planted_near_dup():
+    ds, m = _emb_ds(planted=[(0, 7, 0.01)])
+    got = lsh_topk(ds, m[0], k=3)
+    assert 7 in set(got["vec_id"])   # near-identical vector survives pruning
+
+
+def test_embedding_dup_pairs_planted():
+    ds, _ = _emb_ds(planted=[(0, 7, 0.005), (3, 9, 0.005)])
+    pairs = embedding_dup_pairs(ds, CFG, cos_threshold=0.95).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 7) in found and (3, 9) in found
+    assert (pairs["score"] >= 0.95).all()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_embedding_dup_pairs_no_false_positives_random():
+    ds, _ = _emb_ds(seed=5)
+    pairs = embedding_dup_pairs(ds, CFG, cos_threshold=0.95).to_pandas()
+    assert len(pairs) == 0
