@@ -1,0 +1,107 @@
+"""CLI entry points (reference analog: S11 export CLI + worker main,
+/root/reference/src/event_dedup/cli/__main__.py:18-96).
+
+Usage (the only place outside bench/tests that owns a Ray session):
+  python -m event_deduplication_ray.cli run --input DIR_OR_FILE \
+      --run-dir RUNDIR [--num-cpus N] [--substring] [--simhash]
+  python -m event_deduplication_ray.cli export --run-dir RUNDIR \
+      --output-dir OUT [--first-ts-after TS]
+  python -m event_deduplication_ray.cli eval --run-dir RUNDIR \
+      --golden-pairs PATH
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    _ray_init(args.num_cpus)
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path_resumable
+
+    cfg = DedupConfig(use_substring=args.substring, use_simhash=args.simhash)
+    res = dedup_path_resumable(args.input, args.run_dir, cfg)
+    print(json.dumps(res.metrics))
+    return 0
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+
+    from event_deduplication_ray.pipelines.export import export_canonical_parquet
+
+    canonical = rd.read_parquet(f"{args.run_dir}/canonical")
+    out = export_canonical_parquet(
+        canonical, args.output_dir,
+        first_ts_after=args.first_ts_after,
+        rows_per_file=args.rows_per_file,
+    )
+    print(json.dumps({"output_dir": out}))
+    return 0
+
+
+def cmd_eval(args: argparse.Namespace) -> int:
+    _ray_init(args.num_cpus)
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from event_deduplication_ray.pipelines.eval import evaluate_pairs
+
+    asn = rd.read_parquet(f"{args.run_dir}/assignments").to_pandas()
+    gp = pq.read_table(args.golden_pairs)
+    print(json.dumps(evaluate_pairs(asn, gp).as_dict()))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="event_deduplication_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--run-dir", required=True)
+    pr.add_argument("--substring", action="store_true")
+    pr.add_argument("--simhash", action="store_true")
+    pr.set_defaults(fn=cmd_run)
+
+    pe = sub.add_parser("export")
+    pe.add_argument("--run-dir", required=True)
+    pe.add_argument("--output-dir", required=True)
+    pe.add_argument("--first-ts-after", default=None)
+    pe.add_argument("--rows-per-file", type=int, default=10_000)
+    pe.set_defaults(fn=cmd_export)
+
+    pv = sub.add_parser("eval")
+    pv.add_argument("--run-dir", required=True)
+    pv.add_argument("--golden-pairs", required=True)
+    pv.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,121 @@
+"""Export sinks + serving-style query surface over pipeline outputs.
+
+Reference analogs: export transformer/chunked writer/filtered query
+S7-S9 (/root/reference/src/event_dedup/export/service.py:16-163) and
+the list/filter/sort/paginate API Q1
+(api/routes/canonical_events.py:30-95).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def export_canonical_parquet(
+    canonical: Dataset,
+    out_dir: str,
+    first_ts_after: str | None = None,
+    last_ts_before: str | None = None,
+    rows_per_file: int = 10_000,
+) -> str:
+    """Filtered, sharded Parquet export (resumable layout: a directory
+    of bounded part files, never one giant file).
+
+    Reference: timestamp-filtered export S9 + 200-events-per-file
+    chunking S8 (export/service.py:77-163).
+    """
+    import pyarrow.compute as pc
+
+    ds = canonical
+
+    def filt(t: pa.Table) -> pa.Table:
+        if first_ts_after:
+            t = t.filter(
+                pc.greater_equal(t["first_ts"], pa.scalar(pd.Timestamp(first_ts_after)))
+            )
+        if last_ts_before:
+            t = t.filter(
+                pc.less(t["last_ts"], pa.scalar(pd.Timestamp(last_ts_before)))
+            )
+        return t
+
+    if first_ts_after or last_ts_before:
+        ds = ds.map_batches(filt, batch_format="pyarrow")
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        ds.write_parquet(out_dir, min_rows_per_file=rows_per_file)
+    except TypeError:  # older Ray releases
+        ds.write_parquet(out_dir, num_rows_per_file=rows_per_file)
+    return out_dir
+
+
+def list_canonical(
+    canonical: Dataset,
+    url_contains: str | None = None,
+    lang: str | None = None,
+    needs_review: bool | None = None,
+    sort_by: str = "n_members",
+    descending: bool = True,
+    offset: int = 0,
+    limit: int = 50,
+) -> pd.DataFrame:
+    """Filter + sort + paginate (reference Q1,
+    canonical_events.py:30-95).  Deterministic cluster_id tie-break."""
+    ds = canonical
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        if url_contains:
+            df = df[df["rep_url"].str.contains(url_contains, case=False, regex=False)]
+        if lang:
+            df = df[df["rep_lang"] == lang]
+        if needs_review is not None:
+            df = df[df["needs_review"] == needs_review]
+        return df
+
+    ds = ds.map_batches(filt, batch_format="pandas")
+    ds = ds.sort([sort_by, "cluster_id"], descending=[descending, False])
+    page = ds.limit(offset + limit).to_pandas().iloc[offset:]
+    return page.reset_index(drop=True)
+
+
+def cluster_detail(
+    canonical: Dataset, assignments: Dataset, docs_meta: Dataset,
+    verified_pairs: Dataset, cluster_id: int,
+) -> dict:
+    """Detail + provenance join for one cluster (reference Q4,
+    canonical_events.py:128-176): canonical row + member docs + their
+    pair decisions.  Single-cluster predicate pushes down to a
+    vectorized filter on each table."""
+    import pyarrow.compute as pc
+
+    def only(ds: Dataset, col: str) -> pd.DataFrame:
+        return ds.map_batches(
+            lambda t: t.filter(pc.equal(t[col], pa.scalar(cluster_id, pa.int64()))),
+            batch_format="pyarrow",
+        ).to_pandas()
+
+    can = only(canonical, "cluster_id")
+    members = only(assignments, "cluster_id")
+    ids = set(members["doc_id"].tolist())
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["doc_id"], value_set=pa.array(sorted(ids), pa.int64()))
+        return t.filter(mask)
+
+    docs = docs_meta.select_columns(
+        ["doc_id", "url", "warc_ts", "lang"]
+    ).map_batches(member_rows, batch_format="pyarrow").to_pandas()
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        arr = pa.array(sorted(ids), pa.int64())
+        mask = pc.and_(pc.is_in(t["id_a"], value_set=arr),
+                       pc.is_in(t["id_b"], value_set=arr))
+        return t.filter(mask)
+
+    pairs = verified_pairs.map_batches(pair_rows, batch_format="pyarrow").to_pandas()
+    return {"canonical": can, "members": docs, "decisions": pairs}

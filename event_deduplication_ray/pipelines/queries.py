@@ -374,8 +374,10 @@ def q27_flagship_dedup(sf_dir: str) -> Dataset:
     from event_deduplication_ray.stages.shuffle import cogroup_apply
 
     urls = res.docs.select_columns(["doc_id", "url"])
+    labels_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
     return cogroup_apply(urls, asn, ["doc_id"], ["doc_id"],
-                         cfg.join_num_partitions, attach_url)
+                         cfg.join_num_partitions, attach_url,
+                         right_schema=labels_schema)
 
 
 RAY_QUERIES = {

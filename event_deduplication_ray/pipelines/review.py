@@ -1,0 +1,134 @@
+"""Review edits: incremental cluster surgery (split / merge) applied
+as an edit table over pipeline assignments, plus an append-only audit
+log.
+
+Reference analog: R1 split / R2 merge
+(/root/reference/src/event_dedup/review/operations.py:20-338) and the
+audit log R3 (models/audit_log.py:13).  Re-keyed for a batch engine:
+edits are DATA, not mutations — a (doc_id, forced_cluster_id) edit
+table joined over the computed assignments as a final override, then
+re-synthesis of only the touched clusters.  This keeps the pipeline
+pure (rerunning the pipeline never loses review decisions) — the same
+reason the reference links sources to canonicals instead of mutating
+them (.planning/research/ARCHITECTURE.md "Overwriting Instead of
+Linking").
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.stages.shuffle import cogroup_apply
+from event_deduplication_ray.stages.synthesize import synthesize_clusters
+
+
+def empty_edits() -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "forced_cluster_id": pd.Series(dtype="int64"),
+    })
+
+
+def empty_audit() -> pd.DataFrame:
+    return pd.DataFrame({
+        "action_type": pd.Series(dtype="object"),
+        "doc_id": pd.Series(dtype="int64"),
+        "cluster_id": pd.Series(dtype="int64"),
+        "operator": pd.Series(dtype="object"),
+        "at": pd.Series(dtype="object"),
+    })
+
+
+def split_doc(
+    edits: pd.DataFrame, audit: pd.DataFrame, doc_id: int,
+    target_cluster_id: int | None = None, operator: str = "reviewer",
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Detach a doc from its computed cluster: into its own singleton
+    (target None → forced cluster = own doc_id) or onto a target
+    cluster (reference split-with-target, operations.py:20-216)."""
+    forced = int(doc_id) if target_cluster_id is None else int(target_cluster_id)
+    edits = pd.concat(
+        [edits[edits["doc_id"] != doc_id],
+         pd.DataFrame({"doc_id": [doc_id], "forced_cluster_id": [forced]})],
+        ignore_index=True,
+    )
+    audit = pd.concat(
+        [audit, pd.DataFrame({
+            "action_type": ["split"], "doc_id": [doc_id],
+            "cluster_id": [forced], "operator": [operator],
+            "at": [time.strftime("%Y-%m-%dT%H:%M:%S")]})],
+        ignore_index=True,
+    )
+    return edits, audit
+
+
+def merge_clusters(
+    edits: pd.DataFrame, audit: pd.DataFrame,
+    assignments: pd.DataFrame, donor_cluster_id: int,
+    survivor_cluster_id: int, operator: str = "reviewer",
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Force every member of the donor cluster onto the survivor
+    (reference merge, operations.py:219-338)."""
+    members = assignments.loc[
+        assignments["cluster_id"] == donor_cluster_id, "doc_id"
+    ]
+    new = pd.DataFrame({
+        "doc_id": members.to_numpy(np.int64),
+        "forced_cluster_id": np.full(len(members), survivor_cluster_id, np.int64),
+    })
+    edits = pd.concat(
+        [edits[~edits["doc_id"].isin(set(members))], new], ignore_index=True
+    )
+    audit = pd.concat(
+        [audit, pd.DataFrame({
+            "action_type": ["merge"] * len(members),
+            "doc_id": members.to_numpy(np.int64),
+            "cluster_id": np.full(len(members), survivor_cluster_id, np.int64),
+            "operator": [operator] * len(members),
+            "at": [time.strftime("%Y-%m-%dT%H:%M:%S")] * len(members)})],
+        ignore_index=True,
+    )
+    return edits, audit
+
+
+def apply_edits(
+    assignments: Dataset, edits: pd.DataFrame, cfg: DedupConfig
+) -> Dataset:
+    """Override computed assignments with the edit table (edits win).
+
+    Broadcast join: the edit table is human-scale (bounded by review
+    throughput), so it ships in the task closure — no shuffle.
+    """
+    if len(edits) == 0:
+        return assignments
+    forced = edits.set_index("doc_id")["forced_cluster_id"]
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        # masked assignment keeps int64 exact (a NaN-bearing map would
+        # go through float64 and corrupt ids above 2^53)
+        mask = df["doc_id"].isin(forced.index).to_numpy()
+        if mask.any():
+            df = df.copy()
+            df.loc[mask, "cluster_id"] = (
+                df.loc[mask, "doc_id"].map(forced).astype(np.int64)
+            )
+        return df
+
+    return assignments.map_batches(f, batch_format="pandas")
+
+
+def resynthesize_after_edits(
+    docs_meta: Dataset, assignments: Dataset, edits: pd.DataFrame,
+    cfg: DedupConfig,
+) -> Dataset:
+    """Re-synthesize canonicals with edits applied.  Only touched
+    clusters actually change; synthesis is a per-cluster groupby so
+    untouched groups produce identical rows (pure function of the
+    group)."""
+    return synthesize_clusters(docs_meta, apply_edits(assignments, edits, cfg), cfg)

@@ -158,6 +158,8 @@ def assignments_with_singletons(
     own singleton cluster (cluster_id = doc_id)."""
     P = cfg.join_num_partitions
     ids = docs.select_columns(["doc_id"])
+    ids_schema = pa.schema([("doc_id", pa.int64())])
+    labels_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
 
     def attach(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if len(l) == 0:
@@ -165,8 +167,14 @@ def assignments_with_singletons(
                 {"doc_id": pd.Series(dtype="int64"),
                  "cluster_id": pd.Series(dtype="int64")}
             )
+        # left join introduces NaNs; keep 64-bit ids exact with the
+        # nullable Int64 dtype (a float64 round-trip silently corrupts
+        # ids above 2^53)
+        r = r.copy()
+        r["cluster_id"] = r["cluster_id"].astype("Int64")
         m = l.merge(r, on="doc_id", how="left")
         cid = m["cluster_id"].fillna(m["doc_id"]).astype(np.int64)
         return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(), "cluster_id": cid})
 
-    return cogroup_apply(ids, labels, ["doc_id"], ["doc_id"], P, attach)
+    return cogroup_apply(ids, labels, ["doc_id"], ["doc_id"], P, attach,
+                         left_schema=ids_schema, right_schema=labels_schema)

@@ -120,12 +120,11 @@ def substring_match_pairs(fp_table: Dataset, cfg: DedupConfig) -> Dataset:
     containment threshold.
 
     Skew: fp groups larger than ``max_block_pairs`` (hot templates)
-    are split into salted sub-buckets by a deterministic per-doc salt
-    — the SAME doc always salts the same way, so a pair is either
-    co-bucketed in every fp group (full, exact shared counts) or in
-    none; connectivity across buckets flows through a hub (the group's
-    min doc id, added to every bucket), whose pair counts are also
-    exact because the hub is present in every group it fingerprints.
+    use star pairing against a hub — the member with the FEWEST total
+    fingerprints (deterministic (n_fps, doc_id) tie-break).  The
+    least-padded member is the most-contained one (base or exact dup
+    in a duplicate family), so hub-pair containment stays near 1.0 and
+    the star keeps the family connected at O(g) pairs per group.
     Groups larger than ``substring_drop_group`` are dropped outright
     (true boilerplate carries no containment signal).
     Output: id_a, id_b, score (containment), decision, tier.
@@ -153,20 +152,18 @@ def substring_match_pairs(fp_table: Dataset, cfg: DedupConfig) -> Dataset:
             m = small.merge(small, on="fp_key", suffixes=("_a", "_b"))
             outs.append(m[m["doc_id_a"] < m["doc_id_b"]])
         if len(hot):
-            # consistent per-doc salt → exact counts within sub-buckets
-            gmax = int(hot.groupby("fp_key")["doc_id"].size().max())
-            nsub = max(2, -(-gmax // cap))          # ceil(max group / cap)
-            ids = hot["doc_id"].to_numpy().astype(np.uint64)
-            with np.errstate(over="ignore"):
-                salt = ((ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(nsub)
-            h = hot.assign(__salt=salt.astype(np.int64))
-            m = h.merge(h, on=["fp_key", "__salt"], suffixes=("_a", "_b"))
-            outs.append(m[m["doc_id_a"] < m["doc_id_b"]].drop(columns=["__salt"]))
-            # hub link: group min doc paired with every member
-            idx = hot.groupby("fp_key")["doc_id"].idxmin()
-            hubs = hot.loc[idx]
+            # hub = min (n_fps, doc_id) row per group: least-padded,
+            # hence most-contained member — its containment vs every
+            # member is ~1.0 for true duplicate families
+            h = hot.sort_values(["fp_key", "n_fps", "doc_id"])
+            hubs = h.groupby("fp_key", sort=False).head(1)
             m2 = hubs.merge(hot, on="fp_key", suffixes=("_a", "_b"))
-            outs.append(m2[m2["doc_id_a"] < m2["doc_id_b"]])
+            m2 = m2[m2["doc_id_a"] != m2["doc_id_b"]]
+            swap = m2["doc_id_a"] > m2["doc_id_b"]
+            for col in ("doc_id", "n_fps"):
+                a, b = f"{col}_a", f"{col}_b"
+                m2.loc[swap, [a, b]] = m2.loc[swap, [b, a]].to_numpy()
+            outs.append(m2)
         if not outs:
             return empty
         res = pd.concat(outs, ignore_index=True)

@@ -103,19 +103,31 @@ def cogroup_apply(
     left_key: list[str],
     right_key: list[str],
     num_parts: int,
-    fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    fn: Callable,
+    batch_format: str = "pandas",
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
 ) -> Dataset:
     """Co-partition two datasets on their keys and apply ``fn(l, r)``
     per partition (a vectorized partitioned hash join / cogroup).
 
     Schemas of the two sides may differ; sides are tagged, unioned
     (one shuffle), split back inside the partition.  Key columns must
-    be int64-like.
+    be int64-like.  With ``batch_format="pyarrow"`` the two sides are
+    passed as pa.Tables and ``fn`` must return a pa.Table — use this
+    when rows carry fixed-size-list signature columns (a pandas
+    round-trip turns them into per-row Python objects).
+
+    Pass ``left_schema``/``right_schema`` (pa.Schema) whenever the
+    input is a LAZY dataset whose schema would otherwise be probed
+    with ``.schema()`` — for a shuffle-rooted dataset that probe
+    executes the whole upstream once just to see one block, and the
+    real run then executes it again (a silent 2x).
     """
     import pyarrow.compute as pc
 
-    l_schema = left.schema()   # ray.data Schema wrapper (.names/.types)
-    r_schema = right.schema()
+    l_schema = left_schema if left_schema is not None else left.schema()
+    r_schema = right_schema if right_schema is not None else right.schema()
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
     # unified physical schema: left cols ∪ right cols (+part/side);
@@ -144,14 +156,24 @@ def cogroup_apply(
     )
     both = lt.union(rt)
 
-    def run(g: pa.Table) -> pa.Table:
-        from event_deduplication_ray.functions.hashing import warm_numpy_heap
+    if batch_format == "pyarrow":
+        def run(g: pa.Table) -> pa.Table:
+            from event_deduplication_ray.functions.hashing import warm_numpy_heap
 
-        warm_numpy_heap()
-        sides = g["__side"]
-        l = g.filter(pc.equal(sides, 0)).select(l_names).to_pandas()
-        r = g.filter(pc.equal(sides, 1)).select(r_names).to_pandas()
-        out = fn(l, r)
-        return pa.Table.from_pandas(out, preserve_index=False)
+            warm_numpy_heap()
+            sides = g["__side"]
+            l = g.filter(pc.equal(sides, 0)).select(l_names)
+            r = g.filter(pc.equal(sides, 1)).select(r_names)
+            return fn(l, r)
+    else:
+        def run(g: pa.Table) -> pa.Table:
+            from event_deduplication_ray.functions.hashing import warm_numpy_heap
+
+            warm_numpy_heap()
+            sides = g["__side"]
+            l = g.filter(pc.equal(sides, 0)).select(l_names).to_pandas()
+            r = g.filter(pc.equal(sides, 1)).select(r_names).to_pandas()
+            out = fn(l, r)
+            return pa.Table.from_pandas(out, preserve_index=False)
 
     return both.groupby(_PART_COL).map_groups(run, batch_format="pyarrow")

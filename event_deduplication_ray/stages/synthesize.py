@@ -40,8 +40,12 @@ def synthesize_clusters(
         m["text_len"] = m["text"].str.len().astype(np.int64)
         return m.drop(columns=["text"])
 
+    import pyarrow as pa
+
     meta = docs_meta.select_columns(["doc_id", "url", "warc_ts", "lang", "text"])
-    joined = cogroup_apply(meta, assignments, ["doc_id"], ["doc_id"], P, attach)
+    labels_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    joined = cogroup_apply(meta, assignments, ["doc_id"], ["doc_id"], P, attach,
+                           right_schema=labels_schema)
 
     def synth(df: pd.DataFrame) -> pd.DataFrame:
         # order-insensitive representative choice with doc_id tie-break
@@ -87,8 +91,15 @@ def cluster_confidence(
         m = l.merge(r.rename(columns={"doc_id": "id_a"}), on="id_a", how="inner")
         return m[["cluster_id", "score"]]
 
+    import pyarrow as pa
+
     edges = verified_pairs.select_columns(["id_a", "score"])
-    with_cluster = cogroup_apply(edges, assignments, ["id_a"], ["doc_id"], P, attach)
+    labels_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    with_cluster = cogroup_apply(
+        edges, assignments, ["id_a"], ["doc_id"], P, attach,
+        left_schema=pa.schema([("id_a", pa.int64()), ("score", pa.float64())]),
+        right_schema=labels_schema,
+    )
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         return (

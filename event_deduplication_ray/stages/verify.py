@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ray.data import Dataset
 
@@ -38,54 +39,105 @@ def decide(scores: np.ndarray, cfg: DedupConfig) -> np.ndarray:
     return out
 
 
+def _fsl_matrix(col, width: int) -> np.ndarray:
+    """fixed_size_list / list<uint64> Arrow column → (n, width) uint64,
+    zero-copy where possible."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), width)
+
+
+def _gather_sigs(
+    pair_ids: np.ndarray, sig_ids: np.ndarray, sig_mat: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return (mask_found, rows of sig_mat for each pair id)."""
+    order = np.argsort(sig_ids, kind="stable")
+    sorted_ids = sig_ids[order]
+    pos = np.searchsorted(sorted_ids, pair_ids)
+    pos_clip = np.minimum(pos, len(sorted_ids) - 1) if len(sorted_ids) else pos
+    found = len(sorted_ids) > 0
+    mask = (
+        (sorted_ids[pos_clip] == pair_ids) if found else np.zeros(len(pair_ids), bool)
+    )
+    idx = order[pos_clip[mask]] if found else np.empty(0, np.int64)
+    return mask, sig_mat[idx]
+
+
 def verify_pairs(pairs: Dataset, signatures: Dataset, cfg: DedupConfig) -> Dataset:
     """(id_a, id_b) + signatures → (id_a, id_b, score, decision, tier).
 
+    Pure-Arrow cogroups: signature columns never round-trip through
+    pandas objects — the per-partition join is a numpy
+    searchsorted-gather over the zero-copy (n, P) signature matrix.
     Pairs whose doc ids are missing from the signature table (filtered
     upstream) are dropped.
     """
     P = cfg.join_num_partitions
+    width = cfg.num_perms
     sigs = signatures.select_columns(["doc_id", "minhash"])
+    sig_schema = pa.schema(
+        [("doc_id", pa.int64()), ("minhash", pa.list_(pa.uint64(), width))]
+    )
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    with_a_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("minhash", pa.list_(pa.uint64(), width))]
+    )
 
-    def attach_a(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+    empty_a = pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "minhash": pa.array([], pa.list_(pa.uint64())),
+    })
+
+    def attach_a(l: pa.Table, r: pa.Table) -> pa.Table:
         if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "minhash": pd.Series(dtype="object")}
-            )
+            return empty_a
         # global pair dedup happens here: this cogroup partitions by
         # id_a, so every copy of (id_a, id_b) from different bands is
         # in this partition (see minhash_candidate_pairs)
-        l = l.drop_duplicates(["id_a", "id_b"])
-        m = l.merge(r.rename(columns={"doc_id": "id_a"}), on="id_a", how="inner")
-        return m[["id_a", "id_b", "minhash"]]
-
-    with_a = cogroup_apply(pairs, sigs, ["id_a"], ["doc_id"], P, attach_a)
-
-    def attach_b_and_score(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "score": pd.Series(dtype="float64"), "decision": pd.Series(dtype="object"),
-             "tier": pd.Series(dtype="object")}
+        uniq = np.unique(
+            np.stack([l["id_a"].to_numpy(), l["id_b"].to_numpy()], axis=1), axis=0
         )
+        ia, ib = uniq[:, 0], uniq[:, 1]
+        mask, sig_rows = _gather_sigs(
+            ia, r["doc_id"].to_numpy(), _fsl_matrix(r["minhash"], width)
+        )
+        return pa.table({
+            "id_a": pa.array(ia[mask]), "id_b": pa.array(ib[mask]),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_rows.reshape(-1), pa.uint64()), width
+            ),
+        })
+
+    with_a = cogroup_apply(pairs, sigs, ["id_a"], ["doc_id"], P, attach_a,
+                           batch_format="pyarrow",
+                           left_schema=pair_schema, right_schema=sig_schema)
+
+    empty_out = pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+        "decision": pa.array([], pa.string()), "tier": pa.array([], pa.string()),
+    })
+
+    def attach_b_and_score(l: pa.Table, r: pa.Table) -> pa.Table:
         if len(l) == 0 or len(r) == 0:
-            return empty
-        m = l.merge(
-            r.rename(columns={"doc_id": "id_b", "minhash": "minhash_b"}),
-            on="id_b", how="inner",
-        )
-        if len(m) == 0:
-            return empty
-        sig_a = _sig_matrix(m["minhash"])
-        sig_b = _sig_matrix(m["minhash_b"])
+            return empty_out
+        ib = l["id_b"].to_numpy()
+        mask, sig_b = _gather_sigs(ib, r["doc_id"].to_numpy(), _fsl_matrix(r["minhash"], width))
+        kept = l.filter(pa.array(mask))
+        sig_a = _fsl_matrix(kept["minhash"], width)
         score = (sig_a == sig_b).mean(axis=1)
-        return pd.DataFrame(
-            {"id_a": m["id_a"].to_numpy(), "id_b": m["id_b"].to_numpy(),
-             "score": score, "decision": decide(score, cfg),
-             "tier": "minhash"}
-        )
+        return pa.table({
+            "id_a": kept["id_a"], "id_b": kept["id_b"],
+            "score": pa.array(score),
+            "decision": pa.array(decide(score, cfg).astype(str)),
+            "tier": pa.array(np.full(len(score), "minhash"), pa.string()),
+        })
 
-    return cogroup_apply(with_a, sigs, ["id_b"], ["doc_id"], P, attach_b_and_score)
+    return cogroup_apply(with_a, sigs, ["id_b"], ["doc_id"], P,
+                         attach_b_and_score, batch_format="pyarrow",
+                         left_schema=with_a_schema, right_schema=sig_schema)
 
 
 def match_edges(verified: Dataset, cfg: DedupConfig) -> Dataset:

@@ -1,0 +1,122 @@
+"""Review-edit surgery, export sinks, serving queries, exact tier."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.pipelines import review as R
+from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
+from event_deduplication_ray.pipelines.export import (
+    cluster_detail,
+    export_canonical_parquet,
+    list_canonical,
+)
+
+CFG = DedupConfig(use_substring=True, join_num_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def result(corpus_dir):
+    return dedup_path(f"{corpus_dir}/docs.parquet", CFG)
+
+
+@pytest.fixture(scope="module")
+def asn_df(result):
+    return result.assignments.to_pandas()
+
+
+def test_split_moves_doc_to_singleton(result, asn_df):
+    multi = asn_df.groupby("cluster_id").size()
+    cid = multi[multi > 2].index[0]
+    victim = int(asn_df[asn_df.cluster_id == cid]["doc_id"].iloc[1])
+    edits, audit = R.split_doc(R.empty_edits(), R.empty_audit(), victim)
+    out = R.apply_edits(result.assignments, edits, CFG).to_pandas()
+    out = out.set_index("doc_id")["cluster_id"]
+    assert out[victim] == victim
+    # everyone else untouched
+    before = asn_df.set_index("doc_id")["cluster_id"].drop(victim)
+    assert (out.drop(victim).sort_index() == before.sort_index()).all()
+    assert audit.iloc[0]["action_type"] == "split"
+
+
+def test_merge_clusters(result, asn_df):
+    sizes = asn_df.groupby("cluster_id").size()
+    donor, survivor = int(sizes.index[0]), int(sizes.index[1])
+    edits, audit = R.merge_clusters(
+        R.empty_edits(), R.empty_audit(), asn_df, donor, survivor
+    )
+    out = R.apply_edits(result.assignments, edits, CFG).to_pandas()
+    assert (out[out.doc_id.isin(
+        asn_df[asn_df.cluster_id == donor].doc_id)]["cluster_id"] == survivor).all()
+    assert (audit["action_type"] == "merge").all()
+
+
+def test_resynthesize_touched_only(result, asn_df, corpus_dir):
+    multi = asn_df.groupby("cluster_id").size()
+    cid = multi[multi > 2].index[0]
+    victim = int(asn_df[asn_df.cluster_id == cid]["doc_id"].iloc[1])
+    edits, _ = R.split_doc(R.empty_edits(), R.empty_audit(), victim)
+    can2 = R.resynthesize_after_edits(
+        result.docs, result.assignments, edits, CFG
+    ).to_pandas()
+    can1 = result.canonical.to_pandas()
+    assert len(can2) == len(can1) + 1          # new singleton appeared
+    m1 = can1.set_index("cluster_id")["n_members"]
+    m2 = can2.set_index("cluster_id")["n_members"]
+    untouched = m1.index.difference([cid, victim])
+    assert (m2[untouched] == m1[untouched]).all()
+    assert m2[cid] == m1[cid] - 1
+    assert m2[victim] == 1
+
+
+def test_export_parquet_filtered(result, tmp_path):
+    out = export_canonical_parquet(
+        result.canonical, str(tmp_path / "exp"), rows_per_file=100
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files
+    total = sum(pq.ParquetFile(os.path.join(out, f)).metadata.num_rows for f in files)
+    assert total == result.canonical.count()
+
+
+def test_list_canonical_pagination(result):
+    p1 = list_canonical(result.canonical, sort_by="n_members", limit=5)
+    p2 = list_canonical(result.canonical, sort_by="n_members", offset=5, limit=5)
+    assert len(p1) == 5 and len(p2) == 5
+    assert set(p1.cluster_id).isdisjoint(set(p2.cluster_id))
+    assert (p1["n_members"].to_numpy()[:-1] >= p1["n_members"].to_numpy()[1:]).all()
+    assert p1["n_members"].min() >= p2["n_members"].max()
+
+
+def test_cluster_detail_provenance(result, asn_df):
+    sizes = asn_df.groupby("cluster_id").size()
+    cid = int(sizes[sizes > 2].index[0])
+    d = cluster_detail(result.canonical, result.assignments, result.docs,
+                       result.verified_pairs, cid)
+    assert len(d["canonical"]) == 1
+    assert len(d["members"]) == sizes[cid]
+    assert set(d["members"]["doc_id"]).issuperset(
+        set(d["decisions"]["id_a"]) | set(d["decisions"]["id_b"])
+    ) or len(d["decisions"]) == 0
+
+
+def test_exact_tier_resolves_ambiguous(result, tmp_path):
+    from event_deduplication_ray.stages.exact_verify import exact_jaccard_tier
+
+    cache = str(tmp_path / "cache")
+    out = exact_jaccard_tier(result.verified_pairs, result.docs, CFG,
+                             cache_dir=cache).to_pandas()
+    amb_before = (result.verified_pairs.to_pandas()["decision"] == "ambiguous").sum()
+    exact_rows = out[out["tier"] == "exact"]
+    assert len(exact_rows) == amb_before
+    # second run hits the cache and produces the same decisions
+    out2 = exact_jaccard_tier(result.verified_pairs, result.docs, CFG,
+                              cache_dir=cache).to_pandas()
+    a = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = out2.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
