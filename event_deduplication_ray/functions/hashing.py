@@ -17,28 +17,14 @@ import pandas as pd
 U64 = np.uint64
 _GOLDEN = U64(0x9E3779B97F4A7C15)
 
-_HEAP_WARMED = False
+def warm_numpy_heap() -> None:
+    """No-op, kept for call-site compatibility.
 
-
-def warm_numpy_heap(nbytes: int = 64 * 1024 * 1024, rounds: int = 3) -> None:
-    """Pre-fault the worker heap for the signature kernels.
-
-    First-touch of large fresh allocations costs seconds in this
-    sandbox (measured ~5 s for a 76 MB uint64 broadcast multiply on
-    first touch, ~0.03 s after).  Touching a few arena-sized buffers
-    once per worker process moves that cost out of the first batches.
-    Module-level flag → runs once per process, cheap no-op after.
-    """
-    global _HEAP_WARMED
-    if _HEAP_WARMED:
-        return
-    n = nbytes // 8
-    with np.errstate(over="ignore"):
-        for _ in range(rounds):
-            a = np.ones(n, dtype=U64)
-            a *= U64(0x9E3779B97F4A7C15)
-            del a
-    _HEAP_WARMED = True
+    First-touch of FRESH large allocations costs seconds in this
+    sandbox (~20-40 MB/s page faulting), so the fix is to keep every
+    kernel's temporaries SMALL (perm_chunk=8, chunked simhash bits):
+    small blocks are recycled by the numpy allocator and never leave
+    the warm arena.  Pre-faulting a big buffer just moved the cost."""
 
 
 def hash_strings_u64(values: "pd.Series | np.ndarray | list[str]") -> np.ndarray:
@@ -152,7 +138,7 @@ def minhash_signatures(
     shingles_per_doc: np.ndarray,
     mults: np.ndarray,
     adds: np.ndarray,
-    perm_chunk: int = 32,
+    perm_chunk: int = 8,
 ) -> np.ndarray:
     """(n_docs, num_perms) uint64 MinHash matrix via segment-min.
 
@@ -202,16 +188,19 @@ def simhash_fingerprints(
     ends = np.cumsum(doc_lens)
     starts = (ends - doc_lens)[nonzero].astype(np.int64)
 
-    shifts = np.arange(bits, dtype=np.uint64)
-    # (bits, n_tokens) layout: reduceat along contiguous rows
-    votes = (
-        ((token_hashes[None, :] >> shifts[:, None]) & U64(1)).astype(np.int32) * 2 - 1
-    )
-    sums = np.add.reduceat(votes, starts, axis=1)           # (bits, nnz_docs)
-    bits_set = (sums > 0).astype(np.uint64)
     fp = np.zeros(len(starts), dtype=U64)
-    for b in range(bits):
-        fp |= bits_set[b, :] << U64(b)
+    bit_chunk = 8          # keep temporaries small (see warm_numpy_heap)
+    for b0 in range(0, bits, bit_chunk):
+        b1 = min(b0 + bit_chunk, bits)
+        shifts = np.arange(b0, b1, dtype=np.uint64)
+        # (chunk, n_tokens) layout: reduceat along contiguous rows
+        votes = (
+            ((token_hashes[None, :] >> shifts[:, None]) & U64(1)).astype(np.int8) * 2 - 1
+        )
+        sums = np.add.reduceat(votes.astype(np.int32), starts, axis=1)
+        bits_set = (sums > 0).astype(np.uint64)
+        for j, b in enumerate(range(b0, b1)):
+            fp |= bits_set[j, :] << U64(b)
     out[nonzero] = fp
     return out
 
