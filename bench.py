@@ -29,7 +29,7 @@ def corpus_docs_for(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
     n_documents = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    return int(min(100_000, max(1_000, 10 * n_documents)))
+    return int(min(200_000, max(1_000, 40 * n_documents)))
 
 
 def ensure_corpus(sf_dir: str) -> tuple[str, int]:

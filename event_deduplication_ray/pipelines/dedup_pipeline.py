@@ -31,7 +31,11 @@ from event_deduplication_ray.stages.pairs import (
     substring_match_pairs,
 )
 from event_deduplication_ray.stages.signatures import signature_stage
-from event_deduplication_ray.stages.synthesize import synthesize_clusters
+from event_deduplication_ray.stages.synthesize import (
+    join_meta_labels,
+    synthesize_clusters,
+    synthesize_joined,
+)
 from event_deduplication_ray.stages.verify import match_edges, verify_pairs
 
 
@@ -61,15 +65,20 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
     """
     cfg = cfg or DedupConfig()
 
-    # extracted feeds signatures + assignments + synthesis; pin it so
-    # the read+extract prefix runs once.  (At 100 TB the equivalent is
-    # a run-dir parquet checkpoint — see state/runstate.py — not an
-    # object-store pin of the whole corpus.)
-    extracted = extract_stage(docs, cfg).materialize()
-    sigs = signature_stage(extracted, cfg)
-    # signatures feed 2-3 passes + two verification cogroups — pin the
-    # narrow table once instead of recomputing the whole prefix
-    sigs = sigs.materialize()
+    # one fused pipelined pass: read → extract → signatures, with doc
+    # meta passed through, pinned ONCE; every later consumer is a free
+    # projection of this table.  (At 100 TB the equivalent pin is a
+    # run-dir parquet checkpoint — see state/runstate.py — not an
+    # object-store pin.)
+    extracted = extract_stage(docs, cfg)
+    sigs_full = signature_stage(
+        extracted, cfg,
+        passthrough=("url", "warc_ts", "lang", "text", "text_norm"),
+    ).materialize()
+    sigs = sigs_full
+    extracted = sigs_full.select_columns(
+        ["doc_id", "url", "warc_ts", "lang", "text", "text_norm"]
+    )
 
     pair_sets = []
     if cfg.use_minhash:
@@ -89,8 +98,11 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
         edges = ex if edges is None else edges.union(ex)
 
     labels = connected_components(edges.select_columns(["id_a", "id_b"]), cfg)
-    assignments = assignments_with_singletons(extracted, labels, cfg)
-    canonical = synthesize_clusters(extracted, assignments, cfg)
+    # one cogroup serves both assignments and synthesis (see
+    # join_meta_labels) — singletons filled inside the join
+    joined = join_meta_labels(extracted, labels, cfg).materialize()
+    assignments = joined.select_columns(["doc_id", "cluster_id"])
+    canonical = synthesize_joined(joined, cfg)
 
     return DedupResult(
         docs=extracted,

@@ -52,6 +52,40 @@ class PairMetrics:
         }
 
 
+def threshold_sweep(
+    verified_scores: pd.DataFrame,
+    all_assignable: pd.DataFrame,
+    golden_pairs: "pa.Table | pd.DataFrame",
+    thresholds: list[float],
+) -> pd.DataFrame:
+    """Reference E4 analog (harness.py:192-230): re-decide the verified
+    pair scores at each threshold, recluster, report P/R/F1 per row.
+
+    verified_scores: (id_a, id_b, score) — scores computed ONCE; the
+    sweep only re-thresholds and re-clusters (cheap driver-side loop
+    over a bounded pair table, like the reference's harness).
+    all_assignable: (doc_id,) every doc id in the corpus.
+    """
+    from event_deduplication_ray.state.unionfind import (
+        connected_components_pandas,
+    )
+
+    rows = []
+    for tau in thresholds:
+        edges = verified_scores[verified_scores["score"] >= tau]
+        if len(edges):
+            labels = connected_components_pandas(edges)
+            asn = all_assignable.merge(labels, on="doc_id", how="left")
+            asn["cluster_id"] = (
+                asn["cluster_id"].astype("Int64").fillna(asn["doc_id"]).astype("int64")
+            )
+        else:
+            asn = all_assignable.assign(cluster_id=all_assignable["doc_id"])
+        m = evaluate_pairs(asn, golden_pairs)
+        rows.append({"threshold": tau, **m.as_dict()})
+    return pd.DataFrame(rows)
+
+
 def evaluate_pairs(
     assignments: pd.DataFrame, golden_pairs: pa.Table | pd.DataFrame
 ) -> PairMetrics:

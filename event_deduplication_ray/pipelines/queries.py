@@ -297,6 +297,43 @@ def q20_minhash_clusters(sf_dir: str) -> Dataset:
     return assignments_with_singletons(docs, labels, QCFG)
 
 
+def q28_ngram_jaccard_clusters(sf_dir: str) -> Dataset:
+    """n-gram-Jaccard dedup: LSH candidates verified by EXACT
+    shingle-set Jaccard over the texts (no MinHash estimation error in
+    the decision), then clustered.  (id_a,id_b) edges where exact
+    5-gram Jaccard >= threshold → (doc_id, cluster_id)."""
+    from event_deduplication_ray.stages.banding import minhash_band_table
+    from event_deduplication_ray.stages.cluster import (
+        assignments_with_singletons,
+        connected_components,
+    )
+    from event_deduplication_ray.stages.exact_verify import exact_jaccard_tier
+    from event_deduplication_ray.stages.pairs import minhash_candidate_pairs
+    from event_deduplication_ray.stages.signatures import signature_stage
+    from event_deduplication_ray.stages.verify import match_edges, verify_pairs
+
+    docs = _docs_from_documents(sf_dir).materialize()
+    sigs = signature_stage(docs, QCFG).materialize()
+    pairs = minhash_candidate_pairs(minhash_band_table(sigs, QCFG), QCFG)
+    # force EVERY candidate through the exact tier by marking all
+    # decisions ambiguous first (scores still come from the exact pass)
+    verified = verify_pairs(pairs, sigs, QCFG)
+
+    def all_ambiguous(t: pa.Table) -> pa.Table:
+        import numpy as _np
+        return t.set_column(
+            t.schema.get_field_index("decision"), "decision",
+            pa.array(_np.full(len(t), "ambiguous"), pa.string()),
+        )
+
+    forced = verified.map_batches(all_ambiguous, batch_format="pyarrow")
+    exact = exact_jaccard_tier(forced, docs, QCFG)
+    labels = connected_components(
+        match_edges(exact, QCFG).select_columns(["id_a", "id_b"]), QCFG
+    )
+    return assignments_with_singletons(docs, labels, QCFG)
+
+
 def q21_simhash_pairs(sf_dir: str) -> Dataset:
     from event_deduplication_ray.stages.banding import simhash_band_table
     from event_deduplication_ray.stages.pairs import simhash_match_pairs
@@ -402,6 +439,7 @@ RAY_QUERIES = {
     "q25_lsh_topk": q25_lsh_topk,
     "q26_embedding_dup_pairs": q26_embedding_dup_pairs,
     "q27_flagship_dedup": q27_flagship_dedup,
+    "q28_ngram_jaccard_clusters": q28_ngram_jaccard_clusters,
 }
 
 

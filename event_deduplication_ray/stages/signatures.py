@@ -28,15 +28,22 @@ from event_deduplication_ray.functions import hashing as H
 
 
 class SignatureStage:
-    """Callable class for map_batches actor pools."""
+    """Callable class for map_batches actor pools.
 
-    def __init__(self, cfg: DedupConfig):
+    ``passthrough`` columns are copied through unchanged so the
+    extract → signature chain can stay one fused pipelined pass with a
+    single materialization serving both the narrow verification joins
+    and the doc-meta consumers (projection on a materialized dataset
+    is free; a second barrier is not).
+    """
+
+    def __init__(self, cfg: DedupConfig, passthrough: tuple[str, ...] = ()):
         self.cfg = cfg
+        self.passthrough = passthrough
         self.mults, self.adds = H.perm_constants(cfg.num_perms, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        H.warm_numpy_heap()          # once per worker process
         text = batch["text_norm"].to_pandas()
         flat_tokens, doc_lens = H.tokenize_offsets(text)
         token_hashes = H.hash_strings_u64(flat_tokens)
@@ -55,36 +62,42 @@ class SignatureStage:
             seg = shingles[starts[d] : ends[d]][sel[starts[d] : ends[d]]]
             fp_lists.append(np.unique(seg))
 
-        n = len(batch)
         sig_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(sig.reshape(-1), pa.uint64()), cfg.num_perms
         )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(doc_lens, pa.int64()),
-                "n_shingles": pa.array(spd.astype(np.int64), pa.int64()),
-                "minhash": sig_arr,
-                "simhash": pa.array(simhash, pa.uint64()),
-                "substr_fps": pa.array(
-                    [l.tolist() for l in fp_lists], pa.list_(pa.uint64())
-                ),
-            }
-        )
+        cols = {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(doc_lens, pa.int64()),
+            "n_shingles": pa.array(spd.astype(np.int64), pa.int64()),
+            "minhash": sig_arr,
+            "simhash": pa.array(simhash, pa.uint64()),
+            "substr_fps": pa.array(
+                [l.tolist() for l in fp_lists], pa.list_(pa.uint64())
+            ),
+        }
+        for c in self.passthrough:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
 
 def signature_stage(
-    docs: Dataset, cfg: DedupConfig, concurrency: int | None = None
+    docs: Dataset,
+    cfg: DedupConfig,
+    concurrency: int | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> Dataset:
     """docs (with doc_id + text_norm) → signatures dataset."""
     kwargs: dict = dict(batch_format="pyarrow", batch_size=cfg.sig_batch_size)
     conc = concurrency if concurrency is not None else cfg.sig_concurrency
-    narrow = docs.select_columns(["doc_id", "text_norm"])
+    narrow = docs.select_columns(
+        list(dict.fromkeys(["doc_id", "text_norm", *passthrough]))
+    )
     if conc:
         # actor pool: constants built once per actor in __init__
         return narrow.map_batches(
-            SignatureStage, fn_constructor_args=(cfg,), concurrency=conc, **kwargs
+            SignatureStage, fn_constructor_args=(cfg, passthrough),
+            concurrency=conc, **kwargs
         )
     # stateless tasks: the instance (with precomputed constants) ships
     # in the task closure — still built once per worker process cache
-    return narrow.map_batches(SignatureStage(cfg), **kwargs)
+    return narrow.map_batches(SignatureStage(cfg, passthrough), **kwargs)

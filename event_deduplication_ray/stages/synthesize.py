@@ -21,6 +21,82 @@ from event_deduplication_ray.config import DedupConfig
 from event_deduplication_ray.stages.shuffle import cogroup_apply, partition_apply
 
 
+def join_meta_labels(
+    docs_meta: Dataset, labels: Dataset, cfg: DedupConfig
+) -> Dataset:
+    """One cogroup serving BOTH assignments and synthesis: doc meta
+    left-joined with CC labels (singletons filled with own doc_id),
+    text replaced by text_len.  Output: doc_id, url, warc_ts, lang,
+    text_len, cluster_id — materialize it once and project."""
+    import pyarrow as pa
+
+    P = cfg.join_num_partitions
+    labels_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    meta = docs_meta.select_columns(["doc_id", "url", "warc_ts", "lang", "text"])
+
+    def attach(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"), "url": pd.Series(dtype="object"),
+                "warc_ts": pd.Series(dtype="datetime64[us]"),
+                "lang": pd.Series(dtype="object"),
+                "text_len": pd.Series(dtype="int64"),
+                "cluster_id": pd.Series(dtype="int64"),
+            })
+        r = r.copy()
+        r["cluster_id"] = r["cluster_id"].astype("Int64")   # exact 64-bit
+        m = l.merge(r, on="doc_id", how="left")
+        m["cluster_id"] = m["cluster_id"].fillna(m["doc_id"]).astype(np.int64)
+        m["text_len"] = m["text"].str.len().astype(np.int64)
+        return m.drop(columns=["text"])
+
+    return cogroup_apply(meta, labels, ["doc_id"], ["doc_id"], P, attach,
+                         right_schema=labels_schema)
+
+
+def synthesize_joined(joined: Dataset, cfg: DedupConfig) -> Dataset:
+    """Per-cluster synthesis from the pre-joined meta+labels table
+    (see join_meta_labels); one shuffle by cluster_id."""
+    P = cfg.join_num_partitions
+    strategy = cfg.representative_strategy
+    max_size = cfg.max_cluster_size
+    return partition_apply(
+        joined, ["cluster_id"], P, _synth_fn(strategy, max_size)
+    )
+
+
+def _synth_fn(strategy: str, max_size: int):
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        # order-insensitive representative choice with doc_id tie-break
+        if strategy == "longest_text":
+            df = df.sort_values(["text_len", "doc_id"], ascending=[False, True])
+        elif strategy == "earliest_ts":
+            df = df.sort_values(["warc_ts", "doc_id"], ascending=[True, True])
+        else:  # min_url
+            df = df.sort_values(["url", "doc_id"], ascending=[True, True])
+        g = df.groupby("cluster_id", sort=False)
+        rep = g.head(1).set_index("cluster_id")
+        agg = g.agg(
+            n_members=("doc_id", "size"),
+            first_ts=("warc_ts", "min"),
+            last_ts=("warc_ts", "max"),
+            total_text_len=("text_len", "sum"),
+        )
+        first_idx = df.sort_values(["warc_ts", "doc_id"]).groupby(
+            "cluster_id", sort=False
+        ).head(1).set_index("cluster_id")["doc_id"]
+        out = agg.join(rep[["doc_id", "url", "lang", "text_len"]]).rename(
+            columns={"doc_id": "rep_doc_id", "url": "rep_url",
+                     "lang": "rep_lang", "text_len": "rep_text_len"}
+        )
+        out["first_ts_doc_id"] = first_idx
+        out["needs_review"] = out["n_members"] > max_size
+        out["strategy"] = strategy
+        return out.reset_index()
+
+    return synth
+
+
 def synthesize_clusters(
     docs_meta: Dataset, assignments: Dataset, cfg: DedupConfig
 ) -> Dataset:
@@ -47,36 +123,7 @@ def synthesize_clusters(
     joined = cogroup_apply(meta, assignments, ["doc_id"], ["doc_id"], P, attach,
                            right_schema=labels_schema)
 
-    def synth(df: pd.DataFrame) -> pd.DataFrame:
-        # order-insensitive representative choice with doc_id tie-break
-        if strategy == "longest_text":
-            df = df.sort_values(["text_len", "doc_id"], ascending=[False, True])
-        elif strategy == "earliest_ts":
-            df = df.sort_values(["warc_ts", "doc_id"], ascending=[True, True])
-        else:  # min_url
-            df = df.sort_values(["url", "doc_id"], ascending=[True, True])
-        g = df.groupby("cluster_id", sort=False)
-        rep = g.head(1).set_index("cluster_id")
-        agg = g.agg(
-            n_members=("doc_id", "size"),
-            first_ts=("warc_ts", "min"),
-            last_ts=("warc_ts", "max"),
-            total_text_len=("text_len", "sum"),
-        )
-        # provenance: which member supplied the earliest crawl
-        first_idx = df.sort_values(["warc_ts", "doc_id"]).groupby(
-            "cluster_id", sort=False
-        ).head(1).set_index("cluster_id")["doc_id"]
-        out = agg.join(rep[["doc_id", "url", "lang", "text_len"]]).rename(
-            columns={"doc_id": "rep_doc_id", "url": "rep_url",
-                     "lang": "rep_lang", "text_len": "rep_text_len"}
-        )
-        out["first_ts_doc_id"] = first_idx
-        out["needs_review"] = out["n_members"] > max_size
-        out["strategy"] = strategy
-        return out.reset_index()
-
-    return partition_apply(joined, ["cluster_id"], P, synth)
+    return partition_apply(joined, ["cluster_id"], P, _synth_fn(strategy, max_size))
 
 
 def cluster_confidence(

@@ -1,0 +1,66 @@
+"""Incremental-add equivalence: run on corpus A (checkpointed), add
+batch B, result must match a full run on A ∪ B (reference enrichment
+semantics C6: new sources only ever improve the canonical set)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from event_deduplication_ray import fixtures as F
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.pipelines.dedup_pipeline import (
+    dedup_path,
+    dedup_path_resumable,
+)
+from event_deduplication_ray.pipelines.incremental import incremental_add
+
+CFG = DedupConfig(use_substring=True, join_num_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def split_corpus(tmp_path_factory, corpus_dir):
+    """Split the 1k corpus into old (first 80%) and new (last 20%) doc
+    batches, by url order (urls group whole clusters approximately —
+    the point is new docs extend existing clusters AND add new ones)."""
+    root = tmp_path_factory.mktemp("incr")
+    docs = pq.read_table(f"{corpus_dir}/docs.parquet")
+    df = docs.to_pandas().sort_values("url").reset_index(drop=True)
+    cut = int(len(df) * 0.8)
+    import pyarrow as pa
+
+    old_dir, new_dir = str(root / "old"), str(root / "new")
+    os.makedirs(old_dir), os.makedirs(new_dir)
+    pq.write_table(pa.Table.from_pandas(df.iloc[:cut], preserve_index=False),
+                   f"{old_dir}/docs.parquet")
+    pq.write_table(pa.Table.from_pandas(df.iloc[cut:], preserve_index=False),
+                   f"{new_dir}/docs.parquet")
+    return old_dir, new_dir, f"{corpus_dir}/docs.parquet"
+
+
+def test_incremental_matches_full(split_corpus, tmp_path):
+    old_dir, new_dir, full_path = split_corpus
+    run_dir = str(tmp_path / "run_old")
+    dedup_path_resumable(f"{old_dir}/docs.parquet", run_dir, CFG)
+
+    inc = incremental_add(run_dir, f"{new_dir}/docs.parquet", CFG)
+    inc_asn = inc.assignments.to_pandas()
+
+    full = dedup_path(full_path, CFG)
+    full_asn = full.assignments.to_pandas()
+
+    assert len(inc_asn) == len(full_asn)
+    m = inc_asn.merge(full_asn, on="doc_id", suffixes=("_inc", "_full"))
+    # compare PARTITIONS (same groups), label-invariantly
+    grp_inc = m.groupby("cluster_id_inc")["doc_id"].apply(frozenset)
+    grp_full = m.groupby("cluster_id_full")["doc_id"].apply(frozenset)
+    assert set(grp_inc) == set(grp_full)
+
+
+def test_incremental_metrics(split_corpus, tmp_path):
+    old_dir, new_dir, _ = split_corpus
+    run_dir = str(tmp_path / "run_old2")
+    dedup_path_resumable(f"{old_dir}/docs.parquet", run_dir, CFG)
+    inc = incremental_add(run_dir, f"{new_dir}/docs.parquet", CFG)
+    n_new = pq.ParquetFile(f"{new_dir}/docs.parquet").metadata.num_rows
+    assert inc.metrics["n_new_docs"] == n_new
