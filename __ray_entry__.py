@@ -29,7 +29,7 @@ def entry() -> Any:
         base_texts=F.load_base_texts("/root/testdata/sf0.001"),
     )
     cfg = DedupConfig(use_substring=True)
-    res = dedup_path(f"{corpus}/docs.parquet", cfg)
+    res = dedup_path(f"{corpus}/docs", cfg)
     return res.canonical
 
 

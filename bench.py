@@ -40,9 +40,12 @@ def ensure_corpus(sf_dir: str) -> tuple[str, int]:
     n = corpus_docs_for(sf_dir)
     d = F.materialize_corpus(CORPUS_ROOT, n, seed=42,
                              base_texts=F.load_base_texts(sf_dir))
-    with open(f"{d}/docs.parquet", "rb") as f:     # warm page cache
-        while f.read(1 << 24):
-            pass
+    import glob
+
+    for fp in glob.glob(f"{d}/docs/*.parquet"):    # warm page cache
+        with open(fp, "rb") as f:
+            while f.read(1 << 24):
+                pass
     return d, n
 
 
@@ -52,7 +55,7 @@ def run_flagship(corpus_dir: str) -> float:
 
     cfg = DedupConfig(use_substring=True, join_num_partitions=max(16, NCPU))
     t0 = time.time()
-    res = dedup_path(f"{corpus_dir}/docs.parquet", cfg)
+    res = dedup_path(f"{corpus_dir}/docs", cfg)
     n_clusters = res.assignments.count()  # consumes the pipeline
     dt = time.time() - t0
     assert n_clusters > 0

@@ -60,10 +60,15 @@ class DedupConfig:
     min_text_chars: int = 1       # docs shorter than this are passthrough singletons
     langs: tuple[str, ...] = ()   # empty = all languages
 
+    # --- data-driven normalizers (reference M4-M6 analogs) ---
+    synonyms: tuple[tuple[str, str], ...] = ()  # (variant, canonical), longest-first
+    strip_prefixes: tuple[str, ...] = ()        # leading site-chrome labels
+
     # --- representative selection strategy (reference C3 analog) ---
     representative_strategy: str = "longest_text"  # longest_text|earliest_ts|min_url
 
     # --- execution knobs ---
+    use_arrow_strings: bool = True  # pure-Arrow text kernels (see functions/arrow_text.py)
     sig_batch_size: int = 512     # docs per batch in the signature stage
     sig_concurrency: int | None = None  # actor pool size; None = stateless tasks
     join_num_partitions: int = 32

@@ -233,7 +233,7 @@ def load_base_texts(sf_dir: str, limit: int = 200) -> list[str]:
 
 
 def corpus_path(tmp_root: str, n_docs: int, seed: int = 42) -> str:
-    return f"{tmp_root}/dedup_corpus_n{n_docs}_s{seed}"
+    return f"{tmp_root}/dedup_corpus_v2_n{n_docs}_s{seed}"
 
 
 def materialize_corpus(
@@ -241,7 +241,7 @@ def materialize_corpus(
 ) -> str:
     """Write (or reuse) the corpus under tmp_root; returns the dir.
 
-    Layout: {dir}/docs.parquet, golden_clusters.parquet,
+    Layout: {dir}/docs/part-*.parquet, golden_clusters.parquet,
     golden_pairs.parquet + _DONE marker (idempotent, the reference's
     hash-skip ingestion pattern, file_processor.py:187-196).
     """
@@ -252,9 +252,17 @@ def materialize_corpus(
     done = f"{out}/_DONE"
     if os.path.exists(done):
         return out
-    os.makedirs(out, exist_ok=True)
+    os.makedirs(f"{out}/docs", exist_ok=True)
     docs, gc, gp = generate_corpus(n_docs, seed=seed, base_texts=base_texts)
-    pq.write_table(docs, f"{out}/docs.parquet")
+    # shard the docs table: a single parquet file is read by ONE Ray
+    # task (serial); a directory of files parallelizes the read
+    n = docs.num_rows
+    n_files = max(8, min(64, n // 4000))
+    step = -(-n // n_files)
+    for i in range(n_files):
+        part = docs.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, f"{out}/docs/part-{i:04d}.parquet")
     pq.write_table(gc, f"{out}/golden_clusters.parquet")
     pq.write_table(gp, f"{out}/golden_pairs.parquet")
     with open(done, "w") as f:

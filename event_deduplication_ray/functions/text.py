@@ -26,6 +26,40 @@ _UNESCAPES = [
 ]
 
 
+def apply_synonyms(s: pd.Series, synonyms: dict[str, str]) -> pd.Series:
+    """Ordered longest-first substring replacement (reference M4/M5,
+    /root/reference/src/event_dedup/preprocessing/synonyms.py:15-67):
+    variants are replaced by their canonical form, longest variant
+    first so overlapping variants resolve deterministically."""
+    import re
+
+    for variant in sorted(synonyms, key=len, reverse=True):
+        s = s.str.replace(
+            re.escape(variant), synonyms[variant], regex=True, case=False
+        )
+    return s
+
+
+def strip_prefixes(s: pd.Series, prefixes: tuple[str, ...]) -> pd.Series:
+    """Strip ONE leading boilerplate prefix (site chrome / source
+    label), case-insensitive, separator = dash variants / colon /
+    whitespace (reference M6,
+    preprocessing/prefix_stripper.py:46-86 — non-recursive)."""
+    import re
+
+    if not prefixes:
+        return s
+    alt = "|".join(re.escape(p) for p in sorted(prefixes, key=len, reverse=True))
+    pat = rf"^\s*(?:{alt})\s*[-–—:|]\s*"
+    return s.str.replace(pat, "", regex=True, case=False)
+
+
+def host_from_url(urls: pd.Series) -> pd.Series:
+    """url → host (reference S3 source-code extractor analog,
+    ingestion/json_loader.py:120-132: per-source provenance key)."""
+    return urls.str.extract(r"^[a-z]+://([^/]+)", expand=False).fillna("")
+
+
 def normalize_text(s: pd.Series) -> pd.Series:
     """Canonical text form used for shingling.
 

@@ -402,7 +402,7 @@ def q27_flagship_dedup(sf_dir: str) -> Dataset:
         "/tmp/edr_corpora", n, seed=42, base_texts=F.load_base_texts(sf_dir)
     )
     cfg = DedupConfig(use_substring=True)
-    res = dedup_path(f"{corpus}/docs.parquet", cfg)
+    res = dedup_path(f"{corpus}/docs", cfg)
     asn = res.assignments
 
     def attach_url(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:

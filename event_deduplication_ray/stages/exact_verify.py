@@ -27,9 +27,19 @@ from event_deduplication_ray.functions import hashing as H
 from event_deduplication_ray.stages.shuffle import cogroup_apply, partition_apply
 
 
-def _shingle_sets(text_norm: pd.Series, k: int, seed: int) -> list[np.ndarray]:
-    flat, lens = H.tokenize_offsets(text_norm)
-    th = H.hash_strings_u64(flat)
+def _shingle_sets(
+    text_norm: pd.Series, k: int, seed: int, use_arrow: bool = True
+) -> list[np.ndarray]:
+    if use_arrow:
+        # MUST match the signature stage's tokenization/hash exactly
+        import pyarrow as pa
+
+        from event_deduplication_ray.functions.arrow_text import hash_tokens_arrow
+
+        th, lens = hash_tokens_arrow(pa.array(text_norm.fillna(""), pa.string()))
+    else:
+        flat, lens = H.tokenize_offsets(text_norm)
+        th = H.hash_strings_u64(flat)
     sh, spd = H.shingle_hashes(th, lens, k, seed)
     ends = np.cumsum(spd)
     starts = ends - spd
@@ -112,6 +122,7 @@ def exact_jaccard_tier(
                            left_schema=pairs_schema, right_schema=texts_schema)
 
     k, seed = cfg.shingle_k, cfg.seed
+    use_arrow = cfg.use_arrow_strings
 
     def attach_b_score(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -125,8 +136,8 @@ def exact_jaccard_tier(
         )
         if len(m) == 0:
             return empty
-        sa = _shingle_sets(m["text_a"], k, seed)
-        sb = _shingle_sets(m["text_b"], k, seed)
+        sa = _shingle_sets(m["text_a"], k, seed, use_arrow)
+        sb = _shingle_sets(m["text_b"], k, seed, use_arrow)
         scores = np.empty(len(m))
         for i in range(len(m)):
             inter = np.intersect1d(sa[i], sb[i], assume_unique=True).size

@@ -29,25 +29,66 @@ from event_deduplication_ray.functions.text import (
 )
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
-    """html(binary) → text; appends doc_id/text/text_norm, drops html."""
+def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
+    """html(binary) → text; appends doc_id/source/text/text_norm,
+    drops html."""
+    from event_deduplication_ray.functions.text import (
+        apply_synonyms,
+        host_from_url,
+        strip_prefixes,
+    )
+
+    import pyarrow.compute as pc
+
     urls = batch["url"].to_pandas()
-    html = decode_binary_html(batch["html"].to_pandas())
-    text = extract_text_from_html(html)
-    norm = normalize_text(text)
+    use_arrow = cfg is None or cfg.use_arrow_strings
+    if use_arrow and not (cfg and (cfg.strip_prefixes or cfg.synonyms)):
+        # zero-Python-object path (see functions/arrow_text.py)
+        from event_deduplication_ray.functions.arrow_text import (
+            extract_text_arrow,
+            normalize_arrow,
+        )
+
+        html_str = pc.cast(batch["html"], pa.string())
+        text_arr = extract_text_arrow(html_str)
+        norm_arr = normalize_arrow(text_arr)
+    else:
+        from event_deduplication_ray.functions.text import (
+            apply_synonyms,
+            strip_prefixes,
+        )
+
+        html = decode_binary_html(batch["html"].to_pandas())
+        text = extract_text_from_html(html)
+        # boilerplate stripping and synonym folding touch only the
+        # normalized shingling form — the ``text`` column must stay
+        # byte-identical per url (BASELINE.md invariant)
+        norm = normalize_text(text)
+        if cfg is not None and cfg.strip_prefixes:
+            norm = strip_prefixes(norm, cfg.strip_prefixes)
+        if cfg is not None and cfg.synonyms:
+            norm = apply_synonyms(norm, dict(cfg.synonyms))
+        text_arr = pa.array(text, pa.string())
+        norm_arr = pa.array(norm, pa.string())
     cols: dict[str, pa.Array | pa.ChunkedArray] = {
         "doc_id": pa.array(doc_ids_for_urls(urls), pa.int64()),
         "url": batch["url"],
+        "source": pa.array(host_from_url(urls), pa.string()),
         "warc_ts": batch["warc_ts"],
         "lang": batch["lang"],
-        "text": pa.array(text, pa.string()),
-        "text_norm": pa.array(norm, pa.string()),
+        "text": text_arr,
+        "text_norm": norm_arr,
     }
     return pa.table(cols)
 
 
 def extract_stage(docs: Dataset, cfg: DedupConfig, batch_size: int = 1024) -> Dataset:
-    out = docs.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
+    import functools
+
+    out = docs.map_batches(
+        functools.partial(extract_batch, cfg=cfg),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
     if cfg.langs:
         langs = set(cfg.langs)
 

@@ -44,9 +44,16 @@ class SignatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        text = batch["text_norm"].to_pandas()
-        flat_tokens, doc_lens = H.tokenize_offsets(text)
-        token_hashes = H.hash_strings_u64(flat_tokens)
+        if cfg.use_arrow_strings:
+            from event_deduplication_ray.functions.arrow_text import (
+                hash_tokens_arrow,
+            )
+
+            token_hashes, doc_lens = hash_tokens_arrow(batch["text_norm"])
+        else:
+            text = batch["text_norm"].to_pandas()
+            flat_tokens, doc_lens = H.tokenize_offsets(text)
+            token_hashes = H.hash_strings_u64(flat_tokens)
         shingles, spd = H.shingle_hashes(token_hashes, doc_lens, cfg.shingle_k, cfg.seed)
         sig = H.minhash_signatures(shingles, spd, self.mults, self.adds)
         simhash = H.simhash_fingerprints(token_hashes, doc_lens, cfg.simhash_bits)

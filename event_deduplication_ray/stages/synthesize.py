@@ -29,10 +29,23 @@ def join_meta_labels(
     text replaced by text_len.  Output: doc_id, url, warc_ts, lang,
     text_len, cluster_id — materialize it once and project."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     P = cfg.join_num_partitions
     labels_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
-    meta = docs_meta.select_columns(["doc_id", "url", "warc_ts", "lang", "text"])
+
+    # project text -> text_len BEFORE the shuffle: the full text never
+    # enters the sort (memory traffic bounds scaling)
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "url": t["url"], "warc_ts": t["warc_ts"],
+            "lang": t["lang"],
+            "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    meta = docs_meta.select_columns(
+        ["doc_id", "url", "warc_ts", "lang", "text"]
+    ).map_batches(project, batch_format="pyarrow")
 
     def attach(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if len(l) == 0:
@@ -47,8 +60,7 @@ def join_meta_labels(
         r["cluster_id"] = r["cluster_id"].astype("Int64")   # exact 64-bit
         m = l.merge(r, on="doc_id", how="left")
         m["cluster_id"] = m["cluster_id"].fillna(m["doc_id"]).astype(np.int64)
-        m["text_len"] = m["text"].str.len().astype(np.int64)
-        return m.drop(columns=["text"])
+        return m
 
     return cogroup_apply(meta, labels, ["doc_id"], ["doc_id"], P, attach,
                          right_schema=labels_schema)

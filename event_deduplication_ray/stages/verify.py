@@ -75,34 +75,40 @@ def verify_pairs(pairs: Dataset, signatures: Dataset, cfg: DedupConfig) -> Datas
     """
     P = cfg.join_num_partitions
     width = cfg.num_perms
-    # variable-length list representation for the join: padding the
-    # pair rows with typed nulls of a FIXED-size list type allocates a
-    # full child array (measured 1.5 GB for 1.5M pad rows vs 6 MB for
-    # variable lists)
-    def to_varlist(t: pa.Table) -> pa.Table:
+    # Join representation: (1) variable-length lists — padding pair
+    # rows with typed nulls of a FIXED-size list type allocates a full
+    # child array (measured 1.5 GB for 1.5M pad rows vs 6 MB); and
+    # (2) signatures FOLDED to the low byte of each slot (uint8).
+    # Slot equality implies byte equality, an unequal slot collides
+    # w.p. 1/256, so the score bias is +(1-J)/256 <= 0.004 — far
+    # inside the decision margins — while the shuffle moves 8x fewer
+    # signature bytes (memory traffic bounds scaling here).
+    def to_folded(t: pa.Table) -> pa.Table:
         col = t["minhash"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        folded = (flat & np.uint64(0xFF)).astype(np.uint8)
         offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
-        var = pa.ListArray.from_arrays(offsets, col.flatten())
-        return pa.table({"doc_id": t["doc_id"], "minhash": var})
+        var = pa.ListArray.from_arrays(offsets, pa.array(folded, pa.uint8()))
+        return pa.table({"doc_id": t["doc_id"], "sig8": var})
 
     sigs = signatures.select_columns(["doc_id", "minhash"]).map_batches(
-        to_varlist, batch_format="pyarrow"
+        to_folded, batch_format="pyarrow"
     )
     sig_schema = pa.schema(
-        [("doc_id", pa.int64()), ("minhash", pa.list_(pa.uint64()))]
+        [("doc_id", pa.int64()), ("sig8", pa.list_(pa.uint8()))]
     )
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     with_a_schema = pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64()),
-         ("minhash", pa.list_(pa.uint64()))]
+         ("sig8", pa.list_(pa.uint8()))]
     )
 
     empty_a = pa.table({
         "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-        "minhash": pa.array([], pa.list_(pa.uint64())),
+        "sig8": pa.array([], pa.list_(pa.uint8())),
     })
 
     def attach_a(l: pa.Table, r: pa.Table) -> pa.Table:
@@ -116,14 +122,14 @@ def verify_pairs(pairs: Dataset, signatures: Dataset, cfg: DedupConfig) -> Datas
         )
         ia, ib = uniq[:, 0], uniq[:, 1]
         mask, sig_rows = _gather_sigs(
-            ia, r["doc_id"].to_numpy(), _fsl_matrix(r["minhash"], width)
+            ia, r["doc_id"].to_numpy(), _fsl_matrix(r["sig8"], width)
         )
         n = int(mask.sum())
         offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
         return pa.table({
             "id_a": pa.array(ia[mask]), "id_b": pa.array(ib[mask]),
-            "minhash": pa.ListArray.from_arrays(
-                offsets, pa.array(sig_rows.reshape(-1), pa.uint64())
+            "sig8": pa.ListArray.from_arrays(
+                offsets, pa.array(sig_rows.reshape(-1), pa.uint8())
             ),
         })
 
@@ -141,9 +147,9 @@ def verify_pairs(pairs: Dataset, signatures: Dataset, cfg: DedupConfig) -> Datas
         if len(l) == 0 or len(r) == 0:
             return empty_out
         ib = l["id_b"].to_numpy()
-        mask, sig_b = _gather_sigs(ib, r["doc_id"].to_numpy(), _fsl_matrix(r["minhash"], width))
+        mask, sig_b = _gather_sigs(ib, r["doc_id"].to_numpy(), _fsl_matrix(r["sig8"], width))
         kept = l.filter(pa.array(mask))
-        sig_a = _fsl_matrix(kept["minhash"], width)
+        sig_a = _fsl_matrix(kept["sig8"], width)
         score = (sig_a == sig_b).mean(axis=1)
         return pa.table({
             "id_a": kept["id_a"], "id_b": kept["id_b"],

@@ -24,7 +24,7 @@ def split_corpus(tmp_path_factory, corpus_dir):
     batches, by url order (urls group whole clusters approximately —
     the point is new docs extend existing clusters AND add new ones)."""
     root = tmp_path_factory.mktemp("incr")
-    docs = pq.read_table(f"{corpus_dir}/docs.parquet")
+    docs = pq.read_table(f"{corpus_dir}/docs")
     df = docs.to_pandas().sort_values("url").reset_index(drop=True)
     cut = int(len(df) * 0.8)
     import pyarrow as pa
@@ -35,7 +35,7 @@ def split_corpus(tmp_path_factory, corpus_dir):
                    f"{old_dir}/docs.parquet")
     pq.write_table(pa.Table.from_pandas(df.iloc[cut:], preserve_index=False),
                    f"{new_dir}/docs.parquet")
-    return old_dir, new_dir, f"{corpus_dir}/docs.parquet"
+    return old_dir, new_dir, f"{corpus_dir}/docs"
 
 
 def test_incremental_matches_full(split_corpus, tmp_path):

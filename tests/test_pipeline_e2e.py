@@ -16,7 +16,7 @@ CFG = DedupConfig(use_substring=True, join_num_partitions=4)
 
 @pytest.fixture(scope="module")
 def result(corpus_dir):
-    return dedup_path(f"{corpus_dir}/docs.parquet", CFG)
+    return dedup_path(f"{corpus_dir}/docs", CFG)
 
 
 @pytest.fixture(scope="module")
@@ -25,7 +25,7 @@ def assignments(result) -> pd.DataFrame:
 
 
 def test_every_doc_assigned_exactly_once(assignments, corpus_dir):
-    docs = pq.read_table(f"{corpus_dir}/docs.parquet", columns=["url"])
+    docs = pq.read_table(f"{corpus_dir}/docs", columns=["url"])
     assert len(assignments) == docs.num_rows
     assert assignments["doc_id"].is_unique
 
@@ -49,7 +49,7 @@ def test_exact_dups_always_cluster(assignments, corpus_dir):
 
 def test_extraction_byte_identical(result, corpus_dir):
     got = result.docs.to_pandas()[["url", "text"]]
-    want = pq.read_table(f"{corpus_dir}/docs.parquet", columns=["url", "text"]).to_pandas()
+    want = pq.read_table(f"{corpus_dir}/docs", columns=["url", "text"]).to_pandas()
     m = want.merge(got, on="url", suffixes=("_want", "_got"))
     assert len(m) == len(want)
     assert (m["text_want"] == m["text_got"]).all()
@@ -73,7 +73,7 @@ def test_verified_pairs_canonical_order(result):
 
 
 def test_determinism_two_runs(corpus_dir, assignments):
-    res2 = dedup_path(f"{corpus_dir}/docs.parquet", CFG)
+    res2 = dedup_path(f"{corpus_dir}/docs", CFG)
     a2 = res2.assignments.to_pandas()
     m = assignments.merge(a2, on="doc_id", suffixes=("_1", "_2"))
     assert (m["cluster_id_1"] == m["cluster_id_2"]).all()

@@ -27,7 +27,7 @@ def _asn(res):
 
 
 def test_full_run_writes_manifest(corpus_dir, run_dir):
-    res = dedup_path_resumable(f"{corpus_dir}/docs.parquet", run_dir, CFG)
+    res = dedup_path_resumable(f"{corpus_dir}/docs", run_dir, CFG)
     a1 = _asn(res)
     with open(os.path.join(run_dir, "manifest.json")) as f:
         m = json.load(f)
@@ -39,22 +39,22 @@ def test_full_run_writes_manifest(corpus_dir, run_dir):
 
 
 def test_resume_after_late_stage_loss(corpus_dir, run_dir):
-    res1 = dedup_path_resumable(f"{corpus_dir}/docs.parquet", run_dir, CFG)
+    res1 = dedup_path_resumable(f"{corpus_dir}/docs", run_dir, CFG)
     a1 = _asn(res1)
     # simulate a crash that lost the late stages
     for stage in ("cc_labels", "assignments", "canonical"):
         shutil.rmtree(os.path.join(run_dir, stage))
-    res2 = dedup_path_resumable(f"{corpus_dir}/docs.parquet", run_dir, CFG)
+    res2 = dedup_path_resumable(f"{corpus_dir}/docs", run_dir, CFG)
     a2 = _asn(res2)
     assert a1.equals(a2)
 
 
 def test_resume_skips_completed_stages(corpus_dir, run_dir):
-    dedup_path_resumable(f"{corpus_dir}/docs.parquet", run_dir, CFG)
+    dedup_path_resumable(f"{corpus_dir}/docs", run_dir, CFG)
     with open(os.path.join(run_dir, "manifest.json")) as f:
         m1 = json.load(f)
     # second run must not rewrite any stage (completed_at unchanged)
-    dedup_path_resumable(f"{corpus_dir}/docs.parquet", run_dir, CFG)
+    dedup_path_resumable(f"{corpus_dir}/docs", run_dir, CFG)
     with open(os.path.join(run_dir, "manifest.json")) as f:
         m2 = json.load(f)
     for stage, info in m1["stages"].items():
@@ -62,9 +62,9 @@ def test_resume_skips_completed_stages(corpus_dir, run_dir):
 
 
 def test_config_change_invalidates(corpus_dir, run_dir):
-    dedup_path_resumable(f"{corpus_dir}/docs.parquet", run_dir, CFG)
+    dedup_path_resumable(f"{corpus_dir}/docs", run_dir, CFG)
     cfg2 = CFG.with_overrides(jaccard_match=0.8)
-    dedup_path_resumable(f"{corpus_dir}/docs.parquet", run_dir, cfg2)
+    dedup_path_resumable(f"{corpus_dir}/docs", run_dir, cfg2)
     with open(os.path.join(run_dir, "manifest.json")) as f:
         m = json.load(f)
     from event_deduplication_ray.state.runstate import config_fingerprint

@@ -22,7 +22,7 @@ CFG = DedupConfig(use_substring=True, join_num_partitions=4)
 
 @pytest.fixture(scope="module")
 def result(corpus_dir):
-    return dedup_path(f"{corpus_dir}/docs.parquet", CFG)
+    return dedup_path(f"{corpus_dir}/docs", CFG)
 
 
 @pytest.fixture(scope="module")

@@ -48,3 +48,56 @@ def test_decode_binary():
     s = pd.Series([b"abc", "def".encode(), None])
     out = T.decode_binary_html(s)
     assert list(out) == ["abc", "def", ""]
+
+
+def test_apply_synonyms_longest_first():
+    s = pd.Series(["foo bar baz", "foobar x"])
+    out = T.apply_synonyms(s, {"foo": "f", "foo bar": "fb"})
+    assert out[0] == "fb baz"          # longest variant wins
+    assert out[1] == "fbar x"
+
+
+def test_strip_prefixes():
+    s = pd.Series(["Breaking News - real content", "no prefix here",
+                   "BREAKING NEWS: also content"])
+    out = T.strip_prefixes(s, ("breaking news",))
+    assert list(out) == ["real content", "no prefix here", "also content"]
+
+
+def test_host_from_url():
+    s = pd.Series(["https://a.example/x/y", "http://b.org", "garbage"])
+    assert list(T.host_from_url(s)) == ["a.example", "b.org", ""]
+
+
+def test_arrow_extraction_byte_identical_to_pandas():
+    """The zero-object Arrow path must match the pandas reference path
+    exactly on fixture pages AND generic pages."""
+    import pyarrow as pa
+
+    from event_deduplication_ray.functions.arrow_text import (
+        extract_text_arrow,
+        normalize_arrow,
+    )
+
+    texts = ["Hello <world> & \"friends\"", "line1\nline2\tx", "ümlaut 'q'"]
+    pages = [F.wrap_html(t, f"t{i}", "s.ex").decode() for i, t in enumerate(texts)]
+    pages.append("<html><body><script>x</script><p>Gen &amp; eric</p></body></html>")
+    pd_out = list(T.extract_text_from_html(pd.Series(pages)))
+    ar_out = extract_text_arrow(pa.array(pages)).to_pylist()
+    assert ar_out == pd_out
+    # normalization parity on ascii+umlaut content
+    norm_pd = list(T.normalize_text(pd.Series(pd_out)))
+    norm_ar = normalize_arrow(pa.array(pd_out)).to_pylist()
+    assert norm_ar == norm_pd
+
+
+def test_arrow_token_hashes_match_structure():
+    import numpy as np
+    import pyarrow as pa
+
+    from event_deduplication_ray.functions.arrow_text import hash_tokens_arrow
+
+    h, lens = hash_tokens_arrow(pa.array(["a b c", "", "a b c", "x"]))
+    assert list(lens) == [3, 0, 3, 1]
+    assert np.array_equal(h[:3], h[3:6])     # same text → same hashes
+    assert h[0] != h[1]
