@@ -77,3 +77,14 @@ def test_determinism_two_runs(corpus_dir, assignments):
     a2 = res2.assignments.to_pandas()
     m = assignments.merge(a2, on="doc_id", suffixes=("_1", "_2"))
     assert (m["cluster_id_1"] == m["cluster_id_2"]).all()
+
+
+def test_distributed_cc_path_matches_driver_path(corpus_dir, assignments):
+    """Force the iterative hash-to-min path end-to-end and require
+    identical cluster labels to the driver union-find shortcut."""
+    cfg2 = CFG.with_overrides(cc_driver_edge_limit=0)
+    res = dedup_path(f"{corpus_dir}/docs", cfg2)
+    a2 = res.assignments.to_pandas()
+    m = assignments.merge(a2, on="doc_id", suffixes=("_drv", "_dist"))
+    assert len(m) == len(assignments)
+    assert (m["cluster_id_drv"] == m["cluster_id_dist"]).all()
