@@ -65,19 +65,23 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
     """
     cfg = cfg or DedupConfig()
 
-    # one fused pipelined pass: read → extract → signatures, with doc
-    # meta passed through, pinned ONCE; every later consumer is a free
-    # projection of this table.  (At 100 TB the equivalent pin is a
-    # run-dir parquet checkpoint — see state/runstate.py — not an
-    # object-store pin.)
-    extracted = extract_stage(docs, cfg)
+    # one fused pipelined pass: read → extract → signatures, with the
+    # NARROW doc meta (url/ts/lang/text_len — not the text bodies)
+    # passed through and pinned ONCE; every later consumer is a free
+    # projection of this table.  Object-store bytes bound wall time in
+    # this environment, so the pinned table excludes text/text_norm —
+    # consumers that need bodies (exact tier, review/export detail)
+    # recompute the cheap extract lazily via ``DedupResult.docs``.
+    # (At 100 TB the equivalent pin is a run-dir parquet checkpoint —
+    # see state/runstate.py.)
+    extracted_lazy = extract_stage(docs, cfg)
     sigs_full = signature_stage(
-        extracted, cfg,
-        passthrough=("url", "warc_ts", "lang", "text", "text_norm"),
+        extracted_lazy, cfg,
+        passthrough=("url", "warc_ts", "lang", "text_len"),
     ).materialize()
     sigs = sigs_full
-    extracted = sigs_full.select_columns(
-        ["doc_id", "url", "warc_ts", "lang", "text", "text_norm"]
+    meta = sigs_full.select_columns(
+        ["doc_id", "url", "warc_ts", "lang", "text_len"]
     )
 
     pair_sets = []
@@ -100,12 +104,12 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
     labels = connected_components(edges.select_columns(["id_a", "id_b"]), cfg)
     # one cogroup serves both assignments and synthesis (see
     # join_meta_labels) — singletons filled inside the join
-    joined = join_meta_labels(extracted, labels, cfg).materialize()
+    joined = join_meta_labels(meta, labels, cfg).materialize()
     assignments = joined.select_columns(["doc_id", "cluster_id"])
     canonical = synthesize_joined(joined, cfg)
 
     return DedupResult(
-        docs=extracted,
+        docs=extracted_lazy,
         signatures=sigs,
         verified_pairs=verified,
         edges=edges,

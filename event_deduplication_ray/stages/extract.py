@@ -70,6 +70,8 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
             norm = apply_synonyms(norm, dict(cfg.synonyms))
         text_arr = pa.array(text, pa.string())
         norm_arr = pa.array(norm, pa.string())
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
     cols: dict[str, pa.Array | pa.ChunkedArray] = {
         "doc_id": pa.array(doc_ids_for_urls(urls), pa.int64()),
         "url": batch["url"],
@@ -77,6 +79,7 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
         "warc_ts": batch["warc_ts"],
         "lang": batch["lang"],
         "text": text_arr,
+        "text_len": pc.cast(pc.utf8_length(text_arr), pa.int64()),
         "text_norm": norm_arr,
     }
     return pa.table(cols)

@@ -34,18 +34,25 @@ def join_meta_labels(
     P = cfg.join_num_partitions
     labels_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
 
-    # project text -> text_len BEFORE the shuffle: the full text never
-    # enters the sort (memory traffic bounds scaling)
-    def project(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t["doc_id"], "url": t["url"], "warc_ts": t["warc_ts"],
-            "lang": t["lang"],
-            "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
-        })
+    # only the narrow meta enters the shuffle: text bodies never hit
+    # the sort (memory traffic bounds scaling).  Accept inputs that
+    # already carry text_len (the pinned pipeline table) or raw text.
+    meta_cols = set(docs_meta.schema().names)
+    if "text_len" in meta_cols:
+        meta = docs_meta.select_columns(
+            ["doc_id", "url", "warc_ts", "lang", "text_len"]
+        )
+    else:
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"], "url": t["url"], "warc_ts": t["warc_ts"],
+                "lang": t["lang"],
+                "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            })
 
-    meta = docs_meta.select_columns(
-        ["doc_id", "url", "warc_ts", "lang", "text"]
-    ).map_batches(project, batch_format="pyarrow")
+        meta = docs_meta.select_columns(
+            ["doc_id", "url", "warc_ts", "lang", "text"]
+        ).map_batches(project, batch_format="pyarrow")
 
     def attach(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if len(l) == 0:
