@@ -84,22 +84,39 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
         ["doc_id", "url", "warc_ts", "lang", "text_len"]
     )
 
-    pair_sets = []
-    if cfg.use_minhash:
-        band = minhash_band_table(sigs, cfg)
-        candidates = minhash_candidate_pairs(band, cfg)
-        verified = verify_pairs(candidates, sigs, cfg)
-    else:
-        verified = rd.from_items([])
-    if cfg.use_simhash:
-        pair_sets.append(simhash_match_pairs(simhash_band_table(sigs, cfg), cfg))
-    if cfg.use_substring:
-        pair_sets.append(substring_match_pairs(substring_fp_table(sigs, cfg), cfg))
+    # the candidate passes are independent branches over the pinned
+    # signature table; their shuffles are eager (see shuffle.py), so
+    # run the branches in driver threads to overlap their task waves
+    from concurrent.futures import ThreadPoolExecutor
 
+    def minhash_branch():
+        band = minhash_band_table(sigs, cfg)
+        return verify_pairs(minhash_candidate_pairs(band, cfg), sigs, cfg)
+
+    def simhash_branch():
+        return simhash_match_pairs(simhash_band_table(sigs, cfg), cfg)
+
+    def substring_branch():
+        return substring_match_pairs(substring_fp_table(sigs, cfg), cfg)
+
+    branches: dict[str, object] = {}
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {}
+        if cfg.use_minhash:
+            futs["minhash"] = pool.submit(minhash_branch)
+        if cfg.use_simhash:
+            futs["simhash"] = pool.submit(simhash_branch)
+        if cfg.use_substring:
+            futs["substring"] = pool.submit(substring_branch)
+        for name, f in futs.items():
+            branches[name] = f.result()
+
+    verified = branches.get("minhash", rd.from_items([]))
     edges = match_edges(verified, cfg) if cfg.use_minhash else None
-    for extra in pair_sets:
-        ex = extra.select_columns(["id_a", "id_b", "score", "tier"])
-        edges = ex if edges is None else edges.union(ex)
+    for name in ("simhash", "substring"):
+        if name in branches:
+            ex = branches[name].select_columns(["id_a", "id_b", "score", "tier"])
+            edges = ex if edges is None else edges.union(ex)
 
     labels = connected_components(edges.select_columns(["id_a", "id_b"]), cfg)
     # one cogroup serves both assignments and synthesis (see

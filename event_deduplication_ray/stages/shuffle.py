@@ -1,28 +1,34 @@
-"""Vectorized shuffle primitives on top of Ray Data.
+"""Vectorized shuffle primitives on top of Ray Data + Ray core.
 
-Ray Data's ``groupby(key).aggregate(...)`` accumulates per row in
-Python — measured ~100k rows/s on this box — far too slow for band
-tables with 16 rows per document.  The scalable pattern used by every
-wide stage in this engine instead is:
+Ray Data's ``groupby(key)`` machinery is the wrong tool for this
+engine's wide stages, twice over (both measured on this box, Ray
+2.49):
 
-1. append a partition id ``p = hash(key) % P`` in a vectorized
-   ``map_batches`` (pure numpy);
-2. ``groupby("p").map_groups(fn)`` where ``fn`` receives ALL rows of
-   one partition as a single pandas DataFrame and does the real work
-   with C-speed pandas/numpy groupbys, merges and sorts.
+1. ``groupby(key).aggregate(...)`` accumulates per row in Python
+   (~100k rows/s);
+2. ``groupby(key).map_groups(fn)`` shuffles through a SORT whose map
+   and reduce phases execute as ONE task each — a 9.4M-row cogroup
+   sort ran serially for 66 s while 31 cores idled.
 
-Because identical keys always land in the same partition, any
-per-key aggregation done inside ``fn`` is globally correct.  ``P`` is
-the unit of shuffle parallelism — size it to ~cluster cores (or data
-size / target partition bytes at scale); it is a config knob, not a
-hard-coded constant.  Skew: a single hot *key* still lands in one
-partition, but all per-partition work is vectorized so a hot band key
-costs numpy time, not Python time; pair-enumeration caps handle the
-quadratic part (see pairs.py).
+So the shuffle itself is the one place this engine drops to raw Ray
+tasks (the documented last resort): an explicit, fully parallel
+hash shuffle —
 
-Joins use the same trick (tag sides, union, cogroup per partition) —
-``cogroup_apply`` — which beats ``Dataset.join`` (measured 13 s for a
-5M×3.5M join) by doing per-partition ``pd.merge``.
+- split: one task per input block partitions its rows by
+  ``hash(key) % P`` (vectorized take + zero-copy slices) and returns
+  P sub-tables (``num_returns=P``);
+- merge: one task per partition concatenates its B sub-tables and
+  applies the caller's vectorized function.
+
+Identical keys always land in the same partition, so per-key
+aggregation inside the merge fn is globally correct.  ``P`` is the
+unit of shuffle parallelism — size it to ~cluster cores (or data
+size / target partition bytes at scale).  Skew: a hot KEY still lands
+in one partition, but partition work is vectorized, and the pair
+generators cap quadratic blowup (see pairs.py).
+
+The result returns to the Dataset API via ``from_arrow_refs`` — the
+escape hatch is local to this module.
 """
 
 from __future__ import annotations
@@ -33,6 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 
 _PART_COL = "__part"
@@ -52,7 +59,7 @@ def _key_to_part(arrs: list[np.ndarray], num_parts: int) -> np.ndarray:
             acc ^= v + np.uint64(0x9E3779B97F4A7C15) + (acc << np.uint64(6)) + (acc >> np.uint64(2))
         z = (acc ^ (acc >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z ^= z >> np.uint64(31)
-    return (z % np.uint64(num_parts)).astype(np.int32)
+    return (z % np.uint64(num_parts)).astype(np.int64)
 
 
 def with_partition_col(ds: Dataset, key_cols: list[str], num_parts: int) -> Dataset:
@@ -65,6 +72,51 @@ def with_partition_col(ds: Dataset, key_cols: list[str], num_parts: int) -> Data
     return ds.map_batches(add_part, batch_format="pyarrow")
 
 
+def _split_blocks(key_cols: list[str], num_parts: int, *blocks: pa.Table) -> list[pa.Table]:
+    """Partition a group of blocks into P sub-tables
+    (concat + 1 take + zero-copy slices)."""
+    block = _concat(list(blocks))
+    if len(block) == 0 or len(block.column_names) == 0:
+        return [block] * num_parts
+    arrs = [block[c].to_numpy(zero_copy_only=False) for c in key_cols]
+    pid = _key_to_part(arrs, num_parts)
+    order = np.argsort(pid, kind="stable")
+    tbl = block.take(pa.array(order))
+    sorted_pid = pid[order]
+    bounds = np.searchsorted(sorted_pid, np.arange(num_parts + 1))
+    return [tbl.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(num_parts)]
+
+
+def _shuffle_refs(
+    ds: Dataset, key_cols: list[str], num_parts: int
+) -> list[list["ray.ObjectRef"]]:
+    """All-to-all: returns per-partition lists of sub-table refs.
+
+    Input blocks are coalesced into ~num_parts split tasks so the
+    shuffle creates O(P^2) objects, not O(B*P) (object-creation page
+    churn is a measured cost in this environment)."""
+    block_refs = ds.to_arrow_refs()
+    n_split = max(1, min(len(block_refs), max(num_parts, 16)))
+    groups: list[list] = [[] for _ in range(n_split)]
+    for i, b in enumerate(block_refs):
+        groups[i % n_split].append(b)
+    groups = [g for g in groups if g]
+
+    split = ray.remote(num_returns=num_parts)(_split_blocks)
+    outs = [split.remote(key_cols, num_parts, *g) for g in groups]
+    if num_parts == 1:
+        outs = [[o] for o in outs]
+    # transpose: partition p ← [group_i's part p]
+    return [[outs[i][p] for i in range(len(outs))] for p in range(num_parts)]
+
+
+def _concat(tables: list[pa.Table]) -> pa.Table:
+    nonempty = [t for t in tables if t is not None and len(t)]
+    if not nonempty:
+        return tables[0] if tables else pa.table({})
+    return pa.concat_tables(nonempty, promote_options="default")
+
+
 def partition_apply(
     ds: Dataset,
     key_cols: list[str],
@@ -72,29 +124,39 @@ def partition_apply(
     fn: Callable,
     batch_format: str = "pandas",
 ) -> Dataset:
-    """Shuffle by hash(key_cols) into num_parts partitions and apply a
+    """Hash-shuffle by key_cols into num_parts partitions and apply a
     vectorized function to each whole partition.
 
     ``fn`` sees every row whose key hashes to the partition — same keys
     are never split — and must be vectorized (pandas groupby / merge /
     numpy or pyarrow.compute), never a Python loop over rows.  Use
-    ``batch_format="pyarrow"`` when the rows carry list columns
+    ``batch_format="pyarrow"`` when rows carry list columns
     (signatures) that must not round-trip through pandas object dtype.
-    """
-    parted = with_partition_col(ds, key_cols, num_parts)
 
-    from event_deduplication_ray.functions.hashing import warm_numpy_heap
+    Executes the upstream eagerly (to_arrow_refs) — call at stage
+    boundaries, which is where every wide operator in this engine sits.
+    """
+    import ray.data as rd
+
+    parts = _shuffle_refs(ds, key_cols, num_parts)
 
     if batch_format == "pandas":
-        def run(g: pd.DataFrame) -> pd.DataFrame:
-            warm_numpy_heap()
-            return fn(g.drop(columns=[_PART_COL]))
+        def merge_apply(*tables) -> pa.Table:
+            t = _concat(list(tables))
+            if len(t.column_names) == 0:
+                return t
+            out = fn(t.to_pandas())
+            return pa.Table.from_pandas(out, preserve_index=False)
     else:
-        def run(t: pa.Table) -> pa.Table:
-            warm_numpy_heap()
-            return fn(t.drop_columns([_PART_COL]))
+        def merge_apply(*tables) -> pa.Table:
+            t = _concat(list(tables))
+            if len(t.column_names) == 0:
+                return t
+            return fn(t)
 
-    return parted.groupby(_PART_COL).map_groups(run, batch_format=batch_format)
+    merge = ray.remote(merge_apply)
+    out_refs = [merge.remote(*p) for p in parts]
+    return rd.from_arrow_refs(out_refs)
 
 
 def cogroup_apply(
@@ -109,71 +171,37 @@ def cogroup_apply(
     right_schema: "pa.Schema | None" = None,
 ) -> Dataset:
     """Co-partition two datasets on their keys and apply ``fn(l, r)``
-    per partition (a vectorized partitioned hash join / cogroup).
+    per partition (a fully parallel partitioned hash join / cogroup).
 
-    Schemas of the two sides may differ; sides are tagged, unioned
-    (one shuffle), split back inside the partition.  Key columns must
-    be int64-like.  With ``batch_format="pyarrow"`` the two sides are
-    passed as pa.Tables and ``fn`` must return a pa.Table — use this
-    when rows carry fixed-size-list signature columns (a pandas
-    round-trip turns them into per-row Python objects).
-
-    Pass ``left_schema``/``right_schema`` (pa.Schema) whenever the
-    input is a LAZY dataset whose schema would otherwise be probed
-    with ``.schema()`` — for a shuffle-rooted dataset that probe
-    executes the whole upstream once just to see one block, and the
-    real run then executes it again (a silent 2x).
+    Sides are shuffled independently (no union, no null padding —
+    each side keeps its own schema end to end).  With
+    ``batch_format="pyarrow"`` the sides are passed as pa.Tables and
+    ``fn`` must return a pa.Table.  The *_schema parameters are unused
+    (kept for call-site compatibility with the former union-based
+    implementation).
     """
-    import pyarrow.compute as pc
+    import ray.data as rd
 
-    l_schema = left_schema if left_schema is not None else left.schema()
-    r_schema = right_schema if right_schema is not None else right.schema()
-    l_names = list(l_schema.names)
-    r_names = list(r_schema.names)
-    # unified physical schema: left cols ∪ right cols (+part/side);
-    # missing side gets typed nulls so int64 fidelity survives the
-    # union (never let a 64-bit id pass through pandas float64).
-    all_fields = dict(zip(l_schema.names, l_schema.types))
-    for n, t in zip(r_schema.names, r_schema.types):
-        all_fields.setdefault(n, t)
-    order = list(all_fields)
+    del left_schema, right_schema
+    l_parts = _shuffle_refs(left, left_key, num_parts)
+    r_parts = _shuffle_refs(right, right_key, num_parts)
 
-    def pad(side: int, own: list[str]):
-        def f(b: pa.Table) -> pa.Table:
-            cols = {}
-            for n in order:
-                cols[n] = b[n] if n in own else pa.nulls(len(b), all_fields[n])
-            cols["__side"] = pa.array(np.full(len(b), side, dtype=np.int8))
-            cols[_PART_COL] = b[_PART_COL]
-            return pa.table(cols)
-        return f
-
-    lt = with_partition_col(left, left_key, num_parts).map_batches(
-        pad(0, l_names), batch_format="pyarrow"
-    )
-    rt = with_partition_col(right, right_key, num_parts).map_batches(
-        pad(1, r_names), batch_format="pyarrow"
-    )
-    both = lt.union(rt)
-
-    if batch_format == "pyarrow":
-        def run(g: pa.Table) -> pa.Table:
-            from event_deduplication_ray.functions.hashing import warm_numpy_heap
-
-            warm_numpy_heap()
-            sides = g["__side"]
-            l = g.filter(pc.equal(sides, 0)).select(l_names)
-            r = g.filter(pc.equal(sides, 1)).select(r_names)
-            return fn(l, r)
-    else:
-        def run(g: pa.Table) -> pa.Table:
-            from event_deduplication_ray.functions.hashing import warm_numpy_heap
-
-            warm_numpy_heap()
-            sides = g["__side"]
-            l = g.filter(pc.equal(sides, 0)).select(l_names).to_pandas()
-            r = g.filter(pc.equal(sides, 1)).select(r_names).to_pandas()
+    if batch_format == "pandas":
+        def merge_apply(n_left: int, *tables) -> pa.Table:
+            lt = _concat(list(tables[:n_left]))
+            rt = _concat(list(tables[n_left:]))
+            l = lt.to_pandas() if len(lt.column_names) else pd.DataFrame()
+            r = rt.to_pandas() if len(rt.column_names) else pd.DataFrame()
             out = fn(l, r)
             return pa.Table.from_pandas(out, preserve_index=False)
+    else:
+        def merge_apply(n_left: int, *tables) -> pa.Table:
+            lt = _concat(list(tables[:n_left]))
+            rt = _concat(list(tables[n_left:]))
+            return fn(lt, rt)
 
-    return both.groupby(_PART_COL).map_groups(run, batch_format="pyarrow")
+    merge = ray.remote(merge_apply)
+    out_refs = [
+        merge.remote(len(lp), *lp, *rp) for lp, rp in zip(l_parts, r_parts)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -18,33 +18,33 @@ def union_find_contract(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, n
     """Collapse an edge list to (node, root) star edges.
 
     Roots are the minimum node id of each local component —
-    deterministic min-id labels (FIXTURES.md §3 invariant).  O(E α(E))
-    with path compression + union by min.
+    deterministic min-id labels (FIXTURES.md §3 invariant).
+
+    Fully vectorized: min-label propagation over the edge list +
+    pointer jumping (label = label[label]), O(E log D) numpy ops with
+    no per-edge Python loop.  np.unique returns nodes sorted, so the
+    minimum label INDEX is the minimum node id.
     """
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-    parent = np.arange(len(nodes), dtype=np.int64)
+    m = len(nodes)
     e_src = inv[: len(src)]
     e_dst = inv[len(src):]
-
-    def find(i: int) -> int:
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:          # path compression
-            parent[i], i = root, parent[i]
-        return root
-
-    for a, b in zip(e_src.tolist(), e_dst.tolist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by min ORIGINAL id → deterministic labels
-            if nodes[ra] <= nodes[rb]:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-
-    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
-    return nodes, nodes[roots]
+    label = np.arange(m, dtype=np.int64)
+    while True:
+        before = label.copy()
+        edge_min = np.minimum(label[e_src], label[e_dst])
+        np.minimum.at(label, e_src, edge_min)
+        np.minimum.at(label, e_dst, edge_min)
+        label = label[label]              # pointer jumping
+        if np.array_equal(label, before):
+            break
+    # full compression (labels point at component-min indices)
+    while True:
+        nxt = label[label]
+        if np.array_equal(nxt, label):
+            break
+        label = nxt
+    return nodes, nodes[label]
 
 
 def connected_components_pandas(edges: pd.DataFrame) -> pd.DataFrame:
