@@ -30,11 +30,21 @@ def union_find_contract(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, n
     e_src = inv[: len(src)]
     e_dst = inv[len(src):]
     label = np.arange(m, dtype=np.int64)
+    # per-node segment layout computed ONCE (np.minimum.at is slow;
+    # argsort + minimum.reduceat is SIMD-friendly and reusable)
+    combined = np.concatenate([e_src, e_dst])
+    perm = np.argsort(combined, kind="stable")
+    sorted_nodes = combined[perm]
+    starts = np.flatnonzero(
+        np.r_[True, sorted_nodes[1:] != sorted_nodes[:-1]]
+    )
+    uniq = sorted_nodes[starts]
     while True:
         before = label.copy()
         edge_min = np.minimum(label[e_src], label[e_dst])
-        np.minimum.at(label, e_src, edge_min)
-        np.minimum.at(label, e_dst, edge_min)
+        vals = np.concatenate([edge_min, edge_min])[perm]
+        mins = np.minimum.reduceat(vals, starts)
+        label[uniq] = np.minimum(label[uniq], mins)
         label = label[label]              # pointer jumping
         if np.array_equal(label, before):
             break
