@@ -17,7 +17,38 @@ Design stance (not a port):
 - library code never calls ``ray.init`` (driver contract).
 """
 
-from event_deduplication_ray.config import DedupConfig
+def _tune_allocators() -> None:
+    """Keep freed pages in-process instead of returning them to the OS.
+
+    Page faults in this environment cost ~15-20 µs (virtualized EPT +
+    mmap_lock contention across 32 workers); default allocator policy
+    (glibc munmap of >128 KB blocks, jemalloc dirty-page decay)
+    re-faults the same working set continuously — measured 30M faults
+    (~120 GB re-touched) for a 2M-doc pipeline pass.  Raising the
+    glibc mmap/trim thresholds and disabling jemalloc decay makes
+    freed blocks reusable while still warm.  Runs once per process at
+    import (workers import this package inside every task fn).
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_MMAP_THRESHOLD, M_TRIM_THRESHOLD = -3, -1
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:
+        pass
+    try:
+        import pyarrow as _pa
+
+        _pa.jemalloc_set_decay_ms(1_000_000)
+    except Exception:
+        pass
+
+
+_tune_allocators()
+
+from event_deduplication_ray.config import DedupConfig  # noqa: E402
 
 __all__ = ["DedupConfig"]
 __version__ = "0.1.0"
