@@ -148,6 +148,32 @@ def q06_user_hourly_windows(sf_dir: str) -> Dataset:
     return agg.map_batches(final_round, batch_format="pandas")
 
 
+def q14_session_windows(sf_dir: str) -> Dataset:
+    """Gap-based session windows per user (30-min inactivity gap) —
+    the streaming-shaped workload pattern from the Ray guide: events
+    partitioned by key, sorted by (ts, event_id) within the partition,
+    sessionized with vectorized pandas; one shuffle."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["ts"].diff() > pd.Timedelta(minutes=30)
+        df["session_id"] = (new_user | gap).cumsum()
+        # renumber sessions within each user (1, 2, ...)
+        firsts = df.groupby("user_id", sort=False)["session_id"].transform("min")
+        df["session_id"] = (df["session_id"] - firsts + 1).astype("int64")
+        g = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("event_id", "size"), sum_value=("value", "sum")
+        )
+        g["sum_value"] = g["sum_value"].round(4)
+        return g
+
+    from event_deduplication_ray.stages.shuffle import partition_apply
+
+    return partition_apply(ds, ["user_id"], QCFG.join_num_partitions, sessionize)
+
+
 def q12_filtered_export(sf_dir: str) -> Dataset:
     """Timestamp-filtered export (reference S9 filtered export)."""
     import pyarrow.compute as pc
@@ -431,6 +457,7 @@ RAY_QUERIES = {
     "q11_embedding_topk": q11_embedding_topk,
     "q12_filtered_export": q12_filtered_export,
     "q13_region_customers": q13_region_customers,
+    "q14_session_windows": q14_session_windows,
     "q20_minhash_clusters": q20_minhash_clusters,
     "q21_simhash_pairs": q21_simhash_pairs,
     "q22_substring_pairs": q22_substring_pairs,
@@ -525,5 +552,23 @@ ORACLE_SQL = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name
+    """,
+    "q14_session_windows": """
+        WITH marked AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_id, value,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM sess GROUP BY user_id, session_id
     """,
 }

@@ -50,7 +50,7 @@ SQL_CHECKED = [
     "q04_segment_revenue", "q05_daily_events", "q06_user_hourly_windows",
     "q07_lang_distribution", "q08_token_counts", "q09_doc_quality",
     "q10_exact_dedup", "q11_embedding_topk", "q12_filtered_export",
-    "q13_region_customers",
+    "q13_region_customers", "q14_session_windows",
 ]
 
 
