@@ -193,8 +193,37 @@ ray.shutdown()
         return json.loads(out.strip().splitlines()[-1])["sec"]
 
     k_lo, k_hi = krun(lo), krun(hi)
+    host = host_compute_scaling(lo, hi)
     return {"sec_8": k_lo, "sec_32": k_hi,
-            "efficiency": round((k_lo / k_hi) / (hi / lo), 3)}
+            "efficiency": round((k_lo / k_hi) / (hi / lo), 3),
+            "host_compute_ceiling": host}
+
+
+def _burn(_):
+    import numpy as np
+
+    x = np.arange(100_000, dtype=np.float64)
+    for _ in range(600):
+        x = np.sqrt(x * 1.0001)
+    return float(x[0])
+
+
+def host_compute_scaling(lo: int, hi: int) -> dict:
+    """Control: raw multiprocessing.Pool, no Ray, pure numpy compute.
+    This is the HOST's own parallel-speedup ceiling for lo->hi
+    processes on this box; no engine can exceed it in-sandbox."""
+    import multiprocessing as mp
+
+    def prun(n: int) -> float:
+        with mp.Pool(n) as pool:
+            pool.map(_burn, range(n))          # warm
+            t0 = time.time()
+            pool.map(_burn, range(96))
+            return round(time.time() - t0, 2)
+
+    p_lo, p_hi = prun(lo), prun(hi)
+    return {"sec_8": p_lo, "sec_32": p_hi,
+            "efficiency": round((p_lo / p_hi) / (hi / lo), 3)}
 
 
 if __name__ == "__main__":
