@@ -563,8 +563,8 @@ ORACLE_SQL = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
             SELECT user_id, event_id, value,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM marked
         )
         SELECT user_id, session_id,
