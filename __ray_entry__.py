@@ -28,7 +28,7 @@ def entry() -> Any:
         "/tmp/edr_corpora", 1000, seed=42,
         base_texts=F.load_base_texts("/root/testdata/sf0.001"),
     )
-    cfg = DedupConfig(use_substring=True)
+    cfg = DedupConfig(use_substring=True, use_simhash=True)
     res = dedup_path(f"{corpus}/docs", cfg)
     return res.canonical
 

@@ -62,7 +62,7 @@ def run_flagship(corpus_dir: str, repeats: int = 2) -> float:
     from event_deduplication_ray.config import DedupConfig
     from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
 
-    cfg = DedupConfig(use_substring=True, join_num_partitions=max(16, NCPU))
+    cfg = DedupConfig(use_substring=True, use_simhash=True, join_num_partitions=max(16, NCPU))
     wd = F.materialize_corpus(CORPUS_ROOT, 1000, seed=42)
     assert dedup_path(f"{wd}/docs", cfg).assignments.count() > 0   # warmup
 

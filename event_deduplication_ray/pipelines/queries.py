@@ -427,7 +427,7 @@ def q27_flagship_dedup(sf_dir: str) -> Dataset:
     corpus = F.materialize_corpus(
         "/tmp/edr_corpora", n, seed=42, base_texts=F.load_base_texts(sf_dir)
     )
-    cfg = DedupConfig(use_substring=True)
+    cfg = DedupConfig(use_substring=True, use_simhash=True)
     res = dedup_path(f"{corpus}/docs", cfg)
     asn = res.assignments
 

@@ -11,7 +11,7 @@ from event_deduplication_ray.functions.hashing import doc_ids_for_urls
 from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
 from event_deduplication_ray.pipelines.eval import evaluate_pairs
 
-CFG = DedupConfig(use_substring=True, join_num_partitions=4)
+CFG = DedupConfig(use_substring=True, use_simhash=True, join_num_partitions=4)
 
 
 @pytest.fixture(scope="module")
