@@ -88,3 +88,14 @@ def test_distributed_cc_path_matches_driver_path(corpus_dir, assignments):
     m = assignments.merge(a2, on="doc_id", suffixes=("_drv", "_dist"))
     assert len(m) == len(assignments)
     assert (m["cluster_id_drv"] == m["cluster_id_dist"]).all()
+
+
+def test_partition_count_invariance(corpus_dir, assignments):
+    """Cluster assignments must not depend on the shuffle partition
+    count (the in-session proxy for running at different cluster
+    sizes; FIXTURES.md §3 scaling fixture)."""
+    cfg3 = CFG.with_overrides(join_num_partitions=3)
+    a3 = dedup_path(f"{corpus_dir}/docs", cfg3).assignments.to_pandas()
+    m = assignments.merge(a3, on="doc_id", suffixes=("_p4", "_p3"))
+    assert len(m) == len(assignments)
+    assert (m["cluster_id_p4"] == m["cluster_id_p3"]).all()
