@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for the pure kernels —
+randomized counterparts of the reference's boundary-value unit tests."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from event_deduplication_ray.functions import hashing as H
+from event_deduplication_ray.functions import text as T
+from event_deduplication_ray.state.unionfind import union_find_contract
+
+TOKEN = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+TEXT = st.lists(TOKEN, min_size=0, max_size=60).map(" ".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_tokenize_counts_match_split(texts):
+    flat, lens = H.tokenize_offsets(pd.Series(texts))
+    assert list(lens) == [len(t.split()) for t in texts]
+    assert len(flat) == sum(lens)
+
+
+@settings(max_examples=30, deadline=None)
+@given(TEXT)
+def test_normalize_idempotent(text):
+    s = pd.Series([text])
+    once = T.normalize_text(s)
+    twice = T.normalize_text(once)
+    assert once[0] == twice[0]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TOKEN, min_size=5, max_size=40, unique=True))
+def test_identical_docs_identical_signatures(tokens):
+    text = " ".join(tokens)
+    flat, lens = H.tokenize_offsets(pd.Series([text, text]))
+    th = H.hash_strings_u64(flat)
+    sh, spd = H.shingle_hashes(th, lens, 5, 42)
+    mults, adds = H.perm_constants(32, 42)
+    sig = H.minhash_signatures(sh, spd, mults, adds)
+    assert np.array_equal(sig[0], sig[1])
+    bh = H.band_hashes(sig, 4, 8, 42)
+    assert np.array_equal(bh[0], bh[1])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1, max_size=80,
+    )
+)
+def test_unionfind_invariants(edges):
+    src = np.array([a for a, _ in edges], dtype=np.int64)
+    dst = np.array([b for _, b in edges], dtype=np.int64)
+    nodes, roots = union_find_contract(src, dst)
+    lab = dict(zip(nodes.tolist(), roots.tolist()))
+    # every endpoint labeled; root is a member's id; root minimality
+    for a, b in edges:
+        assert lab[a] == lab[b]              # connected endpoints agree
+    for n, r in lab.items():
+        assert r <= n                        # min-id labels
+        assert r in lab and lab[r] == r      # roots are fixpoints
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=40))
+def test_unionfind_edge_order_invariant(edges):
+    src = np.array([a for a, _ in edges], dtype=np.int64)
+    dst = np.array([b for _, b in edges], dtype=np.int64)
+    n1, r1 = union_find_contract(src, dst)
+    n2, r2 = union_find_contract(dst[::-1].copy(), src[::-1].copy())
+    assert np.array_equal(n1, n2) and np.array_equal(r1, r2)
