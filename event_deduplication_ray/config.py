@@ -51,7 +51,7 @@ class DedupConfig:
     use_substring: bool = False   # substring fingerprint pass
 
     # --- substring (containment) pass ---
-    substring_mod_p: int = 16     # keep shingle fps where h % p == 0
+    substring_mod_p: int = 4      # keep shingle fps where h % p == 0 (dense enough for ~30-token docs)
     substring_containment: float = 0.8   # shared/min(|A|,|B|) match threshold
     substring_min_fps: int = 3    # both sides need >= this many fps
     substring_drop_group: int = 4096     # fp groups above this = boilerplate, dropped
