@@ -67,6 +67,7 @@ def run_flagship(corpus_dir: str, repeats: int = 2) -> float:
     assert dedup_path(f"{wd}/docs", cfg).assignments.count() > 0   # warmup
 
     best = None
+    last = None
     for _ in range(repeats):
         t0 = time.time()
         res = dedup_path(f"{corpus_dir}/docs", cfg)
@@ -74,7 +75,20 @@ def run_flagship(corpus_dir: str, repeats: int = 2) -> float:
         dt = time.time() - t0
         assert n_clusters > 0
         best = dt if best is None else min(best, dt)
-    return best
+        last = res
+    return best, last
+
+
+def eval_quality(corpus_dir: str, res) -> dict:
+    """Recall/precision vs the corpus's golden pairs (the north-rule
+    dup-pair recall gate, evaluated at bench scale every round)."""
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray.pipelines.eval import evaluate_pairs
+
+    asn = res.assignments.to_pandas()
+    gp = pq.read_table(f"{corpus_dir}/golden_pairs.parquet")
+    return evaluate_pairs(asn, gp).as_dict()
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
@@ -108,9 +122,10 @@ def main() -> None:
     ctx.execution_options.verbose_progress = False
 
     corpus_dir, n_docs = ensure_corpus(SF_DIR)
-    flagship_sec = run_flagship(corpus_dir)
+    flagship_sec, res = run_flagship(corpus_dir)
     only_flagship = os.environ.get("GRAFT_BENCH_ONLY") == "flagship"
     qtimes = {} if only_flagship else run_queries(SF_DIR)
+    quality = {} if only_flagship else eval_quality(corpus_dir, res)
     result = {
         "metric": "flagship_dedup_sec",
         "value": round(flagship_sec, 3),
@@ -120,6 +135,7 @@ def main() -> None:
         "num_cpus": NCPU,
         "corpus_docs": n_docs,
         "docs_per_sec": round(n_docs / flagship_sec, 1),
+        "quality": quality,
     }
     ray.shutdown()
     print(json.dumps(result))
