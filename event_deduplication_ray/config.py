@@ -55,6 +55,7 @@ class DedupConfig:
     substring_containment: float = 0.8   # shared/min(|A|,|B|) match threshold
     substring_min_fps: int = 3    # both sides need >= this many fps
     substring_drop_group: int = 4096     # fp groups above this = boilerplate, dropped
+    substring_small_cap: int = 16        # all-pairs only for fp groups <= this (hub-star above)
 
     # --- quality gates before keying (reference B3 analog) ---
     min_text_chars: int = 1       # docs shorter than this are passthrough singletons

@@ -129,7 +129,7 @@ def substring_match_pairs(fp_table: Dataset, cfg: DedupConfig) -> Dataset:
     (true boilerplate carries no containment signal).
     Output: id_a, id_b, score (containment), decision, tier.
     """
-    cap = cfg.max_block_pairs
+    cap = cfg.substring_small_cap
     drop_cap = cfg.substring_drop_group
     P = cfg.join_num_partitions
     thresh = cfg.substring_containment
