@@ -50,5 +50,25 @@ _tune_allocators()
 
 from event_deduplication_ray.config import DedupConfig  # noqa: E402
 
-__all__ = ["DedupConfig"]
+
+def __getattr__(name):  # lazy public API (avoids importing ray at package import)
+    if name in ("dedup_docs", "dedup_path", "dedup_path_resumable", "DedupResult"):
+        from event_deduplication_ray.pipelines import dedup_pipeline as _dp
+
+        return getattr(_dp, name)
+    if name == "incremental_add":
+        from event_deduplication_ray.pipelines.incremental import incremental_add
+
+        return incremental_add
+    if name == "evaluate_pairs":
+        from event_deduplication_ray.pipelines.eval import evaluate_pairs
+
+        return evaluate_pairs
+    raise AttributeError(name)
+
+
+__all__ = [
+    "DedupConfig", "dedup_docs", "dedup_path", "dedup_path_resumable",
+    "DedupResult", "incremental_add", "evaluate_pairs",
+]
 __version__ = "0.1.0"
