@@ -49,6 +49,7 @@ class DedupConfig:
     use_minhash: bool = True
     use_simhash: bool = False
     use_substring: bool = False   # substring fingerprint pass
+    use_exact_tier: bool = False  # re-score ambiguous pairs with exact shingle Jaccard
 
     # --- substring (containment) pass ---
     substring_mod_p: int = 4      # keep shingle fps where h % p == 0 (dense enough for ~30-token docs)

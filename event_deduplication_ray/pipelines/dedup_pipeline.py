@@ -112,6 +112,12 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
             branches[name] = f.result()
 
     verified = branches.get("minhash", rd.from_items([]))
+    if cfg.use_exact_tier and cfg.use_minhash:
+        # expensive tier: ambiguous band re-decided by true shingle
+        # Jaccard over the normalized text (reference AI-tier analog)
+        from event_deduplication_ray.stages.exact_verify import exact_jaccard_tier
+
+        verified = exact_jaccard_tier(verified, extracted_lazy, cfg)
     edges = match_edges(verified, cfg) if cfg.use_minhash else None
     for name in ("simhash", "substring"):
         if name in branches:

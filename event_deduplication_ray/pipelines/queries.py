@@ -174,6 +174,25 @@ def q14_session_windows(sf_dir: str) -> Dataset:
     return partition_apply(ds, ["user_id"], QCFG.join_num_partitions, sessionize)
 
 
+def q15_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti-join via broadcast key set (reference semi/anti-join
+    pattern from the guide: broadcast the key set, filter inside
+    map_batches — no shuffle)."""
+    okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    have_orders = np.unique(okeys["o_custkey"].to_numpy())
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        mask = ~np.isin(t["c_custkey"].to_numpy(), have_orders)
+        return t.filter(pa.array(mask))
+
+    df = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if len(df.columns) == 0:   # legitimately-empty result keeps its schema
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                           "c_name": pd.Series(dtype="object")})
+    return df
+
+
 def q12_filtered_export(sf_dir: str) -> Dataset:
     """Timestamp-filtered export (reference S9 filtered export)."""
     import pyarrow.compute as pc
@@ -458,6 +477,7 @@ RAY_QUERIES = {
     "q12_filtered_export": q12_filtered_export,
     "q13_region_customers": q13_region_customers,
     "q14_session_windows": q14_session_windows,
+    "q15_customers_without_orders": q15_customers_without_orders,
     "q20_minhash_clusters": q20_minhash_clusters,
     "q21_simhash_pairs": q21_simhash_pairs,
     "q22_substring_pairs": q22_substring_pairs,
@@ -570,5 +590,9 @@ ORACLE_SQL = {
         SELECT user_id, session_id,
                count(*) AS n_events, round(sum(value), 4) AS sum_value
         FROM sess GROUP BY user_id, session_id
+    """,
+    "q15_customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 }

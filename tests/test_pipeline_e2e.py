@@ -99,3 +99,20 @@ def test_partition_count_invariance(corpus_dir, assignments):
     m = assignments.merge(a3, on="doc_id", suffixes=("_p4", "_p3"))
     assert len(m) == len(assignments)
     assert (m["cluster_id_p4"] == m["cluster_id_p3"]).all()
+
+
+def test_exact_tier_flag_no_worse(corpus_dir, assignments):
+    """With the exact tier on, recall/precision must be >= the base
+    config's (ambiguous pairs only ever get better-informed decisions)."""
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray.pipelines.eval import evaluate_pairs
+
+    cfg2 = CFG.with_overrides(use_exact_tier=True)
+    res = dedup_path(f"{corpus_dir}/docs", cfg2)
+    a2 = res.assignments.to_pandas()
+    gp = pq.read_table(f"{corpus_dir}/golden_pairs.parquet")
+    m_base = evaluate_pairs(assignments, gp)
+    m_exact = evaluate_pairs(a2, gp)
+    assert m_exact.recall >= m_base.recall - 1e-9
+    assert m_exact.precision >= 0.99

@@ -51,6 +51,7 @@ SQL_CHECKED = [
     "q07_lang_distribution", "q08_token_counts", "q09_doc_quality",
     "q10_exact_dedup", "q11_embedding_topk", "q12_filtered_export",
     "q13_region_customers", "q14_session_windows",
+    "q15_customers_without_orders",
 ]
 
 
