@@ -73,6 +73,8 @@ def minhash_candidate_pairs(band_table: Dataset, cfg: DedupConfig) -> Dataset:
 
     def gen(df: pd.DataFrame) -> pd.DataFrame:
         p = _pairs_from_groups(df, "band_key", cap)
+        # dedup across ALL band keys of this partition (a pair often
+        # collides in many bands) — shrinks the shuffle into verify
         return p[["id_a", "id_b"]].drop_duplicates()
 
     return partition_apply(band_table, ["band_key"], P, gen)
@@ -168,17 +170,23 @@ def substring_match_pairs(fp_table: Dataset, cfg: DedupConfig) -> Dataset:
             return empty
         res = pd.concat(outs, ignore_index=True)
         res = res.drop_duplicates(["fp_key", "doc_id_a", "doc_id_b"])
-        return res.rename(
+        res = res.rename(
             columns={"doc_id_a": "id_a", "doc_id_b": "id_b",
                      "n_fps_a": "na", "n_fps_b": "nb"}
-        )[["id_a", "id_b", "na", "nb"]]
+        )
+        # partial shared-count per pair within this partition (all
+        # rows of one fp group are here; a pair spanning several fp
+        # groups in other partitions is summed in the agg stage)
+        return res.groupby(["id_a", "id_b"], as_index=False).agg(
+            shared=("na", "size"), na=("na", "first"), nb=("nb", "first")
+        )
 
     shared_rows = partition_apply(fp_table, ["fp_key"], P, gen)
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         g = (
             df.groupby(["id_a", "id_b"], as_index=False)
-            .agg(shared=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+            .agg(shared=("shared", "sum"), na=("na", "first"), nb=("nb", "first"))
         )
         g["score"] = g["shared"] / np.minimum(g["na"], g["nb"])
         g = g[g["score"] >= thresh]
