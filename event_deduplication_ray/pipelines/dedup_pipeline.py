@@ -89,15 +89,23 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
     # run the branches in driver threads to overlap their task waves
     from concurrent.futures import ThreadPoolExecutor
 
+    # explode maps fuse INTO the shuffle split tasks (pre_fn): the
+    # band/fp tables never materialize as separate datasets
+    from event_deduplication_ray.stages.banding import (
+        make_minhash_explode,
+        make_simhash_explode,
+        make_substring_explode,
+    )
+
     def minhash_branch():
-        band = minhash_band_table(sigs, cfg)
-        return verify_pairs(minhash_candidate_pairs(band, cfg), sigs, cfg)
+        cands = minhash_candidate_pairs(sigs, cfg, pre_fn=make_minhash_explode(cfg))
+        return verify_pairs(cands, sigs, cfg)
 
     def simhash_branch():
-        return simhash_match_pairs(simhash_band_table(sigs, cfg), cfg)
+        return simhash_match_pairs(sigs, cfg, pre_fn=make_simhash_explode(cfg))
 
     def substring_branch():
-        return substring_match_pairs(substring_fp_table(sigs, cfg), cfg)
+        return substring_match_pairs(sigs, cfg, pre_fn=make_substring_explode(cfg))
 
     branches: dict[str, object] = {}
     with ThreadPoolExecutor(max_workers=3) as pool:

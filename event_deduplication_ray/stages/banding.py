@@ -28,8 +28,9 @@ def _mix_to_int63(x: np.ndarray) -> np.ndarray:
     return (H._splitmix_array(x, H._GOLDEN, U64(0)) >> U64(1)).astype(np.int64)
 
 
-def minhash_band_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
-    """Explode each doc into ``lsh_bands`` rows (band_key, doc_id)."""
+def make_minhash_explode(cfg: DedupConfig):
+    """Batch-level explode fn (fusable into the shuffle's split tasks
+    via partition_apply(pre_fn=...))."""
     bands, rows, seed = cfg.lsh_bands, cfg.lsh_rows, cfg.seed
 
     def explode(t: pa.Table) -> pa.Table:
@@ -49,16 +50,17 @@ def minhash_band_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
             {"band_key": pa.array(band_key[keep]), "doc_id": pa.array(doc_id[keep])}
         )
 
-    return signatures.map_batches(explode, batch_format="pyarrow")
+    return explode
 
 
-def simhash_band_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
-    """SimHash chunk buckets: split the 64-bit fingerprint into
-    (hamming_radius+1) chunks — pigeonhole guarantees two fingerprints
-    within the radius share at least one exact chunk.  Rows carry the
-    full fingerprint so the pair generator can compute Hamming distance
-    in-place (no signature join needed — 8 bytes/row).
-    """
+def minhash_band_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
+    """Explode each doc into ``lsh_bands`` rows (band_key, doc_id)."""
+    return signatures.map_batches(
+        make_minhash_explode(cfg), batch_format="pyarrow"
+    )
+
+
+def make_simhash_explode(cfg: DedupConfig):
     n_chunks = cfg.hamming_radius + 1
     bits = cfg.simhash_bits
     chunk_bits = bits // n_chunks
@@ -87,16 +89,22 @@ def simhash_band_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
             }
         )
 
-    return signatures.map_batches(explode, batch_format="pyarrow")
+    return explode
 
 
-def substring_fp_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
-    """Explode substring fingerprints to (fp_key, doc_id, n_fps) rows.
-
-    n_fps (the doc's total fingerprint count) rides along so the pair
-    aggregator can compute containment = shared / min(|A|,|B|) without
-    a join back to the signature table.
+def simhash_band_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
+    """SimHash chunk buckets: split the 64-bit fingerprint into
+    (hamming_radius+1) chunks — pigeonhole guarantees two fingerprints
+    within the radius share at least one exact chunk.  Rows carry the
+    full fingerprint so the pair generator can compute Hamming distance
+    in-place (no signature join needed — 8 bytes/row).
     """
+    return signatures.map_batches(
+        make_simhash_explode(cfg), batch_format="pyarrow"
+    )
+
+
+def make_substring_explode(cfg: DedupConfig):
     min_fps = cfg.substring_min_fps
 
     def explode(t: pa.Table) -> pa.Table:
@@ -115,4 +123,16 @@ def substring_fp_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
             }
         )
 
-    return signatures.map_batches(explode, batch_format="pyarrow")
+    return explode
+
+
+def substring_fp_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
+    """Explode substring fingerprints to (fp_key, doc_id, n_fps) rows.
+
+    n_fps (the doc's total fingerprint count) rides along so the pair
+    aggregator can compute containment = shared / min(|A|,|B|) without
+    a join back to the signature table.
+    """
+    return signatures.map_batches(
+        make_substring_explode(cfg), batch_format="pyarrow"
+    )

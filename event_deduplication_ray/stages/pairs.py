@@ -59,7 +59,9 @@ def _pairs_from_groups(df: pd.DataFrame, key: str, cap: int) -> pd.DataFrame:
     return res.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
 
 
-def minhash_candidate_pairs(band_table: Dataset, cfg: DedupConfig) -> Dataset:
+def minhash_candidate_pairs(
+    band_table: Dataset, cfg: DedupConfig, pre_fn=None
+) -> Dataset:
     """(band_key, doc_id) → (id_a, id_b) candidate pairs.
 
     Pairs are deduped within each band partition only; the global
@@ -77,10 +79,12 @@ def minhash_candidate_pairs(band_table: Dataset, cfg: DedupConfig) -> Dataset:
         # collides in many bands) — shrinks the shuffle into verify
         return p[["id_a", "id_b"]].drop_duplicates()
 
-    return partition_apply(band_table, ["band_key"], P, gen)
+    return partition_apply(band_table, ["band_key"], P, gen, pre_fn=pre_fn)
 
 
-def simhash_match_pairs(sim_band_table: Dataset, cfg: DedupConfig) -> Dataset:
+def simhash_match_pairs(
+    sim_band_table: Dataset, cfg: DedupConfig, pre_fn=None
+) -> Dataset:
     """(band_key, doc_id, simhash) → verified pairs within the Hamming
     radius; no signature join needed (fingerprints ride on the rows).
     Output: id_a, id_b, score (1 - hamming/bits), decision, tier.
@@ -103,7 +107,7 @@ def simhash_match_pairs(sim_band_table: Dataset, cfg: DedupConfig) -> Dataset:
         p = p.assign(score=1.0 - d / bits)[d <= radius]
         return p[["id_a", "id_b", "score"]].drop_duplicates(["id_a", "id_b"])
 
-    raw = partition_apply(sim_band_table, ["band_key"], P, gen)
+    raw = partition_apply(sim_band_table, ["band_key"], P, gen, pre_fn=pre_fn)
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("score", ascending=False).drop_duplicates(["id_a", "id_b"])
@@ -114,7 +118,9 @@ def simhash_match_pairs(sim_band_table: Dataset, cfg: DedupConfig) -> Dataset:
     return partition_apply(raw, ["id_a", "id_b"], P, dedup)
 
 
-def substring_match_pairs(fp_table: Dataset, cfg: DedupConfig) -> Dataset:
+def substring_match_pairs(
+    fp_table: Dataset, cfg: DedupConfig, pre_fn=None
+) -> Dataset:
     """(fp_key, doc_id, n_fps) → containment-verified pairs.
 
     Within each fp group, enumerate pairs; count shared fingerprints
@@ -181,7 +187,7 @@ def substring_match_pairs(fp_table: Dataset, cfg: DedupConfig) -> Dataset:
             shared=("na", "size"), na=("na", "first"), nb=("nb", "first")
         )
 
-    shared_rows = partition_apply(fp_table, ["fp_key"], P, gen)
+    shared_rows = partition_apply(fp_table, ["fp_key"], P, gen, pre_fn=pre_fn)
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         g = (

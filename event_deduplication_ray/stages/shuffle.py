@@ -72,10 +72,19 @@ def with_partition_col(ds: Dataset, key_cols: list[str], num_parts: int) -> Data
     return ds.map_batches(add_part, batch_format="pyarrow")
 
 
-def _split_blocks(key_cols: list[str], num_parts: int, *blocks: pa.Table) -> list[pa.Table]:
+def _split_blocks(
+    key_cols: list[str], num_parts: int, pre_fn, *blocks: pa.Table
+) -> list[pa.Table]:
     """Partition a group of blocks into P sub-tables
-    (concat + 1 take + zero-copy slices)."""
+    (concat + optional fused map + 1 take + zero-copy slices).
+
+    ``pre_fn`` (pa.Table -> pa.Table) runs INSIDE the split task —
+    fusing a row-exploding map (e.g. LSH banding) into the shuffle
+    removes both a stage barrier and an intermediate object-store
+    table."""
     block = _concat(list(blocks))
+    if pre_fn is not None and len(block.column_names):
+        block = pre_fn(block)
     if len(block) == 0 or len(block.column_names) == 0:
         return [block] * num_parts
     arrs = [block[c].to_numpy(zero_copy_only=False) for c in key_cols]
@@ -88,7 +97,7 @@ def _split_blocks(key_cols: list[str], num_parts: int, *blocks: pa.Table) -> lis
 
 
 def _shuffle_refs(
-    ds: Dataset, key_cols: list[str], num_parts: int
+    ds: Dataset, key_cols: list[str], num_parts: int, pre_fn=None
 ) -> list[list["ray.ObjectRef"]]:
     """All-to-all: returns per-partition lists of sub-table refs.
 
@@ -103,7 +112,7 @@ def _shuffle_refs(
     groups = [g for g in groups if g]
 
     split = ray.remote(num_returns=num_parts)(_split_blocks)
-    outs = [split.remote(key_cols, num_parts, *g) for g in groups]
+    outs = [split.remote(key_cols, num_parts, pre_fn, *g) for g in groups]
     if num_parts == 1:
         outs = [[o] for o in outs]
     # transpose: partition p ← [group_i's part p]
@@ -123,6 +132,7 @@ def partition_apply(
     num_parts: int,
     fn: Callable,
     batch_format: str = "pandas",
+    pre_fn: Callable | None = None,
 ) -> Dataset:
     """Hash-shuffle by key_cols into num_parts partitions and apply a
     vectorized function to each whole partition.
@@ -138,7 +148,7 @@ def partition_apply(
     """
     import ray.data as rd
 
-    parts = _shuffle_refs(ds, key_cols, num_parts)
+    parts = _shuffle_refs(ds, key_cols, num_parts, pre_fn=pre_fn)
 
     if batch_format == "pandas":
         def merge_apply(*tables) -> pa.Table:
