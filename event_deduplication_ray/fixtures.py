@@ -232,8 +232,21 @@ def load_base_texts(sf_dir: str, limit: int = 200) -> list[str]:
     return df["text"].tolist()
 
 
-def corpus_path(tmp_root: str, n_docs: int, seed: int = 42) -> str:
-    return f"{tmp_root}/dedup_corpus_v2_n{n_docs}_s{seed}"
+def corpus_path(
+    tmp_root: str, n_docs: int, seed: int = 42,
+    base_texts: list[str] | None = None,
+) -> str:
+    """Cache key covers EVERY generator input — n, seed, and the base
+    texts (two callers with different sf tiers must not share a dir)."""
+    import hashlib
+
+    bt = ""
+    if base_texts:
+        h = hashlib.sha256()
+        for t in base_texts:
+            h.update((t or "").encode()); h.update(b"\x00")
+        bt = f"_b{h.hexdigest()[:8]}"
+    return f"{tmp_root}/dedup_corpus_v2_n{n_docs}_s{seed}{bt}"
 
 
 def materialize_corpus(
@@ -248,7 +261,7 @@ def materialize_corpus(
     import os
     import pyarrow.parquet as pq
 
-    out = corpus_path(tmp_root, n_docs, seed)
+    out = corpus_path(tmp_root, n_docs, seed, base_texts)
     done = f"{out}/_DONE"
     if os.path.exists(done):
         return out
