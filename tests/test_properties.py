@@ -73,3 +73,19 @@ def test_unionfind_edge_order_invariant(edges):
     n1, r1 = union_find_contract(src, dst)
     n2, r2 = union_find_contract(dst[::-1].copy(), src[::-1].copy())
     assert np.array_equal(n1, n2) and np.array_equal(r1, r2)
+
+
+def test_corpus_generator_stable_fingerprint():
+    """The golden corpus must stay byte-identical across rounds — the
+    recall gate's meaning depends on it.  If a deliberate generator
+    change is made, regenerate this fingerprint in the same commit."""
+    import hashlib
+
+    from event_deduplication_ray import fixtures as F
+
+    docs, _, _ = F.generate_corpus(200, seed=42)
+    h = hashlib.sha256()
+    for col in ("url", "warc_ts", "text", "lang"):
+        for chunk in docs[col].chunks:
+            h.update(str(chunk).encode())
+    assert h.hexdigest()[:16] == "376ee0b85e57d016"
