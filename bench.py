@@ -68,15 +68,17 @@ def run_flagship(corpus_dir: str, repeats: int = 2) -> float:
 
     best = None
     last = None
+    n_clusters = 0
     for _ in range(repeats):
         t0 = time.time()
         res = dedup_path(f"{corpus_dir}/docs", cfg)
-        n_clusters = res.assignments.count()  # consumes the pipeline
+        n_docs = res.assignments.count()  # consumes the pipeline
         dt = time.time() - t0
-        assert n_clusters > 0
+        assert n_docs > 0
         best = dt if best is None else min(best, dt)
         last = res
-    return best, last
+        n_clusters = res.canonical.count()
+    return best, last, n_clusters
 
 
 def eval_quality(corpus_dir: str, res) -> dict:
@@ -122,7 +124,7 @@ def main() -> None:
     ctx.execution_options.verbose_progress = False
 
     corpus_dir, n_docs = ensure_corpus(SF_DIR)
-    flagship_sec, res = run_flagship(corpus_dir)
+    flagship_sec, res, n_clusters = run_flagship(corpus_dir)
     only_flagship = os.environ.get("GRAFT_BENCH_ONLY") == "flagship"
     qtimes = {} if only_flagship else run_queries(SF_DIR)
     quality = {} if only_flagship else eval_quality(corpus_dir, res)
@@ -135,6 +137,7 @@ def main() -> None:
         "num_cpus": NCPU,
         "corpus_docs": n_docs,
         "docs_per_sec": round(n_docs / flagship_sec, 1),
+        "n_clusters": n_clusters,
         "quality": quality,
     }
     ray.shutdown()
@@ -162,6 +165,10 @@ def scaling() -> None:
     kern = kernel_scaling(lo, hi)
     print(json.dumps({
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        # determinism across parallelism levels (FIXTURES.md §3):
+        # both fresh processes must produce the same clustering
+        "n_clusters_8": r_lo["n_clusters"], "n_clusters_32": r_hi["n_clusters"],
+        "clusters_equal": r_lo["n_clusters"] == r_hi["n_clusters"],
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],
         "corpus_docs": r_hi["corpus_docs"],
