@@ -59,7 +59,9 @@ class DedupConfig:
     substring_small_cap: int = 16        # all-pairs only for fp groups <= this (hub-star above)
 
     # --- quality gates before keying (reference B3 analog) ---
-    min_text_chars: int = 1       # docs shorter than this are passthrough singletons
+    # enforced in stages/banding.py: docs with len(text_norm) below
+    # this are excluded from EVERY key family → passthrough singletons
+    min_text_chars: int = 1
     langs: tuple[str, ...] = ()   # empty = all languages
 
     # --- data-driven normalizers (reference M4-M6 analogs) ---

@@ -29,12 +29,14 @@ from event_deduplication_ray.config import DedupConfig
 from event_deduplication_ray.pipelines.dedup_pipeline import DedupResult, read_docs
 from event_deduplication_ray.stages.banding import (
     minhash_band_table,
+    simhash_band_table,
     substring_fp_table,
 )
 from event_deduplication_ray.stages.cluster import connected_components
 from event_deduplication_ray.stages.extract import extract_stage
 from event_deduplication_ray.stages.pairs import (
     minhash_candidate_pairs,
+    simhash_match_pairs,
     substring_match_pairs,
 )
 from event_deduplication_ray.stages.signatures import signature_stage
@@ -67,7 +69,8 @@ def incremental_add(
     )
     new_ids_arr = np.array(sorted(new_ids), dtype=np.int64)
 
-    sig_cols = ["doc_id", "n_tokens", "n_shingles", "minhash", "simhash", "substr_fps"]
+    sig_cols = ["doc_id", "n_chars", "n_tokens", "n_shingles", "minhash",
+                "simhash", "substr_fps"]
     all_sigs = old_sigs.select_columns(sig_cols).union(
         new_full.select_columns(sig_cols)
     ).materialize()
@@ -84,6 +87,12 @@ def incremental_add(
         cands_new = cands.map_batches(touching_new, batch_format="pyarrow")
         verified_new = verify_pairs(cands_new, all_sigs, cfg)
         pair_sets.append(match_edges(verified_new, cfg))
+    if cfg.use_simhash:
+        sim = simhash_match_pairs(simhash_band_table(all_sigs, cfg), cfg)
+        sim_new = sim.map_batches(touching_new, batch_format="pyarrow").select_columns(
+            ["id_a", "id_b", "score", "tier"]
+        )
+        pair_sets.append(sim_new)
     if cfg.use_substring:
         sub = substring_match_pairs(substring_fp_table(all_sigs, cfg), cfg)
         sub_new = sub.map_batches(touching_new, batch_format="pyarrow").select_columns(

@@ -28,10 +28,19 @@ def _mix_to_int63(x: np.ndarray) -> np.ndarray:
     return (H._splitmix_array(x, H._GOLDEN, U64(0)) >> U64(1)).astype(np.int64)
 
 
+def _n_chars(t: pa.Table) -> np.ndarray:
+    """n_chars column if present (older checkpoints lack it: treat as
+    passing — the gate only ever *excludes* with explicit evidence)."""
+    if "n_chars" in t.column_names:
+        return t["n_chars"].to_numpy(zero_copy_only=False)
+    return np.full(len(t), np.iinfo(np.int64).max, dtype=np.int64)
+
+
 def make_minhash_explode(cfg: DedupConfig):
     """Batch-level explode fn (fusable into the shuffle's split tasks
     via partition_apply(pre_fn=...))."""
     bands, rows, seed = cfg.lsh_bands, cfg.lsh_rows, cfg.seed
+    min_chars = cfg.min_text_chars
 
     def explode(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -43,9 +52,12 @@ def make_minhash_explode(cfg: DedupConfig):
         band_key = _mix_to_int63(keyed.reshape(-1))
         doc_id = np.repeat(t["doc_id"].to_numpy(), bands)
         # docs with no shingles have the all-max sentinel signature:
-        # identical for every empty doc; exclude them from keying
+        # identical for every empty doc; exclude them from keying.
+        # min_text_chars (B3 quality gate): sub-threshold docs are
+        # passthrough singletons — excluded from every key family.
         n_sh = np.repeat(t["n_shingles"].to_numpy(), bands)
         keep = n_sh > 0
+        keep &= np.repeat(_n_chars(t), bands) >= min_chars
         return pa.table(
             {"band_key": pa.array(band_key[keep]), "doc_id": pa.array(doc_id[keep])}
         )
@@ -64,6 +76,7 @@ def make_simhash_explode(cfg: DedupConfig):
     n_chunks = cfg.hamming_radius + 1
     bits = cfg.simhash_bits
     chunk_bits = bits // n_chunks
+    min_chars = cfg.min_text_chars
 
     def explode(t: pa.Table) -> pa.Table:
         fp = t["simhash"].to_numpy().astype(U64)
@@ -80,7 +93,7 @@ def make_simhash_explode(cfg: DedupConfig):
         doc_id = np.tile(t["doc_id"].to_numpy(), n_chunks)
         simhash = np.tile(fp, n_chunks)
         n_tok = np.tile(t["n_tokens"].to_numpy(), n_chunks)
-        keep = n_tok > 0
+        keep = (n_tok > 0) & (np.tile(_n_chars(t), n_chunks) >= min_chars)
         return pa.table(
             {
                 "band_key": pa.array(band_key[keep]),
@@ -106,6 +119,7 @@ def simhash_band_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
 
 def make_substring_explode(cfg: DedupConfig):
     min_fps = cfg.substring_min_fps
+    min_chars = cfg.min_text_chars
 
     def explode(t: pa.Table) -> pa.Table:
         fps = t["substr_fps"]
@@ -114,7 +128,7 @@ def make_substring_explode(cfg: DedupConfig):
         flat = fps.combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(U64)
         doc_id = np.repeat(t["doc_id"].to_numpy(), lens)
         n_fps = np.repeat(lens, lens)
-        keep = n_fps >= min_fps
+        keep = (n_fps >= min_fps) & (np.repeat(_n_chars(t), lens) >= min_chars)
         return pa.table(
             {
                 "fp_key": pa.array(_mix_to_int63(flat[keep])),

@@ -112,7 +112,16 @@ def connected_components(edges: Dataset, cfg: DedupConfig) -> Dataset:
     P = cfg.join_num_partitions
 
     star = local_unionfind_contract(edges).materialize()
-    if star.count() <= cfg.cc_driver_edge_limit:
+    n_star = star.count()
+    if n_star == 0:
+        # duplicate-free input: no edges at all — every doc becomes a
+        # singleton downstream (assignments_with_singletons)
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "cluster_id": pd.Series(dtype="int64")}
+        )
+        return rd.from_pandas(empty)
+    if n_star <= cfg.cc_driver_edge_limit:
         df = star.to_pandas().rename(columns={"u": "id_a", "v": "id_b"})
         from event_deduplication_ray.state.unionfind import (
             connected_components_pandas,
@@ -167,6 +176,9 @@ def assignments_with_singletons(
                 {"doc_id": pd.Series(dtype="int64"),
                  "cluster_id": pd.Series(dtype="int64")}
             )
+        if len(r) == 0:  # no labels in this partition: all singletons
+            ids_np = l["doc_id"].to_numpy()
+            return pd.DataFrame({"doc_id": ids_np, "cluster_id": ids_np})
         # left join introduces NaNs; keep 64-bit ids exact with the
         # nullable Int64 dtype (a float64 round-trip silently corrupts
         # ids above 2^53)

@@ -1,37 +1,67 @@
 """Expensive-verification tier: exact token-shingle Jaccard for
-ambiguous pairs, with a persisted result cache.
+ambiguous pairs, with a persisted, config-fingerprinted result cache.
 
 Reference analog: the AI ambiguity-resolution tier T2/T3/T6
 (/root/reference/src/event_dedup/ai_matching/resolver.py:25-194) —
 pairs whose MinHash decision lands in the ambiguous band are re-scored
-by a more expensive, more accurate oracle; results are cached by a
-content hash so reruns skip already-resolved pairs
-(ai_matching/cache.py:21-100); resolved decisions are merged back over
-the cheap-tier decisions (resolver.py:197-250).  Re-keyed: the oracle
-is EXACT shingle-set Jaccard over the documents' normalized text (no
-estimation error), tier='exact'.
+by a more expensive, more accurate oracle; results are cached so
+reruns skip already-resolved pairs (ai_matching/cache.py:21-100, which
+keys on a content+config hash); resolved decisions are merged back
+over the cheap-tier decisions (resolver.py:197-250).  Re-keyed: the
+oracle is EXACT shingle-set Jaccard over the documents' normalized
+text (no estimation error), tier='exact'.
+
+Scale design (round-2 rework):
+- no driver-side materialization: scoring runs inside cogroup merge
+  tasks; the only pinned table is the narrow
+  (id_a, id_b, score) result for *ambiguous pairs only*;
+- cache is keyed on the exact (id_a, id_b) pair (two-column pandas
+  hash join — no composite-int collisions) plus a config fingerprint
+  covering every input that determines the score (shingle_k, seed,
+  tokenizer); a cache written under a different config is ignored;
+- cache writes happen from Ray Data write tasks, not the driver;
+- the per-pair intersection loop is replaced by one lexsort over the
+  partition's concatenated shingle arrays (adjacent-duplicate
+  counting — unique-per-side arrays can only collide across sides);
+- texts are LEFT-joined: a pair whose doc id misses the text table
+  stays ambiguous with its cheap-tier score (the reference's
+  "failures keep pair ambiguous" semantics), instead of being dropped.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
 import pandas as pd
 
+import ray
 import ray.data as rd
 from ray.data import Dataset
 
 from event_deduplication_ray.config import DedupConfig
 from event_deduplication_ray.functions import hashing as H
-from event_deduplication_ray.stages.shuffle import cogroup_apply, partition_apply
+from event_deduplication_ray.stages.shuffle import cogroup_apply
 
 
-def _shingle_sets(
+def exact_config_fingerprint(cfg: DedupConfig) -> str:
+    """Hash of every config input that determines the exact score.
+
+    Thresholds are NOT included: decisions are recomputed from cached
+    scores on every run, so threshold changes reuse the cache safely.
+    """
+    s = f"k={cfg.shingle_k}|seed={cfg.seed}|arrow={int(cfg.use_arrow_strings)}"
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def _shingle_flat(
     text_norm: pd.Series, k: int, seed: int, use_arrow: bool = True
-) -> list[np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DEDUPED shingle hashes as flat (values, doc_index)
+    arrays — no per-row Python objects.  Must match the signature
+    stage's tokenization/hash exactly."""
     if use_arrow:
-        # MUST match the signature stage's tokenization/hash exactly
         import pyarrow as pa
 
         from event_deduplication_ray.functions.arrow_text import hash_tokens_arrow
@@ -41,9 +71,32 @@ def _shingle_sets(
         flat, lens = H.tokenize_offsets(text_norm)
         th = H.hash_strings_u64(flat)
     sh, spd = H.shingle_hashes(th, lens, k, seed)
-    ends = np.cumsum(spd)
-    starts = ends - spd
-    return [np.unique(sh[starts[i]:ends[i]]) for i in range(len(spd))]
+    pid = np.repeat(np.arange(len(spd), dtype=np.int64), spd)
+    order = np.lexsort((sh, pid))
+    v, p = sh[order], pid[order]
+    keep = np.r_[True, (v[1:] != v[:-1]) | (p[1:] != p[:-1])]
+    return v[keep], p[keep]
+
+
+def _pair_jaccard(
+    text_a: pd.Series, text_b: pd.Series, k: int, seed: int, use_arrow: bool
+) -> np.ndarray:
+    """Exact shingle-set Jaccard per row, fully vectorized: one
+    lexsort over the concatenated (per-side-unique) shingle arrays;
+    cross-side matches are exactly the adjacent duplicates."""
+    n = len(text_a)
+    va, ia = _shingle_flat(text_a, k, seed, use_arrow)
+    vb, ib = _shingle_flat(text_b, k, seed, use_arrow)
+    la = np.bincount(ia, minlength=n)
+    lb = np.bincount(ib, minlength=n)
+    vals = np.concatenate([va, vb])
+    pids = np.concatenate([ia, ib])
+    order = np.lexsort((vals, pids))
+    v, p = vals[order], pids[order]
+    dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n)
+    union = la + lb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
 
 def exact_jaccard_tier(
@@ -57,17 +110,21 @@ def exact_jaccard_tier(
     verified: (id_a, id_b, score, decision, tier) from the cheap tier.
     docs:     must carry (doc_id, text_norm).
     Returns the verified table with ambiguous rows re-decided
-    (tier='exact'), non-ambiguous rows untouched — the reference's
-    "failures keep pair ambiguous" semantics on any error path.
+    (tier='exact'), non-ambiguous rows untouched.  Pairs that cannot
+    be scored (doc id missing from the text table) stay ambiguous
+    with their cheap-tier score.
 
-    cache_dir: optional Parquet cache of (pair_key, score) — already-
-    resolved pairs are skipped via a broadcast anti-join (cache is
-    small relative to the corpus: only ambiguous pairs land in it).
+    cache_dir: optional Parquet cache of
+    (id_a, id_b, score, cfg_fp) — already-resolved pairs under the
+    SAME config fingerprint are skipped via a broadcast anti-join
+    (cache is small relative to the corpus: only ambiguous pairs land
+    in it); new scores are appended from Ray write tasks.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
     P = cfg.join_num_partitions
+    fp = exact_config_fingerprint(cfg)
 
     def split_amb(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t["decision"], "ambiguous"))
@@ -80,103 +137,127 @@ def exact_jaccard_tier(
 
     cached: pd.DataFrame | None = None
     if cache_dir and os.path.isdir(cache_dir) and os.listdir(cache_dir):
-        cached = rd.read_parquet(cache_dir).to_pandas()
+        cdf = rd.read_parquet(cache_dir).to_pandas()
+        if "cfg_fp" in cdf.columns:
+            cdf = cdf[cdf["cfg_fp"] == fp]
+        else:  # unversioned (pre-round-2) cache: ignore, never trust
+            cdf = cdf.iloc[0:0]
+        if len(cdf):
+            cached = cdf[["id_a", "id_b", "score"]].drop_duplicates(
+                ["id_a", "id_b"]
+            ).reset_index(drop=True)
 
-    if cached is not None and len(cached):
-        cache_keys = set(
-            (cached["id_a"].astype(np.int64) * np.int64(1_000_003)
-             + cached["id_b"].astype(np.int64)).tolist()
-        )
+    if cached is not None:
+        # broadcast the cached key table ONCE via the object store;
+        # exact two-column anti-join inside each task (no composite-
+        # int collision surface)
+        keys_ref = ray.put(cached[["id_a", "id_b"]])
 
-        def drop_cached(t: pa.Table) -> pa.Table:
-            key = (t["id_a"].to_numpy() * np.int64(1_000_003)) + t["id_b"].to_numpy()
-            mask = ~np.isin(key, list(cache_keys))
-            return t.filter(pa.array(mask))
+        def drop_cached(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            keys = ray.get(keys_ref)
+            m = df.merge(keys.assign(__hit=1), on=["id_a", "id_b"], how="left")
+            return m[m["__hit"].isna()].drop(columns="__hit")
 
-        to_score = ambiguous.map_batches(drop_cached, batch_format="pyarrow")
+        to_score = ambiguous.map_batches(drop_cached, batch_format="pandas")
     else:
         to_score = ambiguous
 
     texts = docs.select_columns(["doc_id", "text_norm"])
-    texts_schema = pa.schema([("doc_id", pa.int64()), ("text_norm", pa.string())])
-    pairs_schema = pa.schema([
-        ("id_a", pa.int64()), ("id_b", pa.int64()), ("score", pa.float64()),
-        ("decision", pa.string()), ("tier", pa.string()),
-    ])
-    with_a_schema = pa.schema([
-        ("id_a", pa.int64()), ("id_b", pa.int64()), ("text_a", pa.string()),
-    ])
 
     def attach_a(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id_a", "id_b", "score0", "text_a"]
         if len(l) == 0:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "text_a": pd.Series(dtype="object")})
-        m = l[["id_a", "id_b"]].merge(
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "score0": pd.Series(dtype="float64"),
+                 "text_a": pd.Series(dtype="object")}
+            )
+        l = l[["id_a", "id_b", "score"]].rename(columns={"score": "score0"})
+        if len(r) == 0:
+            l = l.assign(text_a=pd.Series([None] * len(l), dtype="object"))
+            return l[cols]
+        m = l.merge(
             r.rename(columns={"doc_id": "id_a", "text_norm": "text_a"}),
-            on="id_a", how="inner",
+            on="id_a", how="left",
         )
-        return m[["id_a", "id_b", "text_a"]]
+        return m[cols]
 
-    with_a = cogroup_apply(to_score, texts, ["id_a"], ["doc_id"], P, attach_a,
-                           left_schema=pairs_schema, right_schema=texts_schema)
+    with_a = cogroup_apply(to_score, texts, ["id_a"], ["doc_id"], P, attach_a)
 
     k, seed = cfg.shingle_k, cfg.seed
     use_arrow = cfg.use_arrow_strings
 
     def attach_b_score(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                              "id_b": pd.Series(dtype="int64"),
-                              "score": pd.Series(dtype="float64")})
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "score0": pd.Series(dtype="float64"),
+             "score": pd.Series(dtype="float64")}
+        )
         if len(l) == 0:
             return empty
-        m = l.merge(
-            r.rename(columns={"doc_id": "id_b", "text_norm": "text_b"}),
-            on="id_b", how="inner",
+        if len(r) == 0:
+            m = l.assign(text_b=pd.Series([None] * len(l), dtype="object"))
+        else:
+            m = l.merge(
+                r.rename(columns={"doc_id": "id_b", "text_norm": "text_b"}),
+                on="id_b", how="left",
+            )
+        missing = (m["text_a"].isna() | m["text_b"].isna()).to_numpy()
+        scores = _pair_jaccard(
+            m["text_a"].fillna(""), m["text_b"].fillna(""), k, seed, use_arrow
         )
-        if len(m) == 0:
-            return empty
-        sa = _shingle_sets(m["text_a"], k, seed, use_arrow)
-        sb = _shingle_sets(m["text_b"], k, seed, use_arrow)
-        scores = np.empty(len(m))
-        for i in range(len(m)):
-            inter = np.intersect1d(sa[i], sb[i], assume_unique=True).size
-            union = sa[i].size + sb[i].size - inter
-            scores[i] = inter / union if union else 0.0
-        return pd.DataFrame({"id_a": m["id_a"].to_numpy(),
-                             "id_b": m["id_b"].to_numpy(), "score": scores})
+        scores = scores.astype(np.float64)
+        scores[missing] = np.nan  # unresolvable: stays ambiguous
+        return pd.DataFrame(
+            {"id_a": m["id_a"].to_numpy(), "id_b": m["id_b"].to_numpy(),
+             "score0": m["score0"].to_numpy(), "score": scores}
+        )
 
-    scored = cogroup_apply(with_a, texts, ["id_b"], ["doc_id"], P, attach_b_score,
-                           left_schema=with_a_schema, right_schema=texts_schema)
-    scored_df = scored.to_pandas()
+    # narrow (id_a, id_b, score0, score) over ambiguous pairs only —
+    # pinned in the object store, never collected to the driver
+    scored = cogroup_apply(
+        with_a, texts, ["id_b"], ["doc_id"], P, attach_b_score
+    ).materialize()
 
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-        if len(scored_df):
-            import pyarrow.parquet as pq
-            import uuid
 
-            pq.write_table(
-                pa.Table.from_pandas(scored_df, preserve_index=False),
-                os.path.join(cache_dir, f"part-{uuid.uuid4().hex[:12]}.parquet"),
-            )
-    if cached is not None and len(cached):
-        scored_df = pd.concat(
-            [scored_df, cached[["id_a", "id_b", "score"]]], ignore_index=True
-        ).drop_duplicates(["id_a", "id_b"])
+        def cache_rows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["score"]))
+            t = t.select(["id_a", "id_b", "score"])
+            return t.append_column("cfg_fp", pa.array([fp] * len(t), pa.string()))
+
+        # written in parallel from Ray write tasks (uuid part names —
+        # appends, never clobbers)
+        scored.map_batches(cache_rows, batch_format="pyarrow").write_parquet(
+            cache_dir
+        )
 
     jm, jn = cfg.jaccard_match, cfg.jaccard_no_match
-    if len(scored_df):
-        dec = np.full(len(scored_df), "ambiguous", dtype=object)
-        dec[scored_df["score"].to_numpy() >= jm] = "match"
-        dec[scored_df["score"].to_numpy() <= jn] = "no_match"
-        scored_df = scored_df.assign(decision=dec, tier="exact")
-    else:
-        scored_df = scored_df.assign(decision=pd.Series(dtype="object"),
-                                     tier=pd.Series(dtype="object"))
 
-    resolved = rd.from_pandas(
-        scored_df[["id_a", "id_b", "score", "decision", "tier"]]
-    ) if len(scored_df) else None
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64"),
+                 "decision": pd.Series(dtype="object"),
+                 "tier": pd.Series(dtype="object")}
+            )
+        s = df["score"].to_numpy()
+        unresolved = np.isnan(s)
+        final = np.where(unresolved, df["score0"].to_numpy(), s)
+        dec = np.full(len(df), "ambiguous", dtype=object)
+        dec[s >= jm] = "match"
+        dec[s <= jn] = "no_match"
+        return pd.DataFrame(
+            {"id_a": df["id_a"].to_numpy(), "id_b": df["id_b"].to_numpy(),
+             "score": final, "decision": dec, "tier": "exact"}
+        )
 
-    return rest.union(resolved) if resolved is not None else rest
+    resolved = scored.map_batches(decide, batch_format="pandas")
+    if cached is not None:
+        cached_rows = cached.assign(score0=cached["score"])
+        resolved = resolved.union(rd.from_pandas(decide(cached_rows)))
+    return rest.union(resolved)

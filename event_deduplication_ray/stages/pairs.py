@@ -34,10 +34,17 @@ def _pairs_from_groups(df: pd.DataFrame, key: str, cap: int) -> pd.DataFrame:
     plus any extra per-row columns suffixed _a/_b from the self-merge.
     """
     df = df.drop_duplicates([key, "doc_id"])
+
+    def _empty(frame: pd.DataFrame) -> pd.DataFrame:
+        # typed empty frame with the SAME renamed columns as the
+        # non-empty path — callers index p[["id_a", "id_b"]] directly
+        e = frame.iloc[0:0].merge(frame.iloc[0:0], on=key, suffixes=("_a", "_b"))
+        return e.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
+
     sizes = df.groupby(key)["doc_id"].transform("size")
     multi = df[sizes > 1]
     if len(multi) == 0:
-        return multi.iloc[0:0].merge(multi.iloc[0:0], on=key, suffixes=("_a", "_b"))
+        return _empty(df)
     sizes = sizes[sizes > 1]
     small = multi[sizes <= cap]
     hot = multi[sizes > cap]
@@ -54,7 +61,7 @@ def _pairs_from_groups(df: pd.DataFrame, key: str, cap: int) -> pd.DataFrame:
         m2 = hubs.merge(hot, on=key, suffixes=("_a", "_b"))
         out.append(m2[m2["doc_id_a"] < m2["doc_id_b"]])
     if not out:
-        return multi.iloc[0:0].merge(multi.iloc[0:0], on=key, suffixes=("_a", "_b"))
+        return _empty(df)
     res = pd.concat(out, ignore_index=True)
     return res.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
 
@@ -148,6 +155,7 @@ def substring_match_pairs(
         df = df[(sizes > 1) & (sizes <= drop_cap)]
         empty = pd.DataFrame(
             {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "shared": pd.Series(dtype="int64"),
              "na": pd.Series(dtype="int64"), "nb": pd.Series(dtype="int64")}
         )
         if len(df) == 0:

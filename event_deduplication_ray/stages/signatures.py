@@ -72,8 +72,14 @@ class SignatureStage:
         sig_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(sig.reshape(-1), pa.uint64()), cfg.num_perms
         )
+        import pyarrow.compute as pc
+
+        n_chars = pc.utf8_length(
+            pc.fill_null(batch["text_norm"], "")
+        ).cast(pa.int64())
         cols = {
             "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
             "n_tokens": pa.array(doc_lens, pa.int64()),
             "n_shingles": pa.array(spd.astype(np.int64), pa.int64()),
             "minhash": sig_arr,

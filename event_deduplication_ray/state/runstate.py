@@ -104,6 +104,24 @@ class RunState:
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
         t0 = time.time()
         ds.write_parquet(tmp)
+        if not os.path.isdir(tmp):
+            # zero-row dataset: write_parquet creates no files — persist
+            # an explicit empty file so the rename lands and a resume
+            # reads back the same schema (found driving a duplicate-free
+            # corpus through the CLI: the edges stage can be empty)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            schema = ds.schema()
+            if schema is not None:
+                arrow_schema = pa.schema(list(zip(schema.names, schema.types)))
+                tbl = pa.Table.from_arrays(
+                    [pa.array([], f.type) for f in arrow_schema], schema=arrow_schema
+                )
+            else:
+                tbl = pa.table({})
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(tbl, os.path.join(tmp, "part-empty.parquet"))
         if os.path.isdir(final):          # stale partial from a dead run
             import shutil
 

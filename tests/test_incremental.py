@@ -15,7 +15,10 @@ from event_deduplication_ray.pipelines.dedup_pipeline import (
 )
 from event_deduplication_ray.pipelines.incremental import incremental_add
 
-CFG = DedupConfig(use_substring=True, join_num_partitions=4)
+# use_simhash=True: regression for incremental_add silently skipping
+# the simhash tier (round-2 ADVICE) — equivalence must hold with every
+# candidate tier enabled
+CFG = DedupConfig(use_substring=True, use_simhash=True, join_num_partitions=4)
 
 
 @pytest.fixture(scope="module")

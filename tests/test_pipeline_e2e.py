@@ -101,6 +101,49 @@ def test_partition_count_invariance(corpus_dir, assignments):
     assert (m["cluster_id_p4"] == m["cluster_id_p3"]).all()
 
 
+def test_duplicate_free_corpus_all_singletons(tmp_path):
+    """A corpus with NO duplicates must run clean (every shuffle
+    partition's band groups are singletons — regression for the
+    empty-partition KeyError in _pairs_from_groups) and yield one
+    singleton cluster per doc."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray.fixtures import wrap_html
+
+    rng = np.random.default_rng(7)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    n = 60
+    texts = [
+        " ".join(
+            "".join(letters[rng.integers(0, 26, size=6)]) for _ in range(80)
+        )
+        for _ in range(n)
+    ]
+    urls = [f"https://uniq.example/p{i:04d}" for i in range(n)]
+    ts0 = np.datetime64("2025-06-01T00:00:00", "us")
+    docs = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([ts0] * n, pa.timestamp("us")),
+            "html": pa.array(
+                [wrap_html(texts[i], f"t{i}", "uniq.example") for i in range(n)],
+                pa.binary(),
+            ),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(docs, str(d / "part-0000.parquet"))
+    res = dedup_path(str(d), CFG)
+    a = res.assignments.to_pandas()
+    assert len(a) == n
+    assert a["cluster_id"].nunique() == n  # all singletons
+
+
 def test_exact_tier_flag_no_worse(corpus_dir, assignments):
     """With the exact tier on, recall/precision must be >= the base
     config's (ambiguous pairs only ever get better-informed decisions)."""
@@ -116,3 +159,15 @@ def test_exact_tier_flag_no_worse(corpus_dir, assignments):
     m_exact = evaluate_pairs(a2, gp)
     assert m_exact.recall >= m_base.recall - 1e-9
     assert m_exact.precision >= 0.99
+
+
+def test_min_text_chars_gate(corpus_dir):
+    """min_text_chars excludes short docs from every key family —
+    they become passthrough singletons (B3 quality gate; round-2
+    ADVICE: the knob previously had no effect)."""
+    big = DedupConfig(use_substring=True, use_simhash=True,
+                      join_num_partitions=4, min_text_chars=10**9)
+    res = dedup_path(f"{corpus_dir}/docs", big)
+    a = res.assignments.to_pandas()
+    # every doc is shorter than 1e9 chars → no candidates → singletons
+    assert a["cluster_id"].nunique() == len(a)

@@ -120,3 +120,63 @@ def test_exact_tier_resolves_ambiguous(result, tmp_path):
     a = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     b = out2.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_exact_tier_cache_invalidated_by_config(result, tmp_path):
+    """A cache written under one shingle config must be IGNORED by a
+    run with a different config fingerprint (round-2 ADVICE: stale
+    cache entries silently replaced scores)."""
+    from event_deduplication_ray.stages.exact_verify import (
+        exact_config_fingerprint,
+        exact_jaccard_tier,
+    )
+
+    cache = str(tmp_path / "cache_fp")
+    cfg_a = CFG
+    cfg_b = CFG.with_overrides(shingle_k=3)
+    assert exact_config_fingerprint(cfg_a) != exact_config_fingerprint(cfg_b)
+
+    out_a = exact_jaccard_tier(result.verified_pairs, result.docs, cfg_a,
+                               cache_dir=cache).to_pandas()
+    # run under cfg_b against cfg_a's cache: scores must equal a
+    # cache-free cfg_b run, not cfg_a's cached scores
+    out_b = exact_jaccard_tier(result.verified_pairs, result.docs, cfg_b,
+                               cache_dir=cache).to_pandas()
+    ref_b = exact_jaccard_tier(result.verified_pairs, result.docs,
+                               cfg_b).to_pandas()
+    key = ["id_a", "id_b"]
+    b = out_b[out_b.tier == "exact"].sort_values(key).reset_index(drop=True)
+    rb = ref_b[ref_b.tier == "exact"].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, rb)
+    # both fingerprints coexist in the cache dir; a rerun under cfg_a
+    # still matches its own first run
+    out_a2 = exact_jaccard_tier(result.verified_pairs, result.docs, cfg_a,
+                                cache_dir=cache).to_pandas()
+    a = out_a.sort_values(key).reset_index(drop=True)
+    a2 = out_a2.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, a2)
+
+
+def test_exact_tier_missing_text_stays_ambiguous(result):
+    """Pairs whose doc id is absent from the text table keep their
+    cheap-tier score and stay ambiguous (left-join semantics), instead
+    of being dropped."""
+    from event_deduplication_ray.stages.exact_verify import exact_jaccard_tier
+
+    vp = result.verified_pairs.to_pandas()
+    amb = vp[vp.decision == "ambiguous"]
+    if len(amb) == 0:
+        pytest.skip("fixture produced no ambiguous pairs")
+    drop_ids = set(amb["id_a"].head(3).tolist())
+    docs_df = result.docs.to_pandas()
+    docs_pruned = rd.from_pandas(docs_df[~docs_df.doc_id.isin(drop_ids)])
+    out = exact_jaccard_tier(result.verified_pairs, docs_pruned, CFG).to_pandas()
+    # every input pair survives
+    assert len(out) == len(vp)
+    touched = out[out.id_a.isin(drop_ids) | out.id_b.isin(drop_ids)]
+    amb_touched = amb[amb.id_a.isin(drop_ids) | amb.id_b.isin(drop_ids)]
+    t = touched.merge(amb_touched[["id_a", "id_b", "score"]],
+                      on=["id_a", "id_b"], suffixes=("", "_cheap"))
+    assert len(t) == len(amb_touched)
+    assert (t["decision"] == "ambiguous").all()
+    assert np.allclose(t["score"], t["score_cheap"])
