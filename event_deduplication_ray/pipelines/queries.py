@@ -343,40 +343,30 @@ def q20_minhash_clusters(sf_dir: str) -> Dataset:
 
 
 def q28_ngram_jaccard_clusters(sf_dir: str) -> Dataset:
-    """n-gram-Jaccard dedup: LSH candidates verified by EXACT
-    shingle-set Jaccard over the texts (no MinHash estimation error in
-    the decision), then clustered.  (id_a,id_b) edges where exact
-    5-gram Jaccard >= threshold → (doc_id, cluster_id)."""
-    from event_deduplication_ray.stages.banding import minhash_band_table
+    """n-gram-Jaccard dedup, EXACT: pairs sharing >= 1 token 5-gram
+    (shingle inverted-index join at substring_mod_p=1 — every distinct
+    shingle, no sampling, no LSH candidate misses) verified by exact
+    shingle-set Jaccard from shared counts, then clustered.
+    (id_a,id_b) edges where exact 5-gram Jaccard >= 0.75 →
+    (doc_id, cluster_id).  Deterministic end to end, so the DuckDB
+    oracle (string shingles + recursive-CTE components) must match
+    exactly."""
+    from event_deduplication_ray.stages.banding import substring_fp_table
     from event_deduplication_ray.stages.cluster import (
         assignments_with_singletons,
         connected_components,
     )
-    from event_deduplication_ray.stages.exact_verify import exact_jaccard_tier
-    from event_deduplication_ray.stages.pairs import minhash_candidate_pairs
+    from event_deduplication_ray.stages.pairs import ngram_jaccard_match_pairs
     from event_deduplication_ray.stages.signatures import signature_stage
-    from event_deduplication_ray.stages.verify import match_edges, verify_pairs
 
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
     docs = _docs_from_documents(sf_dir).materialize()
-    sigs = signature_stage(docs, QCFG).materialize()
-    pairs = minhash_candidate_pairs(minhash_band_table(sigs, QCFG), QCFG)
-    # force EVERY candidate through the exact tier by marking all
-    # decisions ambiguous first (scores still come from the exact pass)
-    verified = verify_pairs(pairs, sigs, QCFG)
-
-    def all_ambiguous(t: pa.Table) -> pa.Table:
-        import numpy as _np
-        return t.set_column(
-            t.schema.get_field_index("decision"), "decision",
-            pa.array(_np.full(len(t), "ambiguous"), pa.string()),
-        )
-
-    forced = verified.map_batches(all_ambiguous, batch_format="pyarrow")
-    exact = exact_jaccard_tier(forced, docs, QCFG)
-    labels = connected_components(
-        match_edges(exact, QCFG).select_columns(["id_a", "id_b"]), QCFG
+    sigs = signature_stage(docs, cfg)
+    pairs = ngram_jaccard_match_pairs(
+        substring_fp_table(sigs, cfg), cfg, threshold=cfg.jaccard_match
     )
-    return assignments_with_singletons(docs, labels, QCFG)
+    labels = connected_components(pairs.select_columns(["id_a", "id_b"]), cfg)
+    return assignments_with_singletons(docs, labels, cfg)
 
 
 def q21_simhash_pairs(sf_dir: str) -> Dataset:
@@ -426,11 +416,21 @@ def q25_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return lsh_topk(emb, _query_vec(sf_dir), k=10)
 
 
-def q26_embedding_dup_pairs(sf_dir: str) -> Dataset:
+def q26_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Narrow (id_a, id_b) projection: pair identity is the oracle-
+    comparable part (cosine floats differ in last ulps across engines,
+    same caveat as q11).  Returned as pandas — the near-dup pair set
+    is small by construction, and Ray's to_pandas drops the schema of
+    a 0-row Dataset, which would break the gate's column compare."""
     from event_deduplication_ray.stages.similarity import embedding_dup_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_dup_pairs(emb, QCFG, cos_threshold=0.99)
+    out = embedding_dup_pairs(emb, QCFG, cos_threshold=0.99)
+    df = out.select_columns(["id_a", "id_b"]).to_pandas()
+    if list(df.columns) != ["id_a", "id_b"]:
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64")})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------- flagship
@@ -594,5 +594,83 @@ ORACLE_SQL = {
     "q15_customers_without_orders": """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q24_langid": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, len(ws) AS n,
+                CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                    len(list_filter(ws, x -> list_contains(
+                        ['der','die','das','und','ist','nicht','ein','eine','mit','von','zu','den','im','auf','fuer'], x)))::DOUBLE / len(ws) END AS s_de,
+                CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                    len(list_filter(ws, x -> list_contains(
+                        ['the','and','of','to','in','is','that','it','for','was','with','as','his','on','be','at','by'], x)))::DOUBLE / len(ws) END AS s_en,
+                CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                    len(list_filter(ws, x -> list_contains(
+                        ['el','la','los','las','y','de','un','una','es','en','que','por','con','no','para'], x)))::DOUBLE / len(ws) END AS s_es,
+                CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                    len(list_filter(ws, x -> list_contains(
+                        ['le','la','les','et','de','des','un','une','est','pour','dans','que','qui','sur','pas'], x)))::DOUBLE / len(ws) END AS s_fr
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN 'und'
+                    WHEN greatest(s_de, s_en, s_es, s_fr) < 0.05 THEN 'und'
+                    WHEN s_de >= greatest(s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+                    WHEN s_en >= greatest(s_es, s_fr) AND s_en > 0 THEN 'en'
+                    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                    WHEN s_fr > 0 THEN 'fr'
+                    ELSE 'und' END AS lang_pred
+        FROM scored
+    """,
+    "q26_embedding_dup_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+    """,
+    "q28_ngram_jaccard_clusters": """
+        WITH RECURSIVE norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                        replace(replace(replace(replace(lower(coalesce(text, '')),
+                            chr(228), 'ae'), chr(246), 'oe'), chr(252), 'ue'), chr(223), 'ss'),
+                        '[^\\w\\s-]+', ' ', 'g'), '\\s+', ' ', 'g')) AS tn
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, list_filter(string_split(tn, ' '), x -> x <> '') AS ws
+            FROM norm
+        ), sh AS (
+            SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+            FROM toks, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+        ), dsh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), edges AS (
+            SELECT id_a, id_b FROM inter
+            JOIN counts ca ON ca.doc_id = inter.id_a
+            JOIN counts cb ON cb.doc_id = inter.id_b
+            WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.75
+        ), bi AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM bi
+            UNION
+            SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src
+        )
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
     """,
 }

@@ -209,3 +209,73 @@ def substring_match_pairs(
         return g[["id_a", "id_b", "score", "decision", "tier"]]
 
     return partition_apply(shared_rows, ["id_a", "id_b"], P, agg)
+
+
+def ngram_jaccard_match_pairs(
+    fp_table: Dataset, cfg: DedupConfig, threshold: float, pre_fn=None
+) -> Dataset:
+    """EXACT n-gram-Jaccard pairs via a shingle inverted-index join.
+
+    Input is the substring fp table built with ``substring_mod_p=1``
+    (every distinct shingle hash, no sampling): two docs share a row
+    group iff they share a shingle, so enumerating pairs per fp group
+    and summing shared counts yields the EXACT shingle-set
+    intersection — Jaccard = shared / (|A| + |B| - shared) with zero
+    estimation error and zero candidate misses (any pair with J > 0
+    shares >= 1 shingle).  Deterministic → DuckDB-oracle-checkable.
+
+    Scale note: this is the exact mode — fp groups are enumerated
+    all-pairs (no hub-star cap), so a shingle shared by g docs costs
+    O(g^2) rows.  ``substring_drop_group`` still guards true
+    boilerplate explosions; production near-dup at 100 TB should use
+    the MinHash pass (estimation) or the containment pass (sampling),
+    both of which cap skew.
+    Output: id_a, id_b, score (exact Jaccard), decision, tier='ngram'.
+    """
+    P = cfg.join_num_partitions
+    drop_cap = cfg.substring_drop_group
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "shared": pd.Series(dtype="int64"),
+             "na": pd.Series(dtype="int64"), "nb": pd.Series(dtype="int64")}
+        )
+        if len(df) == 0:
+            return empty
+        df = df.drop_duplicates(["fp_key", "doc_id"])
+        sizes = df.groupby("fp_key")["doc_id"].transform("size")
+        df = df[(sizes > 1) & (sizes <= drop_cap)]
+        if len(df) == 0:
+            return empty
+        m = df.merge(df, on="fp_key", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if len(m) == 0:
+            return empty
+        m = m.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b",
+                              "n_fps_a": "na", "n_fps_b": "nb"})
+        return m.groupby(["id_a", "id_b"], as_index=False).agg(
+            shared=("na", "size"), na=("na", "first"), nb=("nb", "first")
+        )
+
+    shared_rows = partition_apply(fp_table, ["fp_key"], P, gen, pre_fn=pre_fn)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64"),
+                 "decision": pd.Series(dtype="object"),
+                 "tier": pd.Series(dtype="object")}
+            )
+        g = (
+            df.groupby(["id_a", "id_b"], as_index=False)
+            .agg(shared=("shared", "sum"), na=("na", "first"), nb=("nb", "first"))
+        )
+        g["score"] = g["shared"] / (g["na"] + g["nb"] - g["shared"])
+        g = g[g["score"] >= threshold].copy()
+        g["decision"] = "match"
+        g["tier"] = "ngram"
+        return g[["id_a", "id_b", "score", "decision", "tier"]]
+
+    return partition_apply(shared_rows, ["id_a", "id_b"], P, agg)

@@ -21,7 +21,7 @@ from ray.data import Dataset
 
 from event_deduplication_ray.config import DedupConfig
 from event_deduplication_ray.stages.pairs import _pairs_from_groups
-from event_deduplication_ray.stages.shuffle import partition_apply
+from event_deduplication_ray.stages.shuffle import cogroup_apply, partition_apply
 
 
 def _emb_matrix(col) -> np.ndarray:
@@ -142,8 +142,18 @@ def embedding_dup_pairs(
     distance shares at least one probe bucket w.h.p.), enumerate
     pairs per bucket, verify cosine >= threshold.
     Output: id_a, id_b, score, decision, tier='embedding'.
+
+    Scale shape (round-2 rework): ONLY (band_key, vec_id) rows — 16
+    bytes each — go through the banding shuffle; the multi-probe
+    explode previously replicated the full vector column ×(n_bits+1)
+    through the object store.  Vectors now reach the candidate pairs
+    via the same two hash-partitioned cogroups the MinHash verify
+    stage uses (attach emb_a by id_a, then attach emb_b + cosine by
+    id_b): the embedding table streams through exactly twice,
+    unreplicated, regardless of n_bits.
     """
     seed = cfg.seed
+    P = cfg.join_num_partitions
 
     def explode(t: pa.Table) -> pa.Table:
         m = _normalize_rows(_emb_matrix(t[emb_col]))
@@ -155,30 +165,109 @@ def embedding_dup_pairs(
             all_codes.append(codes ^ (np.uint64(1) << np.uint64(b)))
         band_key = np.concatenate(all_codes).astype(np.int64)
         doc_id = np.tile(ids, n_bits + 1)
-        emb_rep = pa.chunked_array([t[emb_col].combine_chunks()] * (n_bits + 1))
-        return pa.table({"band_key": pa.array(band_key), "doc_id": pa.array(doc_id),
-                         "emb": emb_rep})
+        return pa.table({"band_key": pa.array(band_key), "doc_id": pa.array(doc_id)})
 
     keyed = embeddings.map_batches(explode, batch_format="pyarrow")
 
     def gen(df: pd.DataFrame) -> pd.DataFrame:
         p = _pairs_from_groups(df, "band_key", cfg.max_block_pairs)
-        if len(p) == 0:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        ea = _normalize_rows(_emb_matrix(p["emb_a"]))
-        eb = _normalize_rows(_emb_matrix(p["emb_b"]))
-        cos = (ea * eb).sum(axis=1)
-        p = p.assign(score=np.round(cos, 6))[cos >= cos_threshold]
-        return p[["id_a", "id_b", "score"]].drop_duplicates(["id_a", "id_b"])
+        # dedup within the partition; the global dedup happens in the
+        # attach_a cogroup below (partitioned by id_a — all copies of
+        # a pair land together), as in minhash_candidate_pairs
+        return p[["id_a", "id_b"]].drop_duplicates()
 
-    raw = partition_apply(keyed, ["band_key"], cfg.join_num_partitions, gen)
+    pairs = partition_apply(keyed, ["band_key"], P, gen)
 
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["id_a", "id_b"]).copy()
-        df["decision"] = "match"
-        df["tier"] = "embedding"
-        return df
+    # normalized vectors as fixed_size_list<double> — zero-copy numpy
+    # view inside the cogroup merges
+    def norm_tbl(t: pa.Table) -> pa.Table:
+        m = _normalize_rows(_emb_matrix(t[emb_col]))
+        n, d = m.shape
+        fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), pa.float64()), d
+        )
+        return pa.table({"vec_id": t[id_col], "emb": fsl})
 
-    return partition_apply(raw, ["id_a", "id_b"], cfg.join_num_partitions, dedup)
+    vecs = embeddings.map_batches(norm_tbl, batch_format="pyarrow")
+
+    def _dim(r: pa.Table) -> int:
+        return r.schema.field("emb").type.list_size
+
+    def _emb_mat(col, d: int) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), d)
+
+    def _gather(ids: np.ndarray, r_ids: np.ndarray, r_mat: np.ndarray):
+        order = np.argsort(r_ids, kind="stable")
+        srt = r_ids[order]
+        pos = np.searchsorted(srt, ids)
+        pos_c = np.minimum(pos, len(srt) - 1) if len(srt) else pos
+        mask = (srt[pos_c] == ids) if len(srt) else np.zeros(len(ids), bool)
+        idx = order[pos_c[mask]] if len(srt) else np.empty(0, np.int64)
+        return mask, r_mat[idx]
+
+    def attach_a(l: pa.Table, r: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "emb_a": pa.array([], pa.list_(pa.float64())),
+        })
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        uniq = np.unique(
+            np.stack([l["id_a"].to_numpy(), l["id_b"].to_numpy()], axis=1), axis=0
+        )
+        ia, ib = uniq[:, 0], uniq[:, 1]
+        d = _dim(r)
+        mask, rows = _gather(ia, r["vec_id"].to_numpy(), _emb_mat(r["emb"], d))
+        n = int(mask.sum())
+        offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+        return pa.table({
+            "id_a": pa.array(ia[mask]), "id_b": pa.array(ib[mask]),
+            "emb_a": pa.ListArray.from_arrays(
+                offsets, pa.array(rows.reshape(-1), pa.float64())
+            ),
+        })
+
+    with_a = cogroup_apply(pairs, vecs, ["id_a"], ["vec_id"], P, attach_a,
+                           batch_format="pyarrow")
+
+    def attach_b_score(l: pa.Table, r: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "decision": pa.array([], pa.string()), "tier": pa.array([], pa.string()),
+        })
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        d = _dim(r)
+        ib = l["id_b"].to_numpy()
+        mask, eb = _gather(ib, r["vec_id"].to_numpy(), _emb_mat(r["emb"], d))
+        kept = l.filter(pa.array(mask))
+        ea_col = kept["emb_a"]
+        if isinstance(ea_col, pa.ChunkedArray):
+            ea_col = ea_col.combine_chunks()
+        ea = ea_col.flatten().to_numpy(zero_copy_only=False).reshape(len(kept), d)
+        cos = np.round((ea * eb).sum(axis=1), 6)
+        keep = cos >= cos_threshold
+        return pa.table({
+            "id_a": pa.array(kept["id_a"].to_numpy()[keep]),
+            "id_b": pa.array(kept["id_b"].to_numpy()[keep]),
+            "score": pa.array(cos[keep]),
+            "decision": pa.array(np.full(int(keep.sum()), "match"), pa.string()),
+            "tier": pa.array(np.full(int(keep.sum()), "embedding"), pa.string()),
+        })
+
+    out = cogroup_apply(with_a, vecs, ["id_b"], ["vec_id"], P, attach_b_score,
+                        batch_format="pyarrow")
+    # schema anchor: when EVERY partition is empty the shuffle yields
+    # column-less blocks and the Dataset loses its schema — union one
+    # typed zero-row table so consumers always see the 5 columns
+    import ray.data as rd
+
+    anchor = rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+        "decision": pa.array([], pa.string()), "tier": pa.array([], pa.string()),
+    }))
+    return anchor.union(out)

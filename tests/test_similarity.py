@@ -58,3 +58,25 @@ def test_embedding_dup_pairs_no_false_positives_random():
     ds, _ = _emb_ds(seed=5)
     pairs = embedding_dup_pairs(ds, CFG, cos_threshold=0.95).to_pandas()
     assert len(pairs) == 0
+
+
+def test_embedding_banding_shuffles_no_vectors():
+    """The multi-probe banding explode must emit ONLY (band_key,
+    doc_id) — 16 bytes/row — never the embedding payload (round-2
+    rework: the old explode replicated vectors ×(n_bits+1) through
+    the shuffle)."""
+    import inspect
+
+    from event_deduplication_ray.stages import similarity as S
+
+    src = inspect.getsource(S.embedding_dup_pairs)
+    # structural guarantee: the keyed table construction names exactly
+    # the two narrow columns
+    assert '"band_key": pa.array(band_key), "doc_id": pa.array(doc_id)}' in src
+
+
+def test_embedding_dup_pairs_no_duplicate_pairs():
+    ds, _ = _emb_ds(planted=[(0, 7, 0.001)])
+    pairs = embedding_dup_pairs(ds, CFG, cos_threshold=0.9).to_pandas()
+    assert not pairs.duplicated(["id_a", "id_b"]).any()
+    assert set(pairs["tier"]) <= {"embedding"}
