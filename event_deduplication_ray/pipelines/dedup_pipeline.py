@@ -98,8 +98,17 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
     )
 
     def minhash_branch():
-        cands = minhash_candidate_pairs(sigs, cfg, pre_fn=make_minhash_explode(cfg))
-        return verify_pairs(cands, sigs, cfg)
+        # fully chained: band-split → pair-gen (emits pre-split by
+        # id_a) → attach_a (emits pre-split by id_b) → attach_b; the
+        # folded signature table is shuffled ONCE and feeds both
+        # cogroups.  One submission, zero driver barriers inside.
+        from event_deduplication_ray.stages.verify import folded_sigs_by_id
+
+        sigs_by_id = folded_sigs_by_id(sigs, cfg)
+        cands = minhash_candidate_pairs(
+            sigs, cfg, pre_fn=make_minhash_explode(cfg), out_keys=["id_a"]
+        )
+        return verify_pairs(cands, None, cfg, sigs_by_id=sigs_by_id)
 
     def simhash_branch():
         return simhash_match_pairs(sigs, cfg, pre_fn=make_simhash_explode(cfg))

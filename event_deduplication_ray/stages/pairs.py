@@ -67,8 +67,8 @@ def _pairs_from_groups(df: pd.DataFrame, key: str, cap: int) -> pd.DataFrame:
 
 
 def minhash_candidate_pairs(
-    band_table: Dataset, cfg: DedupConfig, pre_fn=None
-) -> Dataset:
+    band_table: Dataset, cfg: DedupConfig, pre_fn=None, out_keys=None
+):
     """(band_key, doc_id) → (id_a, id_b) candidate pairs.
 
     Pairs are deduped within each band partition only; the global
@@ -76,6 +76,9 @@ def minhash_candidate_pairs(
     verification stage's first cogroup, which partitions by id_a —
     all copies of a pair land in the same partition there (one fewer
     all-to-all than a dedicated distinct pass).
+
+    ``out_keys=["id_a"]`` chains the output pre-split for that cogroup
+    (returns Shuffled; no barrier between pair-gen and verify).
     """
     cap = cfg.max_block_pairs
     P = cfg.join_num_partitions
@@ -86,7 +89,8 @@ def minhash_candidate_pairs(
         # collides in many bands) — shrinks the shuffle into verify
         return p[["id_a", "id_b"]].drop_duplicates()
 
-    return partition_apply(band_table, ["band_key"], P, gen, pre_fn=pre_fn)
+    return partition_apply(band_table, ["band_key"], P, gen, pre_fn=pre_fn,
+                           out_keys=out_keys)
 
 
 def simhash_match_pairs(
@@ -114,7 +118,10 @@ def simhash_match_pairs(
         p = p.assign(score=1.0 - d / bits)[d <= radius]
         return p[["id_a", "id_b", "score"]].drop_duplicates(["id_a", "id_b"])
 
-    raw = partition_apply(sim_band_table, ["band_key"], P, gen, pre_fn=pre_fn)
+    # chained: gen's merge tasks emit pre-split by (id_a, id_b) — the
+    # dedup wave starts per-partition with no driver barrier
+    raw = partition_apply(sim_band_table, ["band_key"], P, gen, pre_fn=pre_fn,
+                          out_keys=["id_a", "id_b"])
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("score", ascending=False).drop_duplicates(["id_a", "id_b"])
@@ -195,7 +202,8 @@ def substring_match_pairs(
             shared=("na", "size"), na=("na", "first"), nb=("nb", "first")
         )
 
-    shared_rows = partition_apply(fp_table, ["fp_key"], P, gen, pre_fn=pre_fn)
+    shared_rows = partition_apply(fp_table, ["fp_key"], P, gen, pre_fn=pre_fn,
+                                  out_keys=["id_a", "id_b"])
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         g = (
@@ -258,7 +266,8 @@ def ngram_jaccard_match_pairs(
             shared=("na", "size"), na=("na", "first"), nb=("nb", "first")
         )
 
-    shared_rows = partition_apply(fp_table, ["fp_key"], P, gen, pre_fn=pre_fn)
+    shared_rows = partition_apply(fp_table, ["fp_key"], P, gen, pre_fn=pre_fn,
+                                  out_keys=["id_a", "id_b"])
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

@@ -33,6 +33,7 @@ escape hatch is local to this module.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Callable
 
 import numpy as np
@@ -43,6 +44,36 @@ import ray
 from ray.data import Dataset
 
 _PART_COL = "__part"
+
+
+@dataclass
+class Shuffled:
+    """Handle to an already-shuffled ref matrix: ``refs[p]`` is the
+    list of sub-table ObjectRefs whose rows hash to partition ``p`` of
+    ``num_parts`` under ``key_cols``.
+
+    This is the barrier-free chaining primitive: a merge task can
+    partition its OUTPUT by the next stage's key (``out_keys``) and
+    return a Shuffled instead of a Dataset, so consecutive wide stages
+    chain as one Ray task DAG — the driver submits everything up
+    front and never blocks between waves (the round-1 profile showed
+    ~7 s of serial per-wave scheduling across the flagship's shuffle
+    barriers; see BASELINE.md "Scaling").
+    """
+
+    refs: list          # list[list[ray.ObjectRef]]
+    key_cols: list
+    num_parts: int
+
+    def to_dataset(self) -> Dataset:
+        import ray.data as rd
+
+        merge = ray.remote(_concat_tables_task)
+        return rd.from_arrow_refs([merge.remote(*p) for p in self.refs])
+
+
+def _concat_tables_task(*tables: pa.Table) -> pa.Table:
+    return _concat(list(tables))
 
 
 def _key_to_part(arrs: list[np.ndarray], num_parts: int) -> np.ndarray:
@@ -72,6 +103,19 @@ def with_partition_col(ds: Dataset, key_cols: list[str], num_parts: int) -> Data
     return ds.map_batches(add_part, batch_format="pyarrow")
 
 
+def _split_table(block: pa.Table, key_cols: list[str], num_parts: int) -> list[pa.Table]:
+    """One table → P sub-tables by key hash (1 take + zero-copy slices)."""
+    if len(block) == 0 or len(block.column_names) == 0:
+        return [block] * num_parts
+    arrs = [block[c].to_numpy(zero_copy_only=False) for c in key_cols]
+    pid = _key_to_part(arrs, num_parts)
+    order = np.argsort(pid, kind="stable")
+    tbl = block.take(pa.array(order))
+    sorted_pid = pid[order]
+    bounds = np.searchsorted(sorted_pid, np.arange(num_parts + 1))
+    return [tbl.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(num_parts)]
+
+
 def _split_blocks(
     key_cols: list[str], num_parts: int, pre_fn, *blocks: pa.Table
 ) -> list[pa.Table]:
@@ -85,15 +129,7 @@ def _split_blocks(
     block = _concat(list(blocks))
     if pre_fn is not None and len(block.column_names):
         block = pre_fn(block)
-    if len(block) == 0 or len(block.column_names) == 0:
-        return [block] * num_parts
-    arrs = [block[c].to_numpy(zero_copy_only=False) for c in key_cols]
-    pid = _key_to_part(arrs, num_parts)
-    order = np.argsort(pid, kind="stable")
-    tbl = block.take(pa.array(order))
-    sorted_pid = pid[order]
-    bounds = np.searchsorted(sorted_pid, np.arange(num_parts + 1))
-    return [tbl.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(num_parts)]
+    return _split_table(block, key_cols, num_parts)
 
 
 def _shuffle_refs(
@@ -126,14 +162,65 @@ def _concat(tables: list[pa.Table]) -> pa.Table:
     return pa.concat_tables(nonempty, promote_options="default")
 
 
+def _input_parts(
+    ds, key_cols: list[str], num_parts: int, pre_fn=None
+) -> list:
+    """Ref matrix for a Dataset (split wave) or a Shuffled (reuse —
+    must already be partitioned by the same keys and P)."""
+    if isinstance(ds, Shuffled):
+        if ds.key_cols != list(key_cols) or ds.num_parts != num_parts:
+            raise ValueError(
+                f"Shuffled({ds.key_cols}, {ds.num_parts}) cannot feed a "
+                f"stage keyed on {key_cols} x{num_parts}"
+            )
+        if pre_fn is not None:
+            raise ValueError("pre_fn is a split-task fusion; Shuffled input has no split task")
+        return ds.refs
+    return _shuffle_refs(ds, key_cols, num_parts, pre_fn=pre_fn)
+
+
+def shuffle_to(ds, key_cols: list[str], num_parts: int, pre_fn=None) -> Shuffled:
+    """Explicit shuffle of a Dataset into a reusable Shuffled handle —
+    use when SEVERAL downstream stages consume the same partitioning
+    (e.g. the folded signature table feeding both verify cogroups):
+    the split wave runs once instead of per consumer."""
+    return Shuffled(
+        _shuffle_refs(ds, key_cols, num_parts, pre_fn=pre_fn),
+        list(key_cols), num_parts,
+    )
+
+
+def _wrap_fn(fn: Callable, batch_format: str) -> Callable:
+    if batch_format == "pandas":
+        def apply(t: pa.Table) -> pa.Table:
+            if len(t.column_names) == 0:
+                return t
+            out = fn(t.to_pandas())
+            return pa.Table.from_pandas(out, preserve_index=False)
+    else:
+        def apply(t: pa.Table) -> pa.Table:
+            if len(t.column_names) == 0:
+                return t
+            return fn(t)
+    return apply
+
+
+def _transpose(outs: list, out_parts: int) -> list:
+    if out_parts == 1:
+        outs = [[o] for o in outs]
+    return [[outs[i][q] for i in range(len(outs))] for q in range(out_parts)]
+
+
 def partition_apply(
-    ds: Dataset,
+    ds,
     key_cols: list[str],
     num_parts: int,
     fn: Callable,
     batch_format: str = "pandas",
     pre_fn: Callable | None = None,
-) -> Dataset:
+    out_keys: list[str] | None = None,
+    out_parts: int | None = None,
+):
     """Hash-shuffle by key_cols into num_parts partitions and apply a
     vectorized function to each whole partition.
 
@@ -143,35 +230,42 @@ def partition_apply(
     ``batch_format="pyarrow"`` when rows carry list columns
     (signatures) that must not round-trip through pandas object dtype.
 
-    Executes the upstream eagerly (to_arrow_refs) — call at stage
-    boundaries, which is where every wide operator in this engine sits.
+    ``ds`` may be a Dataset (a split wave shuffles it) or a Shuffled
+    from an upstream stage (refs feed the merge tasks directly — no
+    split wave, no driver barrier).
+
+    With ``out_keys`` the merge tasks ALSO partition their output by
+    those keys into ``out_parts`` sub-tables and the call returns a
+    Shuffled for the next stage — consecutive wide stages then chain
+    as one Ray DAG with zero driver-side barriers (the round-1 serial
+    scheduling term).  Without it, returns a Dataset
+    (from_arrow_refs).
     """
     import ray.data as rd
 
-    parts = _shuffle_refs(ds, key_cols, num_parts, pre_fn=pre_fn)
+    parts = _input_parts(ds, key_cols, num_parts, pre_fn=pre_fn)
+    apply = _wrap_fn(fn, batch_format)
 
-    if batch_format == "pandas":
+    if out_keys is None:
         def merge_apply(*tables) -> pa.Table:
-            t = _concat(list(tables))
-            if len(t.column_names) == 0:
-                return t
-            out = fn(t.to_pandas())
-            return pa.Table.from_pandas(out, preserve_index=False)
-    else:
-        def merge_apply(*tables) -> pa.Table:
-            t = _concat(list(tables))
-            if len(t.column_names) == 0:
-                return t
-            return fn(t)
+            return apply(_concat(list(tables)))
 
-    merge = ray.remote(merge_apply)
-    out_refs = [merge.remote(*p) for p in parts]
-    return rd.from_arrow_refs(out_refs)
+        merge = ray.remote(merge_apply)
+        return rd.from_arrow_refs([merge.remote(*p) for p in parts])
+
+    op = out_parts or num_parts
+
+    def merge_split(*tables) -> list[pa.Table]:
+        return _split_table(apply(_concat(list(tables))), out_keys, op)
+
+    merge = ray.remote(num_returns=op)(merge_split)
+    outs = [merge.remote(*p) for p in parts]
+    return Shuffled(_transpose(outs, op), list(out_keys), op)
 
 
 def cogroup_apply(
-    left: Dataset,
-    right: Dataset,
+    left,
+    right,
     left_key: list[str],
     right_key: list[str],
     num_parts: int,
@@ -179,7 +273,9 @@ def cogroup_apply(
     batch_format: str = "pandas",
     left_schema: "pa.Schema | None" = None,
     right_schema: "pa.Schema | None" = None,
-) -> Dataset:
+    out_keys: list[str] | None = None,
+    out_parts: int | None = None,
+):
     """Co-partition two datasets on their keys and apply ``fn(l, r)``
     per partition (a fully parallel partitioned hash join / cogroup).
 
@@ -189,29 +285,44 @@ def cogroup_apply(
     ``fn`` must return a pa.Table.  The *_schema parameters are unused
     (kept for call-site compatibility with the former union-based
     implementation).
+
+    Either side may be a Shuffled (see partition_apply) — in
+    particular a small side shuffled ONCE via ``shuffle_to`` and
+    reused across several cogroups.  ``out_keys``/``out_parts`` chain
+    the output into the next shuffle without a barrier.
     """
     import ray.data as rd
 
     del left_schema, right_schema
-    l_parts = _shuffle_refs(left, left_key, num_parts)
-    r_parts = _shuffle_refs(right, right_key, num_parts)
+    l_parts = _input_parts(left, left_key, num_parts)
+    r_parts = _input_parts(right, right_key, num_parts)
 
     if batch_format == "pandas":
-        def merge_apply(n_left: int, *tables) -> pa.Table:
-            lt = _concat(list(tables[:n_left]))
-            rt = _concat(list(tables[n_left:]))
+        def apply2(lt: pa.Table, rt: pa.Table) -> pa.Table:
             l = lt.to_pandas() if len(lt.column_names) else pd.DataFrame()
             r = rt.to_pandas() if len(rt.column_names) else pd.DataFrame()
-            out = fn(l, r)
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return pa.Table.from_pandas(fn(l, r), preserve_index=False)
     else:
-        def merge_apply(n_left: int, *tables) -> pa.Table:
-            lt = _concat(list(tables[:n_left]))
-            rt = _concat(list(tables[n_left:]))
+        def apply2(lt: pa.Table, rt: pa.Table) -> pa.Table:
             return fn(lt, rt)
 
-    merge = ray.remote(merge_apply)
-    out_refs = [
-        merge.remote(len(lp), *lp, *rp) for lp, rp in zip(l_parts, r_parts)
-    ]
-    return rd.from_arrow_refs(out_refs)
+    if out_keys is None:
+        def merge_apply(n_left: int, *tables) -> pa.Table:
+            return apply2(_concat(list(tables[:n_left])),
+                          _concat(list(tables[n_left:])))
+
+        merge = ray.remote(merge_apply)
+        return rd.from_arrow_refs(
+            [merge.remote(len(lp), *lp, *rp) for lp, rp in zip(l_parts, r_parts)]
+        )
+
+    op = out_parts or num_parts
+
+    def merge_split(n_left: int, *tables) -> list[pa.Table]:
+        out = apply2(_concat(list(tables[:n_left])),
+                     _concat(list(tables[n_left:])))
+        return _split_table(out, out_keys, op)
+
+    merge = ray.remote(num_returns=op)(merge_split)
+    outs = [merge.remote(len(lp), *lp, *rp) for lp, rp in zip(l_parts, r_parts)]
+    return Shuffled(_transpose(outs, op), list(out_keys), op)

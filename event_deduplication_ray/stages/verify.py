@@ -23,7 +23,7 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from event_deduplication_ray.config import DedupConfig
-from event_deduplication_ray.stages.shuffle import cogroup_apply
+from event_deduplication_ray.stages.shuffle import Shuffled, cogroup_apply, shuffle_to
 
 
 def _sig_matrix(col: pd.Series) -> np.ndarray:
@@ -64,7 +64,38 @@ def _gather_sigs(
     return mask, sig_mat[idx]
 
 
-def verify_pairs(pairs: Dataset, signatures: Dataset, cfg: DedupConfig) -> Dataset:
+def folded_sigs_by_id(signatures: Dataset, cfg: DedupConfig) -> Shuffled:
+    """Folded (uint8) signature table shuffled ONCE by doc_id — reuse
+    this handle for both verify cogroups (and any other consumer
+    keyed on doc_id): one split wave instead of one per consumer.
+    The fold runs INSIDE the split tasks (pre_fn) so no intermediate
+    folded table ever materializes."""
+    width = cfg.num_perms
+
+    def to_folded(t: pa.Table) -> pa.Table:
+        if "minhash" not in t.column_names:
+            return t
+        col = t["minhash"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        folded = (flat & np.uint64(0xFF)).astype(np.uint8)
+        offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
+        var = pa.ListArray.from_arrays(offsets, pa.array(folded, pa.uint8()))
+        return pa.table({"doc_id": t["doc_id"], "sig8": var})
+
+    # no select_columns: the pre_fn projects inside the split task, so
+    # passing the materialized table avoids a separate projection wave
+    # (blocks are read zero-copy from the local object store)
+    return shuffle_to(signatures, ["doc_id"], cfg.join_num_partitions,
+                      pre_fn=to_folded)
+
+
+def verify_pairs(
+    pairs, signatures: Dataset | None, cfg: DedupConfig,
+    sigs_by_id: Shuffled | None = None,
+) -> Dataset:
     """(id_a, id_b) + signatures → (id_a, id_b, score, decision, tier).
 
     Pure-Arrow cogroups: signature columns never round-trip through
@@ -72,6 +103,11 @@ def verify_pairs(pairs: Dataset, signatures: Dataset, cfg: DedupConfig) -> Datas
     searchsorted-gather over the zero-copy (n, P) signature matrix.
     Pairs whose doc ids are missing from the signature table (filtered
     upstream) are dropped.
+
+    ``pairs`` may be a Dataset or a Shuffled pre-partitioned by id_a
+    (chained from the candidate generator — no barrier); pass
+    ``sigs_by_id`` (from folded_sigs_by_id) to reuse one signature
+    split wave across both cogroups.
     """
     P = cfg.join_num_partitions
     width = cfg.num_perms
@@ -83,28 +119,8 @@ def verify_pairs(pairs: Dataset, signatures: Dataset, cfg: DedupConfig) -> Datas
     # w.p. 1/256, so the score bias is +(1-J)/256 <= 0.004 — far
     # inside the decision margins — while the shuffle moves 8x fewer
     # signature bytes (memory traffic bounds scaling here).
-    def to_folded(t: pa.Table) -> pa.Table:
-        col = t["minhash"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        n = len(col)
-        flat = col.flatten().to_numpy(zero_copy_only=False)
-        folded = (flat & np.uint64(0xFF)).astype(np.uint8)
-        offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
-        var = pa.ListArray.from_arrays(offsets, pa.array(folded, pa.uint8()))
-        return pa.table({"doc_id": t["doc_id"], "sig8": var})
-
-    sigs = signatures.select_columns(["doc_id", "minhash"]).map_batches(
-        to_folded, batch_format="pyarrow"
-    )
-    sig_schema = pa.schema(
-        [("doc_id", pa.int64()), ("sig8", pa.list_(pa.uint8()))]
-    )
-    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    with_a_schema = pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64()),
-         ("sig8", pa.list_(pa.uint8()))]
-    )
+    if sigs_by_id is None:
+        sigs_by_id = folded_sigs_by_id(signatures, cfg)
 
     empty_a = pa.table({
         "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
@@ -133,9 +149,10 @@ def verify_pairs(pairs: Dataset, signatures: Dataset, cfg: DedupConfig) -> Datas
             ),
         })
 
-    with_a = cogroup_apply(pairs, sigs, ["id_a"], ["doc_id"], P, attach_a,
-                           batch_format="pyarrow",
-                           left_schema=pair_schema, right_schema=sig_schema)
+    # output chained pre-split by id_b: the second cogroup starts as
+    # soon as each partition's attach_a task finishes — no barrier
+    with_a = cogroup_apply(pairs, sigs_by_id, ["id_a"], ["doc_id"], P, attach_a,
+                           batch_format="pyarrow", out_keys=["id_b"])
 
     empty_out = pa.table({
         "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
@@ -158,9 +175,8 @@ def verify_pairs(pairs: Dataset, signatures: Dataset, cfg: DedupConfig) -> Datas
             "tier": pa.array(np.full(len(score), "minhash"), pa.string()),
         })
 
-    return cogroup_apply(with_a, sigs, ["id_b"], ["doc_id"], P,
-                         attach_b_and_score, batch_format="pyarrow",
-                         left_schema=with_a_schema, right_schema=sig_schema)
+    return cogroup_apply(with_a, sigs_by_id, ["id_b"], ["doc_id"], P,
+                         attach_b_and_score, batch_format="pyarrow")
 
 
 def match_edges(verified: Dataset, cfg: DedupConfig) -> Dataset:
