@@ -62,7 +62,12 @@ def run_flagship(corpus_dir: str, repeats: int = 2) -> float:
     from event_deduplication_ray.config import DedupConfig
     from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
 
-    cfg = DedupConfig(use_substring=True, use_simhash=True, join_num_partitions=max(16, NCPU))
+    # P = 2x cores: one task per core leaves the wave tail to the
+    # slowest partition (measured 18.6s vs 16.4s at 500k/32cpu);
+    # beyond ~2x the O(P^2) shuffle object count dominates (measured
+    # 37s+ at P>=96).
+    cfg = DedupConfig(use_substring=True, use_simhash=True,
+                      join_num_partitions=max(16, 2 * NCPU))
     wd = F.materialize_corpus(CORPUS_ROOT, 1000, seed=42)
     assert dedup_path(f"{wd}/docs", cfg).assignments.count() > 0   # warmup
 
@@ -160,7 +165,16 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    # INTERLEAVED lo/hi runs, best per level: this host's wall time
+    # for an identical config drifts up to 2x across a session
+    # (virtualized memory; measured 32s -> 56s for the same run), so
+    # adjacent-in-time pairs + min are the only honest comparison
     r_lo, r_hi = run(lo), run(hi)
+    r_lo2, r_hi2 = run(lo), run(hi)
+    if r_lo2["value"] < r_lo["value"]:
+        r_lo = r_lo2
+    if r_hi2["value"] < r_hi["value"]:
+        r_hi = r_hi2
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     kern = kernel_scaling(lo, hi)
     print(json.dumps({

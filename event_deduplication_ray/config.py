@@ -40,8 +40,16 @@ class DedupConfig:
     # enumeration (O(n) pairs, connectivity-preserving) and are counted
     # in stage metrics as "salted" groups.
 
-    # --- clustering guards (reference coherence validator analog, C2) ---
+    # --- clustering guards (reference coherence validator analog, C2,
+    # /root/reference/src/event_dedup/clustering/coherence.py:16-65:
+    # avg internal edge weight < 0.40 or date spread -> needs_review) ---
     max_cluster_size: int = 1000  # clusters above this get needs_review=True
+    # mean intra-cluster edge score below this flags needs_review;
+    # None skips the (extra-cogroup) confidence pass
+    coherence_min_confidence: float | None = None
+    # first_ts..last_ts spread beyond this many days flags needs_review
+    # (re-keyed from the reference's ">3 distinct dates"); None = off
+    coherence_max_ts_spread_days: float | None = None
     max_cc_rounds: int = 12       # hash-to-min iteration cap (log2 diameter)
     cc_driver_edge_limit: int = 5_000_000  # contracted edges below this finish on the driver
 

@@ -48,6 +48,7 @@ class DedupResult:
     edges: Dataset             # match-decision pairs (all tiers)
     assignments: Dataset       # doc_id, cluster_id (incl. singletons)
     canonical: Dataset         # one row per cluster
+    rejected: Dataset | None = None  # dead-letter rows (doc_id, url, reject_reason)
     metrics: dict = field(default_factory=dict)
 
 
@@ -147,6 +148,18 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
     joined = join_meta_labels(meta, labels, cfg).materialize()
     assignments = joined.select_columns(["doc_id", "cluster_id"])
     canonical = synthesize_joined(joined, cfg)
+    if cfg.coherence_min_confidence is not None:
+        # C2 coherence validator: mean intra-cluster MATCH-edge score
+        # joined into canonical; low-coherence clusters flagged
+        from event_deduplication_ray.stages.synthesize import (
+            attach_coherence,
+            cluster_confidence,
+        )
+
+        confidence = cluster_confidence(edges, assignments, cfg)
+        canonical = attach_coherence(canonical, confidence, cfg)
+
+    from event_deduplication_ray.stages.extract import rejected_stage
 
     return DedupResult(
         docs=extracted_lazy,
@@ -155,6 +168,7 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
         edges=edges,
         assignments=assignments,
         canonical=canonical,
+        rejected=rejected_stage(docs, cfg),   # lazy; pays only if consumed
     )
 
 
@@ -175,7 +189,13 @@ def dedup_path_resumable(
     cfg = cfg or DedupConfig()
     rs = RunState(run_dir, cfg, path)
 
+    from event_deduplication_ray.stages.extract import rejected_stage
+
     extracted = rs.stage("extracted", lambda: extract_stage(read_docs(path), cfg))
+    # dead-letter table: malformed rows land in {run_dir}/_rejected
+    # with a reason column; count recorded in the manifest (reference
+    # dead-letter dir, ingestion/file_processor.py:259-283)
+    rejected = rs.stage("_rejected", lambda: rejected_stage(read_docs(path), cfg))
     sigs = rs.stage("signatures", lambda: signature_stage(extracted, cfg))
 
     def compute_edges() -> Dataset:
@@ -210,11 +230,12 @@ def dedup_path_resumable(
         "canonical", lambda: synthesize_clusters(extracted, assignments, cfg)
     )
     rs.record_metric("n_docs", rs.manifest["stages"]["extracted"]["rows"])
+    rs.record_metric("n_rejected", rs.manifest["stages"]["_rejected"]["rows"])
     rs.record_metric("n_edges", rs.manifest["stages"]["edges"]["rows"])
     rs.record_metric("n_clusters", rs.manifest["stages"]["canonical"]["rows"])
 
     return DedupResult(
         docs=extracted, signatures=sigs, verified_pairs=edges, edges=edges,
-        assignments=assignments, canonical=canonical,
+        assignments=assignments, canonical=canonical, rejected=rejected,
         metrics=dict(rs.manifest["metrics"]),
     )

@@ -111,7 +111,25 @@ def connected_components(edges: Dataset, cfg: DedupConfig) -> Dataset:
 
     P = cfg.join_num_partitions
 
-    star = local_unionfind_contract(edges).materialize()
+    # two-level contraction: per-block union-find (map), then a
+    # second union-find per hash partition of u — the same node's
+    # star edges from different blocks co-locate and collapse, so the
+    # table entering the driver (or the iterative rounds) is ~one row
+    # per node instead of one per (block, node) (measured 4.1M → the
+    # driver collect + UF was the dominant serial term at 500k docs).
+    def contract_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        nodes, roots = union_find_contract(
+            t["u"].to_numpy(), t["v"].to_numpy()
+        )
+        return pa.table({"u": pa.array(nodes), "v": pa.array(roots)})
+
+    star = partition_apply(
+        local_unionfind_contract(edges), ["u"], P, contract_part,
+        batch_format="pyarrow",
+    ).materialize()
     n_star = star.count()
     if n_star == 0:
         # duplicate-free input: no edges at all — every doc becomes a

@@ -72,6 +72,26 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
         norm_arr = pa.array(norm, pa.string())
     if isinstance(text_arr, pa.ChunkedArray):
         text_arr = text_arr.combine_chunks()
+
+    # dead-letter reasons (reference: failed files land in a
+    # dead-letter dir with a failure row,
+    # /root/reference/src/event_dedup/ingestion/file_processor.py:259-283).
+    # A malformed row is tagged, EXCLUDED from the pipeline output, and
+    # routed to the run's _rejected table — never silently folded into
+    # a singleton cluster.
+    html_col = batch["html"]
+    html_len = pc.fill_null(pc.binary_length(html_col), 0)
+    empty_html = pc.less_equal(html_len, 0)
+    empty_extract = pc.and_(
+        pc.greater(html_len, 0),
+        pc.less_equal(pc.utf8_length(pc.fill_null(text_arr, "")), 0),
+    )
+    reason = pc.if_else(
+        empty_html, pa.scalar("empty_html", pa.string()),
+        pc.if_else(empty_extract, pa.scalar("empty_extraction", pa.string()),
+                   pa.scalar(None, pa.string())),
+    )
+
     cols: dict[str, pa.Array | pa.ChunkedArray] = {
         "doc_id": pa.array(doc_ids_for_urls(urls), pa.int64()),
         "url": batch["url"],
@@ -81,26 +101,61 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
         "text": text_arr,
         "text_len": pc.cast(pc.utf8_length(text_arr), pa.int64()),
         "text_norm": norm_arr,
+        "reject_reason": reason,
     }
     return pa.table(cols)
 
 
-def extract_stage(docs: Dataset, cfg: DedupConfig, batch_size: int = 1024) -> Dataset:
+def extract_stage(
+    docs: Dataset, cfg: DedupConfig, batch_size: int = 1024,
+    keep_rejected: bool = False,
+) -> Dataset:
+    """Extraction + validity gate.  Malformed rows (see extract_batch)
+    are dropped from the main flow — use ``rejected_stage`` (or
+    ``keep_rejected=True`` to keep the tag column) to consume them."""
     import functools
+
+    import pyarrow.compute as pc
 
     out = docs.map_batches(
         functools.partial(extract_batch, cfg=cfg),
         batch_format="pyarrow", batch_size=batch_size,
     )
+    if not keep_rejected:
+        def ok_gate(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_null(t["reject_reason"])).drop_columns(
+                ["reject_reason"]
+            )
+
+        out = out.map_batches(ok_gate, batch_format="pyarrow")
     if cfg.langs:
         langs = set(cfg.langs)
 
         def lang_gate(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
             return t.filter(pc.is_in(t["lang"], value_set=pa.array(sorted(langs))))
 
         out = out.map_batches(lang_gate, batch_format="pyarrow")
     return out
+
+
+def rejected_stage(docs: Dataset, cfg: DedupConfig, batch_size: int = 1024) -> Dataset:
+    """The dead-letter subset: (doc_id, url, source, warc_ts,
+    reject_reason) for every malformed input row."""
+    import functools
+
+    import pyarrow.compute as pc
+
+    out = docs.map_batches(
+        functools.partial(extract_batch, cfg=cfg),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+
+    def bad_gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["reject_reason"])).select(
+            ["doc_id", "url", "source", "warc_ts", "reject_reason"]
+        )
+
+    return out.map_batches(bad_gate, batch_format="pyarrow")
 
 
 def normalize_only_stage(docs: Dataset, batch_size: int = 2048) -> Dataset:

@@ -77,14 +77,14 @@ def synthesize_joined(joined: Dataset, cfg: DedupConfig) -> Dataset:
     """Per-cluster synthesis from the pre-joined meta+labels table
     (see join_meta_labels); one shuffle by cluster_id."""
     P = cfg.join_num_partitions
-    strategy = cfg.representative_strategy
-    max_size = cfg.max_cluster_size
     return partition_apply(
-        joined, ["cluster_id"], P, _synth_fn(strategy, max_size)
+        joined, ["cluster_id"], P,
+        _synth_fn(cfg.representative_strategy, cfg.max_cluster_size,
+                  cfg.coherence_max_ts_spread_days),
     )
 
 
-def _synth_fn(strategy: str, max_size: int):
+def _synth_fn(strategy: str, max_size: int, max_spread_days: float | None = None):
     def synth(df: pd.DataFrame) -> pd.DataFrame:
         # order-insensitive representative choice with doc_id tie-break
         if strategy == "longest_text":
@@ -110,6 +110,11 @@ def _synth_fn(strategy: str, max_size: int):
         )
         out["first_ts_doc_id"] = first_idx
         out["needs_review"] = out["n_members"] > max_size
+        if max_spread_days is not None:
+            # coherence spread guard (reference coherence.py:16-65,
+            # re-keyed from ">3 distinct dates" to a crawl-ts window)
+            spread = (out["last_ts"] - out["first_ts"]).dt.total_seconds()
+            out["needs_review"] |= spread > max_spread_days * 86400.0
         out["strategy"] = strategy
         return out.reset_index()
 
@@ -142,7 +147,10 @@ def synthesize_clusters(
     joined = cogroup_apply(meta, assignments, ["doc_id"], ["doc_id"], P, attach,
                            right_schema=labels_schema)
 
-    return partition_apply(joined, ["cluster_id"], P, _synth_fn(strategy, max_size))
+    return partition_apply(
+        joined, ["cluster_id"], P,
+        _synth_fn(strategy, max_size, cfg.coherence_max_ts_spread_days),
+    )
 
 
 def cluster_confidence(
@@ -175,3 +183,33 @@ def cluster_confidence(
         )
 
     return partition_apply(with_cluster, ["cluster_id"], P, agg)
+
+
+def attach_coherence(
+    canonical: Dataset, confidence: Dataset, cfg: DedupConfig
+) -> Dataset:
+    """Join per-cluster match_confidence into the canonical table and
+    flag low-coherence clusters (reference C2 validator,
+    /root/reference/src/event_dedup/clustering/coherence.py:16-65:
+    avg internal edge weight < threshold → needs_review).
+
+    Singletons have no edges → confidence stays null and is NOT
+    flagged (a singleton is trivially coherent, matching the
+    reference's None)."""
+    P = cfg.join_num_partitions
+    thresh = cfg.coherence_min_confidence
+
+    def attach(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return l.assign(match_confidence=pd.Series(dtype="float64"))
+        if len(r) == 0:
+            m = l.assign(match_confidence=np.nan)
+        else:
+            m = l.merge(r, on="cluster_id", how="left")
+        if thresh is not None:
+            low = m["match_confidence"].notna() & (m["match_confidence"] < thresh)
+            m["needs_review"] = m["needs_review"] | low
+        return m
+
+    return cogroup_apply(canonical, confidence, ["cluster_id"], ["cluster_id"],
+                         P, attach)
