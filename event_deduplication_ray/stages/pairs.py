@@ -26,6 +26,23 @@ from event_deduplication_ray.functions.hashing import hamming_distance_u64
 from event_deduplication_ray.stages.shuffle import partition_apply
 
 
+def _chain_pairs(groups: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Consecutive-by-doc_id pairs within each key group, with the
+    same ``<col>_a/<col>_b`` column layout the self-merge produces."""
+    h = groups.sort_values([key, "doc_id"], kind="mergesort").reset_index(drop=True)
+    keys_np = h[key].to_numpy()
+    same = keys_np[:-1] == keys_np[1:]
+    idx = np.flatnonzero(same)
+    la = h.iloc[idx].reset_index(drop=True)
+    lb = h.iloc[idx + 1].reset_index(drop=True)
+    payload = [c for c in h.columns if c != key]
+    chain = pd.concat(
+        [la[payload].add_suffix("_a"), lb[payload].add_suffix("_b")], axis=1
+    )
+    chain[key] = la[key].to_numpy()
+    return chain
+
+
 def _pairs_from_groups(df: pd.DataFrame, key: str, cap: int) -> pd.DataFrame:
     """Vectorized within-partition pair enumeration.
 
@@ -60,6 +77,15 @@ def _pairs_from_groups(df: pd.DataFrame, key: str, cap: int) -> pd.DataFrame:
         hubs = hot.loc[idx]
         m2 = hubs.merge(hot, on=key, suffixes=("_a", "_b"))
         out.append(m2[m2["doc_id_a"] < m2["doc_id_b"]])
+        # + CHAIN pairing: consecutive members by doc_id.  The star
+        # alone disconnects a family when the hub happens to be
+        # DISSIMILAR to the members (adversarial hot band: boilerplate
+        # key collision where the min-id doc is an outlier — every
+        # hub edge fails verification).  Chain edges connect mutually
+        # similar members regardless of the hub, at O(g) extra pairs
+        # (north-rule skew handling; tested by the adversarial
+        # hot-band fixture).
+        out.append(_chain_pairs(hot, key))
     if not out:
         return _empty(df)
     res = pd.concat(out, ignore_index=True)
@@ -187,6 +213,8 @@ def substring_match_pairs(
                 a, b = f"{col}_a", f"{col}_b"
                 m2.loc[swap, [a, b]] = m2.loc[swap, [b, a]].to_numpy()
             outs.append(m2)
+            # chain fallback for a non-contained hub (see _chain_pairs)
+            outs.append(_chain_pairs(hot, "fp_key"))
         if not outs:
             return empty
         res = pd.concat(outs, ignore_index=True)
