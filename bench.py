@@ -263,8 +263,42 @@ def host_compute_scaling(lo: int, hi: int) -> dict:
             "efficiency": round((p_lo / p_hi) / (hi / lo), 3)}
 
 
+def ablation() -> None:
+    """Tier-ablation side-by-side (reference E6 analog): P/R/F1 +
+    wall time per candidate-tier config over one 50k-doc corpus."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray import fixtures as F
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.eval import tier_ablation
+
+    n = min(50_000, corpus_docs_for(SF_DIR))
+    d = F.materialize_corpus(CORPUS_ROOT, n, seed=42,
+                             base_texts=F.load_base_texts(SF_DIR))
+    gp = pq.read_table(f"{d}/golden_pairs.parquet")
+    cfg = DedupConfig(join_num_partitions=max(16, 2 * NCPU))
+    df = tier_ablation(f"{d}/docs", gp, base_cfg=cfg)
+    ray.shutdown()
+    print(json.dumps({"metric": "tier_ablation", "corpus_docs": n,
+                      "num_cpus": NCPU,
+                      "rows": df.to_dict(orient="records")}))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--ablation" in sys.argv:
+        ablation()
     else:
         main()

@@ -34,6 +34,18 @@ class DedupConfig:
     jaccard_no_match: float = 0.35    # <= -> "no_match"; between -> "ambiguous"
     ambiguous_is_match: bool = False  # MVP: ambiguous pairs are not edges
 
+    # --- per-domain threshold overrides (reference P5 analog,
+    # /root/reference/src/event_dedup/matching/config.py:128-132:
+    # per-category weight overrides + a priority list resolving which
+    # side's category wins).  Re-keyed to language: a pair whose two
+    # docs share a lang listed here uses that jaccard_match instead of
+    # the global one; when the langs differ, the first lang in
+    # lang_priority that carries an override wins; otherwise global.
+    # Empty tuple = feature off → the verify shuffle carries no lang
+    # column and the flagship path is byte-identical to before. ---
+    lang_match_overrides: tuple[tuple[str, float], ...] = ()
+    lang_priority: tuple[str, ...] = ()
+
     # --- blocking-group skew handling (SURVEY.md §4.2 "Skew") ---
     max_block_pairs: int = 64     # all-pairs only for groups <= this size
     # groups larger than max_block_pairs fall back to star+chain pair

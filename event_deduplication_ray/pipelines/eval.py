@@ -107,3 +107,78 @@ def evaluate_pairs(
     fn = int((~pred_same & is_same).sum())
     tn = int((~pred_same & ~is_same).sum())
     return PairMetrics(tp, fp, fn, tn)
+
+
+def evaluate_pairs_by_subset(
+    assignments: pd.DataFrame,
+    golden_pairs: "pa.Table | pd.DataFrame",
+    doc_meta: pd.DataFrame,
+    by: str = "lang",
+) -> pd.DataFrame:
+    """Subset-filtered metrics (reference E5 analog,
+    /root/reference/src/event_dedup/evaluation/harness.py:344-377:
+    category-subset P/R/F1), re-keyed to a doc-meta column.
+
+    doc_meta: (doc_id, <by>).  A golden pair belongs to subset v when
+    BOTH docs carry v; pairs whose sides disagree land in "mixed".
+    Returns one metrics row per subset plus an "__all__" row.
+    """
+    gp = (golden_pairs.to_pandas()
+          if isinstance(golden_pairs, pa.Table) else golden_pairs.copy())
+    gp["id_a"] = doc_ids_for_urls(gp["url_a"])
+    gp["id_b"] = doc_ids_for_urls(gp["url_b"])
+    meta = doc_meta.set_index("doc_id")[by]
+    va, vb = gp["id_a"].map(meta), gp["id_b"].map(meta)
+    gp["_subset"] = va.where(va == vb, "mixed").fillna("mixed")
+
+    rows = [{"subset": "__all__",
+             **evaluate_pairs(assignments, gp).as_dict()}]
+    for v, sub in gp.groupby("_subset", sort=True):
+        rows.append({"subset": v, **evaluate_pairs(assignments, sub).as_dict()})
+    return pd.DataFrame(rows)
+
+
+def tier_ablation(
+    docs_path: str,
+    golden_pairs: "pa.Table | pd.DataFrame",
+    base_cfg=None,
+    variants: "dict[str, dict] | None" = None,
+) -> pd.DataFrame:
+    """Tier-ablation comparison (reference E6 analog,
+    /root/reference/src/event_dedup/evaluation/harness.py:380-504:
+    baseline-vs-multi-signal side-by-side report).
+
+    Runs the flagship pipeline once per named candidate-tier config
+    over the same corpus and reports P/R/F1 + cluster count + wall
+    time per row, so the marginal value of each tier is visible.
+    """
+    import time as _time
+
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
+
+    base = base_cfg or DedupConfig()
+    if variants is None:
+        variants = {
+            "minhash": dict(use_simhash=False, use_substring=False),
+            "minhash+simhash": dict(use_simhash=True, use_substring=False),
+            "minhash+substring": dict(use_simhash=False, use_substring=True),
+            "all": dict(use_simhash=True, use_substring=True),
+            "all+exact": dict(use_simhash=True, use_substring=True,
+                              use_exact_tier=True),
+        }
+    rows = []
+    for name, kw in variants.items():
+        cfg = base.with_overrides(**kw)
+        t0 = _time.time()
+        res = dedup_path(docs_path, cfg)
+        asn = res.assignments.to_pandas()
+        sec = _time.time() - t0
+        m = evaluate_pairs(asn, golden_pairs)
+        rows.append({
+            "tiers": name,
+            "n_clusters": int(asn["cluster_id"].nunique()),
+            "sec": round(sec, 2),
+            **m.as_dict(),
+        })
+    return pd.DataFrame(rows)

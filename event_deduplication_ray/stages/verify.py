@@ -31,12 +31,50 @@ def _sig_matrix(col: pd.Series) -> np.ndarray:
     return np.vstack(col.to_numpy()).astype(np.uint64)
 
 
-def decide(scores: np.ndarray, cfg: DedupConfig) -> np.ndarray:
-    """Three-way threshold decision (reference combiner.py:52-84)."""
+def decide(
+    scores: np.ndarray, cfg: DedupConfig, match_thresh: np.ndarray | None = None
+) -> np.ndarray:
+    """Three-way threshold decision (reference combiner.py:52-84).
+
+    ``match_thresh`` (optional, per-row) carries resolved per-lang
+    match thresholds (P5 overrides); no_match stays global so the
+    ambiguous band only moves at its top edge.
+    """
+    thresh = cfg.jaccard_match if match_thresh is None else match_thresh
     out = np.full(len(scores), "ambiguous", dtype=object)
-    out[scores >= cfg.jaccard_match] = "match"
+    out[scores >= thresh] = "match"
     out[scores <= cfg.jaccard_no_match] = "no_match"
     return out
+
+
+def resolve_match_thresholds(
+    lang_a: np.ndarray, lang_b: np.ndarray, cfg: DedupConfig
+) -> np.ndarray:
+    """Per-pair jaccard_match from lang overrides (reference P5,
+    matching/config.py:128-132: per-category override + priority list).
+
+    Same lang on both sides → that lang's override (if any); langs
+    differ → the first lang in cfg.lang_priority carrying an override
+    wins; otherwise the global cfg.jaccard_match.
+    """
+    ov = dict(cfg.lang_match_overrides)
+    pri = {l: i for i, l in enumerate(cfg.lang_priority)}
+    sa = pd.Series(lang_a, dtype=object)
+    sb = pd.Series(lang_b, dtype=object)
+    ta, tb = sa.map(ov), sb.map(ov)
+    ra, rb = sa.map(pri), sb.map(pri)
+    thr = np.full(len(sa), cfg.jaccard_match, dtype=np.float64)
+    same = (sa == sb).to_numpy()
+    m = same & ta.notna().to_numpy()
+    thr[m] = ta.to_numpy(dtype=np.float64, na_value=np.nan)[m]
+    diff = ~same
+    use_a = diff & ra.notna().to_numpy() & (rb.isna() | (ra <= rb)).to_numpy() \
+        & ta.notna().to_numpy()
+    use_b = diff & rb.notna().to_numpy() & (ra.isna() | (rb < ra)).to_numpy() \
+        & tb.notna().to_numpy()
+    thr[use_a] = ta.to_numpy(dtype=np.float64, na_value=np.nan)[use_a]
+    thr[use_b] = tb.to_numpy(dtype=np.float64, na_value=np.nan)[use_b]
+    return thr
 
 
 def _fsl_matrix(col, width: int) -> np.ndarray:
@@ -48,10 +86,10 @@ def _fsl_matrix(col, width: int) -> np.ndarray:
     return flat.reshape(len(col), width)
 
 
-def _gather_sigs(
-    pair_ids: np.ndarray, sig_ids: np.ndarray, sig_mat: np.ndarray
+def _gather_idx(
+    pair_ids: np.ndarray, sig_ids: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Return (mask_found, rows of sig_mat for each pair id)."""
+    """Return (mask_found, row indices into the sig table per pair id)."""
     order = np.argsort(sig_ids, kind="stable")
     sorted_ids = sig_ids[order]
     pos = np.searchsorted(sorted_ids, pair_ids)
@@ -61,6 +99,14 @@ def _gather_sigs(
         (sorted_ids[pos_clip] == pair_ids) if found else np.zeros(len(pair_ids), bool)
     )
     idx = order[pos_clip[mask]] if found else np.empty(0, np.int64)
+    return mask, idx
+
+
+def _gather_sigs(
+    pair_ids: np.ndarray, sig_ids: np.ndarray, sig_mat: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return (mask_found, rows of sig_mat for each pair id)."""
+    mask, idx = _gather_idx(pair_ids, sig_ids)
     return mask, sig_mat[idx]
 
 
@@ -71,6 +117,8 @@ def folded_sigs_by_id(signatures: Dataset, cfg: DedupConfig) -> Shuffled:
     The fold runs INSIDE the split tasks (pre_fn) so no intermediate
     folded table ever materializes."""
     width = cfg.num_perms
+
+    carry_lang = bool(cfg.lang_match_overrides)
 
     def to_folded(t: pa.Table) -> pa.Table:
         if "minhash" not in t.column_names:
@@ -83,7 +131,10 @@ def folded_sigs_by_id(signatures: Dataset, cfg: DedupConfig) -> Shuffled:
         folded = (flat & np.uint64(0xFF)).astype(np.uint8)
         offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
         var = pa.ListArray.from_arrays(offsets, pa.array(folded, pa.uint8()))
-        return pa.table({"doc_id": t["doc_id"], "sig8": var})
+        cols = {"doc_id": t["doc_id"], "sig8": var}
+        if carry_lang and "lang" in t.column_names:
+            cols["lang"] = t["lang"]
+        return pa.table(cols)
 
     # no select_columns: the pre_fn projects inside the split task, so
     # passing the materialized table avoids a separate projection wave
@@ -122,10 +173,14 @@ def verify_pairs(
     if sigs_by_id is None:
         sigs_by_id = folded_sigs_by_id(signatures, cfg)
 
-    empty_a = pa.table({
+    use_lang = bool(cfg.lang_match_overrides)
+    empty_a_cols = {
         "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
         "sig8": pa.array([], pa.list_(pa.uint8())),
-    })
+    }
+    if use_lang:
+        empty_a_cols["lang_a"] = pa.array([], pa.string())
+    empty_a = pa.table(empty_a_cols)
 
     def attach_a(l: pa.Table, r: pa.Table) -> pa.Table:
         if len(l) == 0 or len(r) == 0:
@@ -137,17 +192,26 @@ def verify_pairs(
             np.stack([l["id_a"].to_numpy(), l["id_b"].to_numpy()], axis=1), axis=0
         )
         ia, ib = uniq[:, 0], uniq[:, 1]
-        mask, sig_rows = _gather_sigs(
-            ia, r["doc_id"].to_numpy(), _fsl_matrix(r["sig8"], width)
-        )
+        mask, idx = _gather_idx(ia, r["doc_id"].to_numpy())
+        sig_rows = _fsl_matrix(r["sig8"], width)[idx]
         n = int(mask.sum())
         offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
-        return pa.table({
+        cols = {
             "id_a": pa.array(ia[mask]), "id_b": pa.array(ib[mask]),
             "sig8": pa.ListArray.from_arrays(
                 offsets, pa.array(sig_rows.reshape(-1), pa.uint8())
             ),
-        })
+        }
+        if use_lang:
+            if "lang" not in r.column_names:
+                raise ValueError(
+                    "lang_match_overrides requires a 'lang' column in the "
+                    "signature table (pass it via signature_stage passthrough)"
+                )
+            lang_col = (r["lang"].combine_chunks()
+                        if isinstance(r["lang"], pa.ChunkedArray) else r["lang"])
+            cols["lang_a"] = lang_col.take(pa.array(idx, pa.int64()))
+        return pa.table(cols)
 
     # output chained pre-split by id_b: the second cogroup starts as
     # soon as each partition's attach_a task finishes — no barrier
@@ -164,14 +228,23 @@ def verify_pairs(
         if len(l) == 0 or len(r) == 0:
             return empty_out
         ib = l["id_b"].to_numpy()
-        mask, sig_b = _gather_sigs(ib, r["doc_id"].to_numpy(), _fsl_matrix(r["sig8"], width))
+        mask, idx = _gather_idx(ib, r["doc_id"].to_numpy())
+        sig_b = _fsl_matrix(r["sig8"], width)[idx]
         kept = l.filter(pa.array(mask))
         sig_a = _fsl_matrix(kept["sig8"], width)
         score = (sig_a == sig_b).mean(axis=1)
+        thr = None
+        if use_lang:
+            lang_col = (r["lang"].combine_chunks()
+                        if isinstance(r["lang"], pa.ChunkedArray) else r["lang"])
+            lang_b = lang_col.take(pa.array(idx, pa.int64())).to_numpy(
+                zero_copy_only=False)
+            lang_a = kept["lang_a"].to_numpy(zero_copy_only=False)
+            thr = resolve_match_thresholds(lang_a, lang_b, cfg)
         return pa.table({
             "id_a": kept["id_a"], "id_b": kept["id_b"],
             "score": pa.array(score),
-            "decision": pa.array(decide(score, cfg).astype(str)),
+            "decision": pa.array(decide(score, cfg, thr).astype(str)),
             "tier": pa.array(np.full(len(score), "minhash"), pa.string()),
         })
 
