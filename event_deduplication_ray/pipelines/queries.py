@@ -433,6 +433,35 @@ def q26_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+# ------------------------------------------------------------ multimodal
+
+def q29_media_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Media near-dup clusters (first-class multimodal dedup pass):
+    perceptual fingerprint → Hamming buckets → CC, over a
+    deterministic fake-media corpus sized from this tier's documents
+    table.  Rows-only check — frame decoding isn't SQL-expressible
+    (and the real codec is the declared stub integration point)."""
+    from event_deduplication_ray.stages.multimodal import (
+        make_fake_media_table,
+        media_dup_clusters,
+    )
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    t = make_fake_media_table(
+        n_groups=int(max(4, min(64, n_docs // 25))), members=4,
+        singletons=int(min(n_docs, 500)), seed=42,
+    )
+    # multiple input blocks so the fingerprint actor pool parallelizes
+    # (one from_arrow table = one block = one actor fed)
+    chunks = [
+        pa.Table.from_batches([b], schema=t.schema)
+        for b in t.to_batches(max_chunksize=max(64, len(t) // 8))
+    ]
+    out = media_dup_clusters(rd.from_arrow(chunks), QCFG, decoder="fake",
+                             radius=3)
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------- flagship
 
 def q27_flagship_dedup(sf_dir: str) -> Dataset:
@@ -487,6 +516,7 @@ RAY_QUERIES = {
     "q26_embedding_dup_pairs": q26_embedding_dup_pairs,
     "q27_flagship_dedup": q27_flagship_dedup,
     "q28_ngram_jaccard_clusters": q28_ngram_jaccard_clusters,
+    "q29_media_dup_clusters": q29_media_dup_clusters,
 }
 
 

@@ -72,24 +72,34 @@ def minhash_band_table(signatures: Dataset, cfg: DedupConfig) -> Dataset:
     )
 
 
+def pigeonhole_band_keys(
+    fp: np.ndarray, n_chunks: int, bits: int, salt: np.uint64 = _SIMHASH_SALT
+) -> np.ndarray:
+    """Pigeonhole chunk keys for Hamming-radius bucketing: split each
+    ``bits``-wide fingerprint into n_chunks pieces; two fingerprints
+    within Hamming distance n_chunks-1 share at least one exact chunk.
+    Returns int63 band keys, length len(fp)*n_chunks (chunk-major —
+    concatenated per chunk, matching np.tile of the row columns)."""
+    chunk_bits = bits // n_chunks
+    keys = []
+    for c in range(n_chunks):
+        lo = c * chunk_bits
+        hi = bits if c == n_chunks - 1 else lo + chunk_bits
+        mask = (U64(1) << U64(hi - lo)) - U64(1) if hi - lo < 64 else U64(0xFFFFFFFFFFFFFFFF)
+        chunk = (fp >> U64(lo)) & mask
+        with np.errstate(over="ignore"):
+            keys.append(chunk ^ (U64(c) * H._GOLDEN) ^ salt)
+    return _mix_to_int63(np.concatenate(keys))
+
+
 def make_simhash_explode(cfg: DedupConfig):
     n_chunks = cfg.hamming_radius + 1
     bits = cfg.simhash_bits
-    chunk_bits = bits // n_chunks
     min_chars = cfg.min_text_chars
 
     def explode(t: pa.Table) -> pa.Table:
         fp = t["simhash"].to_numpy().astype(U64)
-        n = len(fp)
-        keys = []
-        for c in range(n_chunks):
-            lo = c * chunk_bits
-            hi = bits if c == n_chunks - 1 else lo + chunk_bits
-            mask = (U64(1) << U64(hi - lo)) - U64(1) if hi - lo < 64 else U64(0xFFFFFFFFFFFFFFFF)
-            chunk = (fp >> U64(lo)) & mask
-            with np.errstate(over="ignore"):
-                keys.append(chunk ^ (U64(c) * H._GOLDEN) ^ _SIMHASH_SALT)
-        band_key = _mix_to_int63(np.concatenate(keys))
+        band_key = pigeonhole_band_keys(fp, n_chunks, bits)
         doc_id = np.tile(t["doc_id"].to_numpy(), n_chunks)
         simhash = np.tile(fp, n_chunks)
         n_tok = np.tile(t["n_tokens"].to_numpy(), n_chunks)

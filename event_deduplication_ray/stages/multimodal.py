@@ -145,3 +145,168 @@ def media_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------------------------
+# Multimodal dedup: perceptual fingerprint → Hamming buckets → CC.
+# Makes the media column a FIRST-CLASS dedup pass: the same
+# pigeonhole-banding → pair-gen → connected-components machinery the
+# text tiers use, fed by a frame-level fingerprint instead of a text
+# signature.  The codec stays stubbed (decoder="stub" raises at the
+# integration point); decoder="fake" drives the full path.
+
+
+def phash64(img: np.ndarray, grid: int = 8) -> np.uint64:
+    """Perceptual-hash-style 64-bit fingerprint: block-mean downscale
+    to grid x grid, threshold each cell against the global cell
+    median.  Near-identical frames (few pixels changed) flip at most
+    the touched blocks' bits → small Hamming distance; unrelated
+    frames land ~grid²/2 bits apart."""
+    h, w = img.shape
+    if h == 0 or w == 0:
+        return np.uint64(0)
+    # block-mean via trimmed reshape (cheap, deterministic)
+    bh, bw = max(h // grid, 1), max(w // grid, 1)
+    trimmed = img[: bh * grid, : bw * grid].astype(np.float64)
+    th, tw = trimmed.shape
+    gh, gw = th // bh, tw // bw
+    cells = trimmed.reshape(gh, bh, gw, bw).mean(axis=(1, 3))
+    # pad to grid x grid by tiling the edge (tiny images)
+    if cells.shape != (grid, grid):
+        cells = np.pad(cells, ((0, grid - cells.shape[0]), (0, grid - cells.shape[1])),
+                       mode="edge")
+    bits = (cells > np.median(cells)).reshape(-1)
+    fp = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            fp |= np.uint64(1) << np.uint64(i)
+    return fp
+
+
+class MediaFingerprintStage:
+    """Actor-pool stage: payload → (media_id, phash uint64).
+
+    Deterministic, one fingerprint per item; the binary column is
+    dropped immediately (project early, 8 bytes ride the shuffle)."""
+
+    def __init__(self, decoder: str = "stub", grid: int = 8):
+        self.decoder = decoder
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "stub":
+            raise NotImplementedError(
+                "media decoding requires a codec library (PIL/ffmpeg) "
+                "not present in this environment; wire it here"
+            )
+        col = batch["payload"]
+        fps = np.empty(len(col), dtype=np.uint64)
+        for i in range(len(col)):
+            # slice the Arrow binary scalar lazily (no to_pylist of
+            # the whole batch)
+            fps[i] = phash64(_fake_decode(col[i].as_py()), self.grid)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "phash": pa.array(fps, pa.uint64()),
+        })
+
+
+def media_fingerprints(
+    media: "Dataset", decoder: str = "stub", grid: int = 8,
+    concurrency: int = 2, batch_size: int = 64,
+) -> "Dataset":
+    return media.map_batches(
+        MediaFingerprintStage,
+        fn_constructor_args=(decoder, grid),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def media_dup_clusters(media: "Dataset", cfg=None, decoder: str = "fake",
+                       radius: int = 3) -> "Dataset":
+    """Media near-dup clusters: fingerprints → pigeonhole Hamming
+    buckets → verified pairs (distance ≤ radius) → connected
+    components → (media_id, cluster_id) with singletons.
+
+    Partitioning assumption: identical to the simhash text tier —
+    band keys distribute by fingerprint chunks, hot buckets are capped
+    by max_block_pairs star+chain pairing."""
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.stages.banding import pigeonhole_band_keys
+    from event_deduplication_ray.stages.cluster import (
+        assignments_with_singletons,
+        connected_components,
+    )
+    from event_deduplication_ray.stages.pairs import simhash_match_pairs
+
+    cfg = (cfg or DedupConfig()).with_overrides(hamming_radius=radius)
+    n_chunks = radius + 1
+
+    fps = media_fingerprints(media, decoder=decoder)
+
+    def explode(t: pa.Table) -> pa.Table:
+        fp = t["phash"].to_numpy().astype(np.uint64)
+        return pa.table({
+            "band_key": pa.array(pigeonhole_band_keys(fp, n_chunks, 64)),
+            "doc_id": pa.array(np.tile(t["media_id"].to_numpy(), n_chunks)),
+            "simhash": pa.array(np.tile(fp, n_chunks)),
+        })
+
+    band = fps.map_batches(explode, batch_format="pyarrow")
+    pairs = simhash_match_pairs(band, cfg, tier="phash")
+    labels = connected_components(pairs.select_columns(["id_a", "id_b"]), cfg)
+    ids = media.select_columns(["media_id"]).rename_columns(["doc_id"])
+    out = assignments_with_singletons(ids, labels, cfg)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["media_id", "cluster_id"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def make_fake_media_table(
+    n_groups: int = 5, members: int = 4, singletons: int = 10,
+    seed: int = 42, width: int = 32, height: int = 32,
+) -> pa.Table:
+    """Deterministic media corpus with planted near-dup groups.
+
+    Group g's members share one base frame (rng seed = seed+g) with
+    member m differing in m pixels — phash Hamming ≤ m from the base,
+    so the group clusters at radius ≥ members-1.  Singletons are
+    independent random frames (expected pairwise Hamming ~32).
+    Ground truth: media_id = g*1000+m for group members, 10^6+i for
+    singletons."""
+    ids, payloads = [], []
+    for g in range(n_groups):
+        rng = np.random.default_rng(seed + g)
+        base = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+        for m in range(members):
+            img = base.copy()
+            if m:
+                pr = np.random.default_rng(seed * 1000 + g * 100 + m)
+                for _ in range(m):
+                    y, x = pr.integers(0, height), pr.integers(0, width)
+                    img[y, x] = 255 - img[y, x]
+            ids.append(g * 1000 + m)
+            payloads.append(
+                b"FAKE" + width.to_bytes(2, "little")
+                + height.to_bytes(2, "little") + img.tobytes()
+            )
+    srng = np.random.default_rng(seed + 777)
+    for i in range(singletons):
+        img = srng.integers(0, 256, size=(height, width), dtype=np.uint8)
+        ids.append(1_000_000 + i)
+        payloads.append(
+            b"FAKE" + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little") + img.tobytes()
+        )
+    n = len(ids)
+    return pa.table({
+        "media_id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "url": pa.array([f"https://media.example/{i}" for i in ids]),
+        "kind": pa.array(["image"] * n),
+        "payload": pa.array(payloads, pa.binary()),
+        "n_bytes": pa.array(np.asarray([len(p) for p in payloads], np.int64)),
+    })

@@ -120,7 +120,8 @@ def minhash_candidate_pairs(
 
 
 def simhash_match_pairs(
-    sim_band_table: Dataset, cfg: DedupConfig, pre_fn=None
+    sim_band_table: Dataset, cfg: DedupConfig, pre_fn=None,
+    tier: str = "simhash",
 ) -> Dataset:
     """(band_key, doc_id, simhash) → verified pairs within the Hamming
     radius; no signature join needed (fingerprints ride on the rows).
@@ -152,7 +153,7 @@ def simhash_match_pairs(
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("score", ascending=False).drop_duplicates(["id_a", "id_b"])
         df["decision"] = "match"
-        df["tier"] = "simhash"
+        df["tier"] = tier
         return df
 
     return partition_apply(raw, ["id_a", "id_b"], P, dedup)

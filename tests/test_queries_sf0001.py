@@ -51,7 +51,8 @@ SQL_CHECKED = [
     "q07_lang_distribution", "q08_token_counts", "q09_doc_quality",
     "q10_exact_dedup", "q11_embedding_topk", "q12_filtered_export",
     "q13_region_customers", "q14_session_windows",
-    "q15_customers_without_orders",
+    "q15_customers_without_orders", "q24_langid",
+    "q26_embedding_dup_pairs", "q28_ngram_jaccard_clusters",
 ]
 
 
@@ -68,8 +69,7 @@ def test_sql_checked_query(name, sf_dir, con):
 
 ROWS_ONLY = [
     "q20_minhash_clusters", "q21_simhash_pairs", "q22_substring_pairs",
-    "q23_doc_fingerprints", "q24_langid", "q25_lsh_topk",
-    "q26_embedding_dup_pairs",
+    "q23_doc_fingerprints", "q25_lsh_topk", "q29_media_dup_clusters",
 ]
 
 
