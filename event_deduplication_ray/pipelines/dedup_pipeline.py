@@ -9,6 +9,9 @@ Ray Data DAG.  Library code never calls ray.init (driver contract).
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from dataclasses import dataclass, field
 
 import ray.data as rd
@@ -66,6 +69,22 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
     """
     cfg = cfg or DedupConfig()
 
+    # EDR_TIMING=1: per-phase wall times to stderr (scaling diagnosis)
+    _t0 = time.time()
+    _timing = os.environ.get("EDR_TIMING") == "1"
+
+    def _cpu() -> tuple[float, float]:
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:9]))
+        return (v[0] + v[1]) / 100.0, (v[2] + v[5] + v[6]) / 100.0
+
+    def _mark(phase: str) -> None:
+        if _timing:
+            u, s = _cpu()
+            print(f"[edr-timing] {phase}: {time.time() - _t0:.2f}s cum "
+                  f"user={u:.0f} sys={s:.0f}",
+                  file=sys.stderr, flush=True)
+
     # one fused pipelined pass: read → extract → signatures, with the
     # NARROW doc meta (url/ts/lang/text_len — not the text bodies)
     # passed through and pinned ONCE; every later consumer is a free
@@ -80,6 +99,7 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
         extracted_lazy, cfg,
         passthrough=("url", "warc_ts", "lang", "text_len"),
     ).materialize()
+    _mark("signatures_materialized")
     sigs = sigs_full
     meta = sigs_full.select_columns(
         ["doc_id", "url", "warc_ts", "lang", "text_len"]
@@ -128,6 +148,7 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
             futs["substring"] = pool.submit(substring_branch)
         for name, f in futs.items():
             branches[name] = f.result()
+            _mark(f"branch_{name}")
 
     verified = branches.get("minhash", rd.from_items([]))
     if cfg.use_exact_tier and cfg.use_minhash:
@@ -143,9 +164,11 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
             edges = ex if edges is None else edges.union(ex)
 
     labels = connected_components(edges.select_columns(["id_a", "id_b"]), cfg)
+    _mark("connected_components")
     # one cogroup serves both assignments and synthesis (see
     # join_meta_labels) — singletons filled inside the join
     joined = join_meta_labels(meta, labels, cfg).materialize()
+    _mark("join_meta_labels")
     assignments = joined.select_columns(["doc_id", "cluster_id"])
     canonical = synthesize_joined(joined, cfg)
     if cfg.coherence_min_confidence is not None:

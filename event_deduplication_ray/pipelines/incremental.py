@@ -69,8 +69,8 @@ def incremental_add(
     )
     new_ids_arr = np.array(sorted(new_ids), dtype=np.int64)
 
-    sig_cols = ["doc_id", "n_chars", "n_tokens", "n_shingles", "minhash",
-                "simhash", "substr_fps"]
+    sig_cols = ["doc_id", "n_chars", "n_tokens", "n_shingles", "band_keys",
+                "sig8", "simhash", "substr_fps"]
     all_sigs = old_sigs.select_columns(sig_cols).union(
         new_full.select_columns(sig_cols)
     ).materialize()

@@ -369,6 +369,34 @@ def q28_ngram_jaccard_clusters(sf_dir: str) -> Dataset:
     return assignments_with_singletons(docs, labels, cfg)
 
 
+def q30_containment_pairs_exact(sf_dir: str) -> pd.DataFrame:
+    """Substring/containment dedup, EXACT: the same inverted-index
+    shared-count machinery as q28 but scored as containment
+    shared/min(|A|,|B|) >= substring_containment — the substring
+    tier's decision rule with zero sampling error, so the DuckDB
+    oracle (string shingles + least()) must match exactly.  Returns
+    the (id_a, id_b) pair set (pair identity is the oracle-comparable
+    part; see q26 for the float caveat).  Scale note: exact mode is
+    the oracle/audit path — production containment at 100 TB is q22's
+    mod-p sampled pass, which caps skew."""
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.pairs import ngram_jaccard_match_pairs
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    docs = _docs_from_documents(sf_dir)
+    sigs = signature_stage(docs, cfg)
+    pairs = ngram_jaccard_match_pairs(
+        substring_fp_table(sigs, cfg), cfg,
+        threshold=cfg.substring_containment, mode="containment",
+    )
+    df = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    if list(df.columns) != ["id_a", "id_b"]:
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64")})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q21_simhash_pairs(sf_dir: str) -> Dataset:
     from event_deduplication_ray.stages.banding import simhash_band_table
     from event_deduplication_ray.stages.pairs import simhash_match_pairs
@@ -517,6 +545,7 @@ RAY_QUERIES = {
     "q27_flagship_dedup": q27_flagship_dedup,
     "q28_ngram_jaccard_clusters": q28_ngram_jaccard_clusters,
     "q29_media_dup_clusters": q29_media_dup_clusters,
+    "q30_containment_pairs_exact": q30_containment_pairs_exact,
 }
 
 
@@ -702,5 +731,34 @@ ORACLE_SQL = {
                least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
         FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
         GROUP BY d.doc_id
+    """,
+    "q30_containment_pairs_exact": """
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                        replace(replace(replace(replace(lower(coalesce(text, '')),
+                            chr(228), 'ae'), chr(246), 'oe'), chr(252), 'ue'), chr(223), 'ss'),
+                        '[^\\w\\s-]+', ' ', 'g'), '\\s+', ' ', 'g')) AS tn
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, list_filter(string_split(tn, ' '), x -> x <> '') AS ws
+            FROM norm
+        ), sh AS (
+            SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+            FROM toks, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+        ), dsh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b FROM inter
+        JOIN counts ca ON ca.doc_id = inter.id_a
+        JOIN counts cb ON cb.doc_id = inter.id_b
+        WHERE shared::DOUBLE / least(ca.n, cb.n) >= 0.8
+        ORDER BY id_a, id_b
     """,
 }

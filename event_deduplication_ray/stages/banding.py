@@ -36,20 +36,30 @@ def _n_chars(t: pa.Table) -> np.ndarray:
     return np.full(len(t), np.iinfo(np.int64).max, dtype=np.int64)
 
 
+def minhash_band_key_matrix(sig: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """(n, bands*rows) uint64 MinHash matrix → (n, bands) int63 band
+    keys (banded row hash ⊕ band index ⊕ pass salt, mixed).
+
+    Called by the SIGNATURE stage so the per-doc band keys (8 B × b)
+    ride the pinned table instead of the full u64 signature
+    (8 B × b × r) — the banding explode then just flattens."""
+    bands, rows = cfg.lsh_bands, cfg.lsh_rows
+    bh = H.band_hashes(sig, bands, rows, cfg.seed)          # (n, bands) uint64
+    with np.errstate(over="ignore"):
+        keyed = bh ^ (np.arange(bands, dtype=U64)[None, :] * H._GOLDEN) ^ _MINHASH_SALT
+    return _mix_to_int63(keyed.reshape(-1)).reshape(-1, bands)
+
+
 def make_minhash_explode(cfg: DedupConfig):
     """Batch-level explode fn (fusable into the shuffle's split tasks
     via partition_apply(pre_fn=...))."""
-    bands, rows, seed = cfg.lsh_bands, cfg.lsh_rows, cfg.seed
+    bands = cfg.lsh_bands
     min_chars = cfg.min_text_chars
 
     def explode(t: pa.Table) -> pa.Table:
-        n = len(t)
-        sig = t["minhash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        sig = sig.reshape(n, bands * rows)
-        bh = H.band_hashes(sig, bands, rows, seed)          # (n, bands) uint64
-        with np.errstate(over="ignore"):
-            keyed = bh ^ (np.arange(bands, dtype=U64)[None, :] * H._GOLDEN) ^ _MINHASH_SALT
-        band_key = _mix_to_int63(keyed.reshape(-1))
+        band_key = (
+            t["band_keys"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        )
         doc_id = np.repeat(t["doc_id"].to_numpy(), bands)
         # docs with no shingles have the all-max sentinel signature:
         # identical for every empty doc; exclude them from keying.

@@ -249,7 +249,8 @@ def substring_match_pairs(
 
 
 def ngram_jaccard_match_pairs(
-    fp_table: Dataset, cfg: DedupConfig, threshold: float, pre_fn=None
+    fp_table: Dataset, cfg: DedupConfig, threshold: float, pre_fn=None,
+    mode: str = "jaccard",
 ) -> Dataset:
     """EXACT n-gram-Jaccard pairs via a shingle inverted-index join.
 
@@ -310,10 +311,15 @@ def ngram_jaccard_match_pairs(
             df.groupby(["id_a", "id_b"], as_index=False)
             .agg(shared=("shared", "sum"), na=("na", "first"), nb=("nb", "first"))
         )
-        g["score"] = g["shared"] / (g["na"] + g["nb"] - g["shared"])
+        if mode == "containment":
+            # exact containment: shared / min(|A|, |B|) — the
+            # substring-tier decision rule with zero sampling error
+            g["score"] = g["shared"] / np.minimum(g["na"], g["nb"])
+        else:
+            g["score"] = g["shared"] / (g["na"] + g["nb"] - g["shared"])
         g = g[g["score"] >= threshold].copy()
         g["decision"] = "match"
-        g["tier"] = "ngram"
+        g["tier"] = "ngram" if mode == "jaccard" else "containment"
         return g[["id_a", "id_b", "score", "decision", "tier"]]
 
     return partition_apply(shared_rows, ["id_a", "id_b"], P, agg)

@@ -4,12 +4,17 @@ Stateful actor-pool stage (the reference's load-once-per-worker
 pattern, /root/reference/src/event_dedup/ingestion/file_processor.py:162-171):
 the permutation constants are built once in ``__init__`` and reused
 for every batch.  Signature layout is
-``minhash: fixed_size_list<uint64, num_perms>`` — fixed-width, compact
-through the object store (SURVEY.md §4.2 "keep signatures compact").
+``sig8: fixed_size_list<uint8, num_perms>`` + per-band LSH keys —
+fixed-width, compact through the object store (SURVEY.md §4.2 "keep
+signatures compact").
 
 Output schema (narrow; text is NOT carried):
   doc_id int64, n_tokens int64, n_shingles int64,
-  minhash fixed_size_list<uint64,P>, simhash uint64,
+  band_keys fixed_size_list<int64,b> (LSH band keys, precomputed),
+  sig8 fixed_size_list<uint8,P> (low-byte-folded MinHash — the full
+  u64 signature never leaves this stage: verification scores on the
+  folded rep anyway, and dropping the 8x-wider column cuts the pinned
+  table's object-store bytes ~3.5x), simhash uint64,
   substr_fps list<uint64>  (mod-p sampled shingle fingerprints —
   position-independent, so a doc embedded inside a longer page shares
   its interior fingerprints; the suffix-array-style substring pass)
@@ -69,8 +74,17 @@ class SignatureStage:
             seg = shingles[starts[d] : ends[d]][sel[starts[d] : ends[d]]]
             fp_lists.append(np.unique(seg))
 
-        sig_arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(sig.reshape(-1), pa.uint64()), cfg.num_perms
+        from event_deduplication_ray.stages.banding import (
+            minhash_band_key_matrix,
+        )
+
+        band_keys = minhash_band_key_matrix(sig, cfg)       # (n, bands) int64
+        bk_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(band_keys.reshape(-1), pa.int64()), cfg.lsh_bands
+        )
+        sig8 = (sig & np.uint64(0xFF)).astype(np.uint8)     # folded rep
+        sig8_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig8.reshape(-1), pa.uint8()), cfg.num_perms
         )
         import pyarrow.compute as pc
 
@@ -82,7 +96,8 @@ class SignatureStage:
             "n_chars": n_chars,
             "n_tokens": pa.array(doc_lens, pa.int64()),
             "n_shingles": pa.array(spd.astype(np.int64), pa.int64()),
-            "minhash": sig_arr,
+            "band_keys": bk_arr,
+            "sig8": sig8_arr,
             "simhash": pa.array(simhash, pa.uint64()),
             "substr_fps": pa.array(
                 [l.tolist() for l in fp_lists], pa.list_(pa.uint64())

@@ -121,16 +121,18 @@ def folded_sigs_by_id(signatures: Dataset, cfg: DedupConfig) -> Shuffled:
     carry_lang = bool(cfg.lang_match_overrides)
 
     def to_folded(t: pa.Table) -> pa.Table:
-        if "minhash" not in t.column_names:
+        if "sig8" not in t.column_names:
             return t
-        col = t["minhash"]
+        col = t["sig8"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         n = len(col)
+        # fixed-size list → variable-length list (a fixed-size-list
+        # null pad in the pair join allocates the full child array;
+        # see the representation note in verify_pairs)
         flat = col.flatten().to_numpy(zero_copy_only=False)
-        folded = (flat & np.uint64(0xFF)).astype(np.uint8)
         offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
-        var = pa.ListArray.from_arrays(offsets, pa.array(folded, pa.uint8()))
+        var = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.uint8()))
         cols = {"doc_id": t["doc_id"], "sig8": var}
         if carry_lang and "lang" in t.column_names:
             cols["lang"] = t["lang"]
