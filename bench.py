@@ -245,22 +245,45 @@ def _burn(_):
     return float(x[0])
 
 
+def _alloc_burn(_):
+    import numpy as np
+
+    # allocate + first-touch fresh pages, the way any data engine's
+    # shuffle/concat buffers do
+    s = 0.0
+    for _ in range(4):
+        x = np.empty(8_000_000, dtype=np.float64)  # 64 MB
+        x[:] = 1.0
+        s = float(x.sum())
+    return s
+
+
 def host_compute_scaling(lo: int, hi: int) -> dict:
-    """Control: raw multiprocessing.Pool, no Ray, pure numpy compute.
-    This is the HOST's own parallel-speedup ceiling for lo->hi
-    processes on this box; no engine can exceed it in-sandbox."""
+    """Controls: raw multiprocessing.Pool, no Ray.
+
+    - compute: allocation-free numpy — the host's parallel-speedup
+      ceiling for pure arithmetic;
+    - alloc: the same pool but each task touches fresh 64 MB buffers —
+      the ceiling for ANY workload that allocates memory.  On this
+      box page-fault cost is globally contended (virtualized memory):
+      the alloc control ANTI-scales (more processes = slower), which
+      bounds what any data engine, Ray or not, can show in-sandbox.
+    """
     import multiprocessing as mp
 
-    def prun(n: int) -> float:
+    def prun(fn, n: int) -> float:
         with mp.Pool(n) as pool:
-            pool.map(_burn, range(n))          # warm
+            pool.map(fn, range(n))          # warm
             t0 = time.time()
-            pool.map(_burn, range(96))
+            pool.map(fn, range(96))
             return round(time.time() - t0, 2)
 
-    p_lo, p_hi = prun(lo), prun(hi)
+    p_lo, p_hi = prun(_burn, lo), prun(_burn, hi)
+    a_lo, a_hi = prun(_alloc_burn, lo), prun(_alloc_burn, hi)
     return {"sec_8": p_lo, "sec_32": p_hi,
-            "efficiency": round((p_lo / p_hi) / (hi / lo), 3)}
+            "efficiency": round((p_lo / p_hi) / (hi / lo), 3),
+            "alloc_sec_8": a_lo, "alloc_sec_32": a_hi,
+            "alloc_efficiency": round((a_lo / a_hi) / (hi / lo), 3)}
 
 
 def ablation() -> None:
