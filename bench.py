@@ -24,6 +24,15 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CORPUS_ROOT = "/tmp/edr_bench_corpora"
 
+# Shuffle-task width: on wide nodes, 2-cpu shuffle tasks halve the
+# number of CONCURRENTLY page-faulting workers — on this host fault
+# cost is globally contended, and paired A/B runs show ~2.7x less
+# sys-time and consistently lower wall at 32 cpus (BASELINE.md
+# "Scaling"); at 8 cpus full task parallelism wins.  An operator
+# sizing num_cpus per stage to the node is the intended Ray pattern.
+if "EDR_TASK_CPUS" not in os.environ:
+    os.environ["EDR_TASK_CPUS"] = "2" if NCPU >= 16 else "1"
+
 
 def corpus_docs_for(sf_dir: str) -> int:
     import pyarrow.parquet as pq
@@ -157,7 +166,8 @@ def scaling() -> None:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_ONLY="flagship")
+                   GRAFT_BENCH_ONLY="flagship",
+                   EDR_TASK_CPUS="2" if ncpu >= 16 else "1")
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
             env=env, capture_output=True, text=True, check=True,

@@ -56,7 +56,25 @@ class DedupResult:
 
 
 def read_docs(path: str) -> Dataset:
-    """Read the CC-style docs table (url, warc_ts, html, text, lang)."""
+    """Read the CC-style docs table (url, warc_ts, html, text, lang).
+
+    Parquet by default; ``.json`` / ``.jsonl`` files or directories of
+    them use the JSON-lines reader (reference S1 analog — the
+    reference ingests JSON event files,
+    /root/reference/src/event_dedup/ingestion/file_processor.py).
+    Schema validation happens downstream: rows missing required
+    columns fail extraction and land in the dead-letter table rather
+    than killing the run."""
+    import os as _os
+
+    def _is_json(p: str) -> bool:
+        return p.endswith((".json", ".jsonl"))
+
+    if _is_json(path) or (
+        _os.path.isdir(path)
+        and any(_is_json(f) for f in _os.listdir(path))
+    ):
+        return rd.read_json(path)
     return rd.read_parquet(path)
 
 

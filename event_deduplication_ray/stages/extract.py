@@ -41,6 +41,17 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
     import pyarrow.compute as pc
 
     urls = batch["url"].to_pandas()
+    # JSON-lines inputs may carry an all-null html column (pa.null
+    # type) and/or pre-extracted text (the reference's JSON record
+    # shape) — normalize the html column type and remember the
+    # provided text as the fallback for html-less rows.
+    html_in = batch["html"]
+    if pa.types.is_null(html_in.type):
+        html_in = pc.cast(html_in, pa.binary())
+    provided_text = None
+    if "text" in batch.column_names and not pa.types.is_null(batch["text"].type):
+        provided_text = pc.fill_null(pc.cast(batch["text"], pa.string()), "")
+
     use_arrow = cfg is None or cfg.use_arrow_strings
     if use_arrow and not (cfg and (cfg.strip_prefixes or cfg.synonyms)):
         # zero-Python-object path (see functions/arrow_text.py)
@@ -49,8 +60,13 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
             normalize_arrow,
         )
 
-        html_str = pc.cast(batch["html"], pa.string())
+        html_str = pc.cast(html_in, pa.string())
         text_arr = extract_text_arrow(html_str)
+        if provided_text is not None:
+            no_html = pc.less_equal(
+                pc.fill_null(pc.binary_length(html_in), 0), 0
+            )
+            text_arr = pc.if_else(no_html, provided_text, text_arr)
         norm_arr = normalize_arrow(text_arr)
     else:
         from event_deduplication_ray.functions.text import (
@@ -58,8 +74,14 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
             strip_prefixes,
         )
 
-        html = decode_binary_html(batch["html"].to_pandas())
+        html = decode_binary_html(html_in.to_pandas())
         text = extract_text_from_html(html)
+        if provided_text is not None:
+            import numpy as _np
+
+            no_html = html.fillna(b"").str.len().to_numpy() == 0
+            pt = provided_text.to_pandas()
+            text = text.where(~_np.asarray(no_html), pt)
         # boilerplate stripping and synonym folding touch only the
         # normalized shingling form — the ``text`` column must stay
         # byte-identical per url (BASELINE.md invariant)
@@ -79,12 +101,15 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
     # A malformed row is tagged, EXCLUDED from the pipeline output, and
     # routed to the run's _rejected table — never silently folded into
     # a singleton cluster.
-    html_col = batch["html"]
-    html_len = pc.fill_null(pc.binary_length(html_col), 0)
-    empty_html = pc.less_equal(html_len, 0)
+    html_len = pc.fill_null(pc.binary_length(html_in), 0)
+    text_len0 = pc.utf8_length(pc.fill_null(text_arr, ""))
+    # html-less rows are fine when they carried text (JSON shape);
+    # rejected only when BOTH are empty
+    empty_html = pc.and_(pc.less_equal(html_len, 0),
+                         pc.less_equal(text_len0, 0))
     empty_extract = pc.and_(
         pc.greater(html_len, 0),
-        pc.less_equal(pc.utf8_length(pc.fill_null(text_arr, "")), 0),
+        pc.less_equal(text_len0, 0),
     )
     reason = pc.if_else(
         empty_html, pa.scalar("empty_html", pa.string()),

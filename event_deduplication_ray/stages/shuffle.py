@@ -46,6 +46,17 @@ from ray.data import Dataset
 _PART_COL = "__part"
 
 
+def _task_cpus() -> float:
+    """num_cpus per shuffle task.  Default 1; EDR_TASK_CPUS widens it
+    to cap the number of CONCURRENTLY page-faulting tasks — on hosts
+    where fault cost is globally contended (this sandbox; see
+    BASELINE.md "Scaling"), fewer simultaneous allocators can be
+    faster end-to-end than full task-level parallelism."""
+    import os
+
+    return float(os.environ.get("EDR_TASK_CPUS", "1"))
+
+
 @dataclass
 class Shuffled:
     """Handle to an already-shuffled ref matrix: ``refs[p]`` is the
@@ -68,7 +79,7 @@ class Shuffled:
     def to_dataset(self) -> Dataset:
         import ray.data as rd
 
-        merge = ray.remote(_concat_tables_task)
+        merge = ray.remote(num_cpus=_task_cpus())(_concat_tables_task)
         return rd.from_arrow_refs([merge.remote(*p) for p in self.refs])
 
 
@@ -147,7 +158,7 @@ def _shuffle_refs(
         groups[i % n_split].append(b)
     groups = [g for g in groups if g]
 
-    split = ray.remote(num_returns=num_parts)(_split_blocks)
+    split = ray.remote(num_returns=num_parts, num_cpus=_task_cpus())(_split_blocks)
     outs = [split.remote(key_cols, num_parts, pre_fn, *g) for g in groups]
     if num_parts == 1:
         outs = [[o] for o in outs]
@@ -250,7 +261,7 @@ def partition_apply(
         def merge_apply(*tables) -> pa.Table:
             return apply(_concat(list(tables)))
 
-        merge = ray.remote(merge_apply)
+        merge = ray.remote(num_cpus=_task_cpus())(merge_apply)
         return rd.from_arrow_refs([merge.remote(*p) for p in parts])
 
     op = out_parts or num_parts
@@ -258,7 +269,7 @@ def partition_apply(
     def merge_split(*tables) -> list[pa.Table]:
         return _split_table(apply(_concat(list(tables))), out_keys, op)
 
-    merge = ray.remote(num_returns=op)(merge_split)
+    merge = ray.remote(num_returns=op, num_cpus=_task_cpus())(merge_split)
     outs = [merge.remote(*p) for p in parts]
     return Shuffled(_transpose(outs, op), list(out_keys), op)
 
@@ -311,7 +322,7 @@ def cogroup_apply(
             return apply2(_concat(list(tables[:n_left])),
                           _concat(list(tables[n_left:])))
 
-        merge = ray.remote(merge_apply)
+        merge = ray.remote(num_cpus=_task_cpus())(merge_apply)
         return rd.from_arrow_refs(
             [merge.remote(len(lp), *lp, *rp) for lp, rp in zip(l_parts, r_parts)]
         )
@@ -323,6 +334,6 @@ def cogroup_apply(
                      _concat(list(tables[n_left:])))
         return _split_table(out, out_keys, op)
 
-    merge = ray.remote(num_returns=op)(merge_split)
+    merge = ray.remote(num_returns=op, num_cpus=_task_cpus())(merge_split)
     outs = [merge.remote(len(lp), *lp, *rp) for lp, rp in zip(l_parts, r_parts)]
     return Shuffled(_transpose(outs, op), list(out_keys), op)

@@ -64,15 +64,23 @@ class SignatureStage:
         simhash = H.simhash_fingerprints(token_hashes, doc_lens, cfg.simhash_bits)
 
         # substring fingerprints: mod-p sample of shingle hashes,
-        # deduped per doc (content-defined selection → position-free)
+        # deduped per doc (content-defined selection → position-free).
+        # Fully vectorized: lexsort by (doc, fp) over the sampled flat
+        # array, then segment-aware unique — no per-doc Python loop.
         p = np.uint64(cfg.substring_mod_p)
         sel = shingles % p == 0
-        ends = np.cumsum(spd)
-        starts = ends - spd
-        fp_lists = []
-        for d in range(len(spd)):
-            seg = shingles[starts[d] : ends[d]][sel[starts[d] : ends[d]]]
-            fp_lists.append(np.unique(seg))
+        doc_of = np.repeat(np.arange(len(spd), dtype=np.int64), spd)[sel]
+        fps = shingles[sel]
+        order = np.lexsort((fps, doc_of))
+        doc_s, fps_s = doc_of[order], fps[order]
+        if len(fps_s):
+            keep = np.empty(len(fps_s), dtype=bool)
+            keep[0] = True
+            keep[1:] = (fps_s[1:] != fps_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+            doc_u, fps_u = doc_s[keep], fps_s[keep]
+        else:
+            doc_u, fps_u = doc_s, fps_s
+        fps_per_doc = np.bincount(doc_u, minlength=len(spd)).astype(np.int64)
 
         from event_deduplication_ray.stages.banding import (
             minhash_band_key_matrix,
@@ -99,8 +107,10 @@ class SignatureStage:
             "band_keys": bk_arr,
             "sig8": sig8_arr,
             "simhash": pa.array(simhash, pa.uint64()),
-            "substr_fps": pa.array(
-                [l.tolist() for l in fp_lists], pa.list_(pa.uint64())
+            "substr_fps": pa.ListArray.from_arrays(
+                pa.array(np.concatenate([[0], np.cumsum(fps_per_doc)]),
+                         pa.int32()),
+                pa.array(fps_u, pa.uint64()),
             ),
         }
         for c in self.passthrough:

@@ -1,0 +1,60 @@
+"""JSONL source (reference S1 analog: JSON file ingestion) — same
+pipeline, different reader; html-less records still work because
+extraction falls back to the text column."""
+
+import json
+
+import numpy as np
+
+from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.pipelines.dedup_pipeline import (
+    dedup_path,
+    read_docs,
+)
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_jsonl_docs_roundtrip_and_dedup(tmp_path):
+    rng = np.random.default_rng(5)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def words(n):
+        return " ".join(
+            "".join(letters[rng.integers(0, 26, size=6)]) for _ in range(n)
+        )
+
+    base = words(80)
+    rows = []
+    for i in range(6):
+        rows.append({
+            "url": f"https://j.example/dup{i}",
+            "warc_ts": "2026-01-01T00:00:00",
+            "html": None,
+            "text": base,            # 6 exact dups -> one cluster
+            "lang": "en",
+        })
+    for i in range(5):
+        rows.append({
+            "url": f"https://j.example/uniq{i}",
+            "warc_ts": "2026-01-01T00:00:00",
+            "html": None,
+            "text": words(80),
+            "lang": "en",
+        })
+    p = tmp_path / "docs.jsonl"
+    _write_jsonl(p, rows)
+
+    ds = read_docs(str(p))
+    assert ds.count() == 11
+
+    res = dedup_path(str(p), DedupConfig(join_num_partitions=4))
+    asn = res.assignments.to_pandas()
+    assert len(asn) == 11
+    # 6 dups in one cluster + 5 singletons
+    sizes = sorted(asn.groupby("cluster_id").size().tolist())
+    assert sizes == [1, 1, 1, 1, 1, 6]
