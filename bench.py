@@ -58,11 +58,11 @@ def ensure_corpus(sf_dir: str) -> tuple[str, int]:
     return d, n
 
 
-def run_flagship(corpus_dir: str, repeats: int = 2) -> float:
+def run_flagship(corpus_dir: str, repeats: int = 3) -> float:
     """Best-of-N timed runs after one tiny warmup pipeline.
 
     The warmup spawns + import-loads every Ray worker so the timed
-    runs measure the pipeline, not process bootstrap.  Best-of-N
+    runs measure the pipeline, not process bootstrap.  Best-of-3
     because this sandbox's page-fault cost varies 2-3x run-to-run
     (virtualized memory; see BASELINE.md) — the minimum reflects the
     engine, the variance reflects the host.

@@ -153,7 +153,10 @@ def make_substring_explode(cfg: DedupConfig):
             {
                 "fp_key": pa.array(_mix_to_int63(flat[keep])),
                 "doc_id": pa.array(doc_id[keep]),
-                "n_fps": pa.array(n_fps[keep]),
+                # int32: the doc's fp count rides EVERY exploded row
+                # of the engine's largest shuffle payload — half-width
+                # here is ~17% of that table's bytes
+                "n_fps": pa.array(n_fps[keep].astype(np.int32), pa.int32()),
             }
         )
 
