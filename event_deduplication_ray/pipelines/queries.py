@@ -175,18 +175,35 @@ def q14_session_windows(sf_dir: str) -> Dataset:
 
 
 def q15_customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti-join via broadcast key set (reference semi/anti-join
-    pattern from the guide: broadcast the key set, filter inside
-    map_batches — no shuffle)."""
-    okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    have_orders = np.unique(okeys["o_custkey"].to_numpy())
+    """Anti-join as a hash-partitioned cogroup — the 100 TB-safe
+    shape: orders is NOT a small side, so neither table is broadcast
+    or collected; each partition sees every row whose key hashes to
+    it and filters locally.  The orders side is pre-deduped per batch
+    inside the split wave (combiner) so only distinct keys shuffle."""
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    okeys = _read(sf_dir, "orders", ["o_custkey"])
 
-    def anti(t: pa.Table) -> pa.Table:
-        mask = ~np.isin(t["c_custkey"].to_numpy(), have_orders)
-        return t.filter(pa.array(mask))
+    def dedup_keys(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pa.array(
+            np.unique(t["o_custkey"].to_numpy()))})
 
-    df = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
+    okeys_sh = shuffle_to(okeys, ["o_custkey"], QCFG.join_num_partitions,
+                          pre_fn=dedup_keys)
+
+    def anti(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                                 "c_name": pd.Series(dtype="object")})
+        if len(r) == 0:
+            return l[["c_custkey", "c_name"]]
+        mask = ~l["c_custkey"].isin(r["o_custkey"].unique())
+        return l.loc[mask, ["c_custkey", "c_name"]]
+
+    out = cogroup_apply(cust, okeys_sh, ["c_custkey"], ["o_custkey"],
+                        QCFG.join_num_partitions, anti)
+    df = out.to_pandas()
     if len(df.columns) == 0:   # legitimately-empty result keeps its schema
         df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                            "c_name": pd.Series(dtype="object")})
