@@ -86,6 +86,18 @@ def incremental_add(
         cands = minhash_candidate_pairs(minhash_band_table(all_sigs, cfg), cfg)
         cands_new = cands.map_batches(touching_new, batch_format="pyarrow")
         verified_new = verify_pairs(cands_new, all_sigs, cfg)
+        if cfg.use_exact_tier:
+            # same ambiguous-band re-scoring as the full pipeline —
+            # an incremental run configured with the exact tier must
+            # not silently decide new-doc pairs at the cheap tier only
+            from event_deduplication_ray.stages.exact_verify import (
+                exact_jaccard_tier,
+            )
+
+            all_docs_lazy = old_meta.select_columns(
+                ["doc_id", "text_norm"]
+            ).union(new_full.select_columns(["doc_id", "text_norm"]))
+            verified_new = exact_jaccard_tier(verified_new, all_docs_lazy, cfg)
         pair_sets.append(match_edges(verified_new, cfg))
     if cfg.use_simhash:
         sim = simhash_match_pairs(simhash_band_table(all_sigs, cfg), cfg)

@@ -67,3 +67,23 @@ def test_incremental_metrics(split_corpus, tmp_path):
     inc = incremental_add(run_dir, f"{new_dir}/docs.parquet", CFG)
     n_new = pq.ParquetFile(f"{new_dir}/docs.parquet").metadata.num_rows
     assert inc.metrics["n_new_docs"] == n_new
+
+
+def test_incremental_exact_tier_matches_full(split_corpus, tmp_path):
+    """With the exact tier enabled, incremental_add must re-score
+    ambiguous new-doc pairs exactly like a full run (regression for
+    the tier being silently skipped on incremental updates)."""
+    cfg = CFG.with_overrides(use_exact_tier=True, ambiguous_is_match=False)
+    old_dir, new_dir, full_path = split_corpus
+    run_dir = str(tmp_path / "run_exact")
+    dedup_path_resumable(f"{old_dir}/docs.parquet", run_dir, cfg)
+
+    inc = incremental_add(run_dir, f"{new_dir}/docs.parquet", cfg)
+    inc_asn = inc.assignments.to_pandas()
+    full_asn = dedup_path(full_path, cfg).assignments.to_pandas()
+
+    assert len(inc_asn) == len(full_asn)
+    m = inc_asn.merge(full_asn, on="doc_id", suffixes=("_inc", "_full"))
+    grp_inc = m.groupby("cluster_id_inc")["doc_id"].apply(frozenset)
+    grp_full = m.groupby("cluster_id_full")["doc_id"].apply(frozenset)
+    assert set(grp_inc) == set(grp_full)
