@@ -72,12 +72,15 @@ class MediaDecodeStage:
                 "(PIL / torchvision / ffmpeg) not present in this "
                 "environment; wire it here"
             )
-        payloads = batch["payload"].to_pylist()
-        w = np.zeros(len(payloads), np.int64)
-        h = np.zeros(len(payloads), np.int64)
-        mean_px = np.zeros(len(payloads), np.float64)
-        for i, p in enumerate(payloads):
-            img = _fake_decode(p)
+        col = batch["payload"]
+        n = len(col)
+        w = np.zeros(n, np.int64)
+        h = np.zeros(n, np.int64)
+        mean_px = np.zeros(n, np.float64)
+        for i in range(n):
+            # slice one Arrow binary scalar at a time (no to_pylist of
+            # the whole batch — payloads dominate memory)
+            img = _fake_decode(col[i].as_py())
             h[i], w[i] = img.shape
             mean_px[i] = float(img.mean()) if img.size else 0.0
         return pa.table(
@@ -108,8 +111,9 @@ class MediaFeatureStage:
         if self.decoder == "stub":
             raise NotImplementedError("wire a feature extractor model here")
         feats = []
-        for p in batch["payload"].to_pylist():
-            img = _fake_decode(p).astype(np.float64)
+        col = batch["payload"]
+        for i in range(len(col)):
+            img = _fake_decode(col[i].as_py()).astype(np.float64)
             flat = img.reshape(-1)
             pad = (-len(flat)) % self.dim
             if pad:
