@@ -42,9 +42,18 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
 
     urls = batch["url"].to_pandas()
     # JSON-lines inputs may carry an all-null html column (pa.null
-    # type) and/or pre-extracted text (the reference's JSON record
-    # shape) — normalize the html column type and remember the
-    # provided text as the fallback for html-less rows.
+    # type), omit optional columns entirely, and/or ship
+    # pre-extracted text (the reference's JSON record shape) —
+    # normalize the html column type, fill absent optional columns
+    # with typed nulls, and remember the provided text as the
+    # fallback for html-less rows.
+    n_in = len(batch)
+    if "html" not in batch.column_names:
+        batch = batch.append_column("html", pa.nulls(n_in, pa.binary()))
+    if "lang" not in batch.column_names:
+        batch = batch.append_column("lang", pa.nulls(n_in, pa.string()))
+    if "warc_ts" not in batch.column_names:
+        batch = batch.append_column("warc_ts", pa.nulls(n_in, pa.string()))
     html_in = batch["html"]
     if pa.types.is_null(html_in.type):
         html_in = pc.cast(html_in, pa.binary())

@@ -58,3 +58,17 @@ def test_jsonl_docs_roundtrip_and_dedup(tmp_path):
     # 6 dups in one cluster + 5 singletons
     sizes = sorted(asn.groupby("cluster_id").size().tolist())
     assert sizes == [1, 1, 1, 1, 1, 6]
+
+
+def test_jsonl_missing_optional_columns(tmp_path):
+    """JSON records without html/lang/warc_ts still flow (typed-null
+    fill), matching the reference's permissive JSON validator."""
+    rows = [{"url": f"https://m.example/{i}",
+             "text": f"unique text number {i} with several more words here"}
+            for i in range(4)]
+    p = tmp_path / "min.jsonl"
+    _write_jsonl(p, rows)
+    res = dedup_path(str(p), DedupConfig(join_num_partitions=2))
+    asn = res.assignments.to_pandas()
+    assert len(asn) == 4
+    assert asn["cluster_id"].nunique() == 4

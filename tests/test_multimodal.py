@@ -90,3 +90,19 @@ def test_media_fingerprint_stage_stub_raises():
     with _pytest.raises(Exception):
         MM.media_fingerprints(_media_ds(), decoder="stub",
                               concurrency=1).to_pandas()
+
+
+def test_media_dup_clusters_duplicate_free():
+    """Edge case: no near-dup pairs at all — every item a singleton
+    (exercises the empty pair/edge paths through phash → CC)."""
+    import ray.data as rd
+
+    from event_deduplication_ray.config import DedupConfig
+
+    t = MM.make_fake_media_table(n_groups=0, members=0, singletons=12)
+    out = MM.media_dup_clusters(
+        rd.from_arrow(t), DedupConfig(join_num_partitions=4),
+        decoder="fake", radius=3,
+    ).to_pandas()
+    assert len(out) == 12
+    assert out["cluster_id"].nunique() == 12
