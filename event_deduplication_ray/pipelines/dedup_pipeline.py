@@ -237,7 +237,13 @@ def dedup_path_resumable(
     # with a reason column; count recorded in the manifest (reference
     # dead-letter dir, ingestion/file_processor.py:259-283)
     rejected = rs.stage("_rejected", lambda: rejected_stage(read_docs(path), cfg))
-    sigs = rs.stage("signatures", lambda: signature_stage(extracted, cfg))
+    # per-lang threshold overrides (P5) need lang riding the signature
+    # checkpoint so verify_pairs can resolve per-pair thresholds
+    sig_pass = ("lang",) if cfg.lang_match_overrides else ()
+    sigs = rs.stage(
+        "signatures",
+        lambda: signature_stage(extracted, cfg, passthrough=sig_pass),
+    )
 
     def compute_edges() -> Dataset:
         verified = (

@@ -71,6 +71,12 @@ def incremental_add(
 
     sig_cols = ["doc_id", "n_chars", "n_tokens", "n_shingles", "band_keys",
                 "sig8", "simhash", "substr_fps"]
+    if cfg.lang_match_overrides:
+        # per-lang thresholds (P5): lang must ride the combined
+        # signature table into verify_pairs.  Checkpoints written by
+        # dedup_path_resumable under the same config carry it (the
+        # config fingerprint invalidates older lang-less checkpoints).
+        sig_cols.append("lang")
     all_sigs = old_sigs.select_columns(sig_cols).union(
         new_full.select_columns(sig_cols)
     ).materialize()

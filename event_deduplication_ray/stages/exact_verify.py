@@ -147,20 +147,41 @@ def exact_jaccard_tier(
                 ["id_a", "id_b"]
             ).reset_index(drop=True)
 
+    hits = None
     if cached is not None:
-        # broadcast the cached key table ONCE via the object store;
-        # exact two-column anti-join inside each task (no composite-
-        # int collision surface)
-        keys_ref = ray.put(cached[["id_a", "id_b"]])
+        # broadcast the cached (id_a, id_b, score) table ONCE via the
+        # object store; exact two-column hash joins inside each task
+        # (no composite-int collision surface)
+        cache_ref = ray.put(cached)
 
         def drop_cached(df: pd.DataFrame) -> pd.DataFrame:
             if len(df) == 0:
                 return df
-            keys = ray.get(keys_ref)
+            keys = ray.get(cache_ref)[["id_a", "id_b"]]
             m = df.merge(keys.assign(__hit=1), on=["id_a", "id_b"], how="left")
             return m[m["__hit"].isna()].drop(columns="__hit")
 
+        def keep_cached(df: pd.DataFrame) -> pd.DataFrame:
+            # per-pair cache LOOKUP (the reference resolver consults
+            # its cache pair-by-pair, ai_matching/cache.py:60-100):
+            # only pairs present in THIS run's ambiguous set pick up
+            # their cached score — cached pairs foreign to the current
+            # input are never injected into the output
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {"id_a": pd.Series(dtype="int64"),
+                     "id_b": pd.Series(dtype="int64"),
+                     "score0": pd.Series(dtype="float64"),
+                     "score": pd.Series(dtype="float64")}
+                )
+            c = ray.get(cache_ref)
+            m = df.rename(columns={"score": "score0"}).merge(
+                c, on=["id_a", "id_b"], how="inner"
+            )
+            return m[["id_a", "id_b", "score0", "score"]]
+
         to_score = ambiguous.map_batches(drop_cached, batch_format="pandas")
+        hits = ambiguous.map_batches(keep_cached, batch_format="pandas")
     else:
         to_score = ambiguous
 
@@ -256,8 +277,6 @@ def exact_jaccard_tier(
              "score": final, "decision": dec, "tier": "exact"}
         )
 
-    resolved = scored.map_batches(decide, batch_format="pandas")
-    if cached is not None:
-        cached_rows = cached.assign(score0=cached["score"])
-        resolved = resolved.union(rd.from_pandas(decide(cached_rows)))
+    resolved_src = scored if hits is None else scored.union(hits)
+    resolved = resolved_src.map_batches(decide, batch_format="pandas")
     return rest.union(resolved)

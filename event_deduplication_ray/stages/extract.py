@@ -40,14 +40,27 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
 
     import pyarrow.compute as pc
 
-    urls = batch["url"].to_pandas()
+    n_in = len(batch)
+    # driver-table shape (TESTDATA.md documents: doc_id, text, lang,
+    # source, n_chars — no url): rows are keyed by their existing
+    # doc_id; a synthetic doc:// url stands in for provenance columns
+    had_doc_id = "doc_id" in batch.column_names
+    if "url" not in batch.column_names:
+        if not had_doc_id:
+            raise ValueError(
+                "input table needs a 'url' or 'doc_id' column "
+                "(got: %s)" % batch.column_names
+            )
+        urls = "doc://" + batch["doc_id"].to_pandas().astype(str)
+        batch = batch.append_column("url", pa.array(urls, pa.string()))
+    else:
+        urls = batch["url"].to_pandas()
     # JSON-lines inputs may carry an all-null html column (pa.null
     # type), omit optional columns entirely, and/or ship
     # pre-extracted text (the reference's JSON record shape) —
     # normalize the html column type, fill absent optional columns
     # with typed nulls, and remember the provided text as the
     # fallback for html-less rows.
-    n_in = len(batch)
     if "html" not in batch.column_names:
         batch = batch.append_column("html", pa.nulls(n_in, pa.binary()))
     if "lang" not in batch.column_names:
@@ -126,10 +139,20 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
                    pa.scalar(None, pa.string())),
     )
 
+    doc_id_col = (
+        pc.cast(batch["doc_id"], pa.int64())
+        if had_doc_id
+        else pa.array(doc_ids_for_urls(urls), pa.int64())
+    )
+    source_col = (
+        pc.cast(batch["source"], pa.string())
+        if "source" in batch.column_names
+        else pa.array(host_from_url(urls), pa.string())
+    )
     cols: dict[str, pa.Array | pa.ChunkedArray] = {
-        "doc_id": pa.array(doc_ids_for_urls(urls), pa.int64()),
+        "doc_id": doc_id_col,
         "url": batch["url"],
-        "source": pa.array(host_from_url(urls), pa.string()),
+        "source": source_col,
         "warc_ts": batch["warc_ts"],
         "lang": batch["lang"],
         "text": text_arr,

@@ -21,7 +21,11 @@ from ray.data import Dataset
 
 from event_deduplication_ray.config import DedupConfig
 from event_deduplication_ray.stages.pairs import _pairs_from_groups
-from event_deduplication_ray.stages.shuffle import cogroup_apply, partition_apply
+from event_deduplication_ray.stages.shuffle import (
+    cogroup_apply,
+    partition_apply,
+    shuffle_to,
+)
 
 
 def _emb_matrix(col) -> np.ndarray:
@@ -149,8 +153,9 @@ def embedding_dup_pairs(
     through the object store.  Vectors now reach the candidate pairs
     via the same two hash-partitioned cogroups the MinHash verify
     stage uses (attach emb_a by id_a, then attach emb_b + cosine by
-    id_b): the embedding table streams through exactly twice,
-    unreplicated, regardless of n_bits.
+    id_b); the normalized vector table is shuffled by vec_id ONCE and
+    its partitions feed both cogroups, so the embeddings are read,
+    normalized and shipped a single time regardless of n_bits.
     """
     seed = cfg.seed
     P = cfg.join_num_partitions
@@ -176,7 +181,7 @@ def embedding_dup_pairs(
         # a pair land together), as in minhash_candidate_pairs
         return p[["id_a", "id_b"]].drop_duplicates()
 
-    pairs = partition_apply(keyed, ["band_key"], P, gen)
+    pairs = partition_apply(keyed, ["band_key"], P, gen, out_keys=["id_a"])
 
     # normalized vectors as fixed_size_list<double> — zero-copy numpy
     # view inside the cogroup merges
@@ -188,7 +193,11 @@ def embedding_dup_pairs(
         )
         return pa.table({"vec_id": t[id_col], "emb": fsl})
 
-    vecs = embeddings.map_batches(norm_tbl, batch_format="pyarrow")
+    # shuffled by vec_id ONCE and reused by both cogroups (the verify
+    # stage's folded_sigs_by_id pattern): the embedding table is read
+    # and normalized a single time instead of once per cogroup, and
+    # the normalization runs inside the split tasks (pre_fn)
+    vecs = shuffle_to(embeddings, ["vec_id"], P, pre_fn=norm_tbl)
 
     def _dim(r: pa.Table) -> int:
         return r.schema.field("emb").type.list_size
@@ -230,7 +239,7 @@ def embedding_dup_pairs(
         })
 
     with_a = cogroup_apply(pairs, vecs, ["id_a"], ["vec_id"], P, attach_a,
-                           batch_format="pyarrow")
+                           batch_format="pyarrow", out_keys=["id_b"])
 
     def attach_b_score(l: pa.Table, r: pa.Table) -> pa.Table:
         empty = pa.table({

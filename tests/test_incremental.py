@@ -87,3 +87,25 @@ def test_incremental_exact_tier_matches_full(split_corpus, tmp_path):
     grp_inc = m.groupby("cluster_id_inc")["doc_id"].apply(frozenset)
     grp_full = m.groupby("cluster_id_full")["doc_id"].apply(frozenset)
     assert set(grp_inc) == set(grp_full)
+
+
+def test_incremental_with_lang_overrides_matches_full(split_corpus, tmp_path):
+    """Per-lang threshold overrides (P5) must survive the incremental
+    path: the old run's signature checkpoint has no lang column, so
+    incremental_add must re-attach lang before verification instead of
+    crashing or silently dropping the overrides."""
+    cfg = CFG.with_overrides(lang_match_overrides={"en": 0.72},
+                             lang_priority=("en",))
+    old_dir, new_dir, full_path = split_corpus
+    run_dir = str(tmp_path / "run_lang")
+    dedup_path_resumable(f"{old_dir}/docs.parquet", run_dir, cfg)
+
+    inc = incremental_add(run_dir, f"{new_dir}/docs.parquet", cfg)
+    inc_asn = inc.assignments.to_pandas()
+    full_asn = dedup_path(full_path, cfg).assignments.to_pandas()
+
+    assert len(inc_asn) == len(full_asn)
+    m = inc_asn.merge(full_asn, on="doc_id", suffixes=("_inc", "_full"))
+    grp_inc = m.groupby("cluster_id_inc")["doc_id"].apply(frozenset)
+    grp_full = m.groupby("cluster_id_full")["doc_id"].apply(frozenset)
+    assert set(grp_inc) == set(grp_full)

@@ -180,3 +180,37 @@ def test_exact_tier_missing_text_stays_ambiguous(result):
     assert len(t) == len(amb_touched)
     assert (t["decision"] == "ambiguous").all()
     assert np.allclose(t["score"], t["score_cheap"])
+
+
+def test_exact_tier_cache_no_foreign_pair_injection(result, tmp_path):
+    """A shared cache must behave as a per-pair LOOKUP (the reference
+    resolver consults its cache pair-by-pair, ai_matching/cache.py):
+    cached pairs absent from the current run's input must not be
+    injected into the output — a cache populated by a full run, then
+    consulted by a run over a pair subset, returns only subset pairs."""
+    from event_deduplication_ray.stages.exact_verify import exact_jaccard_tier
+
+    cache = str(tmp_path / "cache_subset")
+    vp = result.verified_pairs.to_pandas()
+    amb = vp[vp.decision == "ambiguous"]
+    if len(amb) < 2:
+        pytest.skip("need >=2 ambiguous pairs")
+    # populate the cache from the full pair table
+    exact_jaccard_tier(result.verified_pairs, result.docs, CFG,
+                       cache_dir=cache).to_pandas()
+    # rerun over a subset missing one previously-cached ambiguous pair
+    drop = amb.iloc[[0]][["id_a", "id_b"]]
+    keep = vp.merge(drop.assign(__d=1), on=["id_a", "id_b"], how="left")
+    keep = keep[keep["__d"].isna()].drop(columns="__d")
+    out = exact_jaccard_tier(rd.from_pandas(keep), result.docs, CFG,
+                             cache_dir=cache).to_pandas()
+    assert len(out) == len(keep)
+    dropped_pair = (int(drop.id_a.iloc[0]), int(drop.id_b.iloc[0]))
+    assert dropped_pair not in set(zip(out.id_a, out.id_b))
+    # and the surviving cached pairs still resolve identically to a
+    # cache-free run over the same subset
+    ref = exact_jaccard_tier(rd.from_pandas(keep), result.docs, CFG).to_pandas()
+    key = ["id_a", "id_b"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = ref.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
