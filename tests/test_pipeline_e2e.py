@@ -171,3 +171,33 @@ def test_min_text_chars_gate(corpus_dir):
     a = res.assignments.to_pandas()
     # every doc is shorter than 1e9 chars → no candidates → singletons
     assert a["cluster_id"].nunique() == len(a)
+
+
+def test_flagship_on_docid_keyed_table():
+    """The driver documents table shape (doc_id, text, lang, source,
+    n_chars — no url/html) runs through the flagship directly: rows
+    keep their doc_id and source, nothing is rejected, and the run is
+    deterministic."""
+    import ray.data as rd
+
+    from event_deduplication_ray.pipelines.dedup_pipeline import dedup_docs
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    cfg = DedupConfig(use_substring=True, join_num_partitions=4)
+    res = dedup_docs(rd.read_parquet(path), cfg)
+    asn = res.assignments.to_pandas()
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(path, columns=["doc_id", "source"]).to_pandas()
+    assert len(asn) == len(src)
+    assert set(asn.doc_id) == set(src.doc_id)
+    docs = res.docs.to_pandas()
+    m = docs.merge(src, on="doc_id", suffixes=("", "_in"))
+    assert (m["source"] == m["source_in"]).all()
+    assert res.rejected.count() == 0
+    # deterministic across runs
+    res2 = dedup_docs(rd.read_parquet(path), cfg)
+    asn2 = res2.assignments.to_pandas()
+    a = asn.sort_values("doc_id").reset_index(drop=True)
+    b = asn2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["cluster_id"].to_numpy() == b["cluster_id"].to_numpy()).all()
