@@ -454,6 +454,25 @@ def q11_embedding_topk(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id"]]
 
 
+def q31_embedding_topk_batch(sf_dir: str) -> pd.DataFrame:
+    """Batched ANN: top-10 per query for a 3-query matrix in ONE pass
+    over the table (one (n,d)@(d,q) matmul per batch, local top-k per
+    query — the realistic serving shape).  Ids only, same float-hash
+    caveat as q11; self-matches kept (cos=1.0, rank 1)."""
+    from event_deduplication_ray.stages.similarity import brute_force_topk_many
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = t.to_pandas()
+    qrows = df[df["vec_id"] < 3].sort_values("vec_id")
+    qmat = np.vstack(qrows["embedding"].to_numpy()).astype(np.float64)
+    qids = qrows["vec_id"].to_numpy()
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk_many(emb, qmat, k=10)
+    out["query_id"] = qids[out["query_idx"].to_numpy()]
+    return out[["query_id", "vec_id"]].reset_index(drop=True)
+
+
 def q25_lsh_topk(sf_dir: str) -> pd.DataFrame:
     from event_deduplication_ray.stages.similarity import lsh_topk
 
@@ -563,6 +582,7 @@ RAY_QUERIES = {
     "q28_ngram_jaccard_clusters": q28_ngram_jaccard_clusters,
     "q29_media_dup_clusters": q29_media_dup_clusters,
     "q30_containment_pairs_exact": q30_containment_pairs_exact,
+    "q31_embedding_topk_batch": q31_embedding_topk_batch,
 }
 
 
@@ -777,5 +797,16 @@ ORACLE_SQL = {
         JOIN counts cb ON cb.doc_id = inter.id_b
         WHERE shared::DOUBLE / least(ca.n, cb.n) >= 0.8
         ORDER BY id_a, id_b
+    """,
+    "q31_embedding_topk_batch": """
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id < 3
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                     e.vec_id
+        ) <= 10
+        ORDER BY query_id, vec_id
     """,
 }

@@ -80,6 +80,50 @@ def brute_force_topk(
     return parts.reset_index(drop=True)
 
 
+def brute_force_topk_many(
+    embeddings: Dataset,
+    query_mat: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Batched ANN baseline: top-k rows by cosine for EVERY query row
+    of a (q, d) matrix in one pass over the table.
+
+    The normalized query matrix is broadcast once (``ray.put``); each
+    batch computes one (n, d) @ (d, q) matmul and keeps a local top-k
+    per query, so the driver combine is O(num_batches * q * k) rows —
+    independent of table size.  Returns (query_idx, vec_id, cos)
+    sorted by (query_idx, -cos, vec_id), k rows per query.
+    """
+    qm = _normalize_rows(np.atleast_2d(query_mat).astype(np.float64))
+    nq = qm.shape[0]
+    q_ref = ray.put(qm.T)  # (d, q)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        m = _normalize_rows(_emb_matrix(t[emb_col]))
+        cos = m @ qt                               # (n, q)
+        ids = t[id_col].to_numpy()
+        kk = min(k, len(ids))
+        # per-query local top-k via one argpartition per column block
+        top = np.argpartition(-cos, kk - 1, axis=0)[:kk]   # (kk, q)
+        qi = np.repeat(np.arange(nq), kk)
+        ri = top.T.reshape(-1)
+        return pa.table({
+            "query_idx": pa.array(qi, pa.int64()),
+            id_col: pa.array(ids[ri]),
+            "cos": pa.array(cos[ri, qi]),
+        })
+
+    parts = embeddings.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["query_idx", "cos", id_col],
+                              ascending=[True, False, True])
+    out = parts.groupby("query_idx", as_index=False).head(k)
+    out["cos"] = out["cos"].round(6)
+    return out.reset_index(drop=True)
+
+
 def srp_bucket_codes(m: np.ndarray, n_bits: int, seed: int, dim: int) -> np.ndarray:
     """Signed-random-projection bucket codes (uint64)."""
     rng = np.random.default_rng(seed)

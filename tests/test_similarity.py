@@ -80,3 +80,19 @@ def test_embedding_dup_pairs_no_duplicate_pairs():
     pairs = embedding_dup_pairs(ds, CFG, cos_threshold=0.9).to_pandas()
     assert not pairs.duplicated(["id_a", "id_b"]).any()
     assert set(pairs["tier"]) <= {"embedding"}
+
+
+def test_brute_force_topk_many_matches_single():
+    """Batched multi-query top-k agrees with the single-query baseline
+    for every query row, in one pass over the table."""
+    from event_deduplication_ray.stages.similarity import brute_force_topk_many
+
+    ds, m = _emb_ds(n=300, d=16, seed=3)
+    qmat = m[:4]
+    got = brute_force_topk_many(ds, qmat, k=7)
+    assert len(got) == 4 * 7
+    for qi in range(4):
+        single = brute_force_topk(ds, m[qi], k=7)
+        sub = got[got["query_idx"] == qi]
+        assert sub["vec_id"].tolist() == single["vec_id"].tolist()
+        assert np.allclose(sub["cos"].to_numpy(), single["cos"].to_numpy())
