@@ -70,11 +70,25 @@ def read_docs(path: str) -> Dataset:
     def _is_json(p: str) -> bool:
         return p.endswith((".json", ".jsonl"))
 
-    if _is_json(path) or (
-        _os.path.isdir(path)
-        and any(_is_json(f) for f in _os.listdir(path))
-    ):
+    if _is_json(path):
         return rd.read_json(path)
+    if _os.path.isdir(path):
+        entries = sorted(_os.listdir(path))
+        files = [
+            f for f in entries
+            if _os.path.isfile(_os.path.join(path, f))
+            and not f.startswith((".", "_"))
+        ]
+        js = [f for f in files if _is_json(f)]
+        other = [f for f in files if not _is_json(f)]
+        if js and not other:
+            # pure JSON-lines directory
+            return rd.read_json([_os.path.join(path, f) for f in js])
+        if js and other:
+            # mixed directory: a stray JSON sidecar (manifest/metadata)
+            # must not flip the whole read to JSON-lines — read only
+            # the non-JSON data files as Parquet
+            return rd.read_parquet([_os.path.join(path, f) for f in other])
     return rd.read_parquet(path)
 
 

@@ -10,11 +10,19 @@ signatures; candidate pairs touching at least one new doc; their
 verification), then rerun the cheap downstream stages (union-find,
 synthesis) on the combined graph.
 
-Scale note: the candidate-pair generation runs over the combined band
-table (narrow rows), but verification — the expensive stage — is
-limited to pairs with >= 1 new side, filtered via a broadcast set of
-new doc ids (the new batch is assumed small relative to the corpus;
-a huge batch should just use a fresh full run).
+Scale contract (round-3 rework): every shuffle is O(new batch), not
+O(corpus).  The new docs' band/fp keys — genuinely small: |new| ×
+bands rows — are collected and broadcast (``ray.put`` once, read per
+task); the old corpus's band tables are SEMI-JOINED to that key set
+inside the linear explode scan, so only rows from buckets the new
+docs actually touch enter pair generation.  Verification likewise
+shuffles only the signatures of docs that appear in a candidate pair
+(broadcast id semi-join), so the expensive cogroups never move the
+full corpus.  The reference's watcher has the same shape: one file's
+arrival never re-scores the world (worker/orchestrator.py:174-260).
+The only remaining O(corpus) work is the unavoidable linear re-read
+of the signature checkpoint (no shuffle) and the final
+clustering/synthesis over the combined graph.
 """
 
 from __future__ import annotations
@@ -22,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 from ray.data import Dataset
 
@@ -45,6 +54,38 @@ from event_deduplication_ray.stages.synthesize import (
     synthesize_joined,
 )
 from event_deduplication_ray.stages.verify import match_edges, verify_pairs
+
+
+def semi_join_broadcast(ds: Dataset, col: str, values: np.ndarray) -> Dataset:
+    """Keep rows whose ``col`` is in ``values`` (sorted int64 array,
+    broadcast ONCE via ray.put and read zero-copy in every task — the
+    small side never re-ships per batch)."""
+    ref = ray.put(np.sort(np.asarray(values, dtype=np.int64)))
+
+    def f(t: pa.Table) -> pa.Table:
+        vals = ray.get(ref)
+        keys = t[col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vals, keys)
+        pos_c = np.minimum(pos, len(vals) - 1) if len(vals) else pos
+        mask = (vals[pos_c] == keys) if len(vals) else np.zeros(len(keys), bool)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _affected_band_table(
+    new_band: Dataset, old_sigs: Dataset, explode_table, cfg: DedupConfig,
+    key_col: str,
+) -> tuple[Dataset, np.ndarray]:
+    """Union of the new docs' band rows with the old corpus's rows in
+    buckets the new docs touch.  Returns (affected_rows, new_keys);
+    the semi-join runs inside the old table's linear explode scan —
+    no O(corpus) rows ever enter the pair-gen shuffle."""
+    new_keys = np.unique(
+        new_band.select_columns([key_col]).to_pandas()[key_col].to_numpy()
+    ).astype(np.int64)
+    old_rows = semi_join_broadcast(explode_table(old_sigs, cfg), key_col, new_keys)
+    return new_band.union(old_rows), new_keys
 
 
 def incremental_add(
@@ -72,14 +113,14 @@ def incremental_add(
     sig_cols = ["doc_id", "n_chars", "n_tokens", "n_shingles", "band_keys",
                 "sig8", "simhash", "substr_fps"]
     if cfg.lang_match_overrides:
-        # per-lang thresholds (P5): lang must ride the combined
-        # signature table into verify_pairs.  Checkpoints written by
+        # per-lang thresholds (P5): lang must ride the signature rows
+        # into verify_pairs.  Checkpoints written by
         # dedup_path_resumable under the same config carry it (the
         # config fingerprint invalidates older lang-less checkpoints).
         sig_cols.append("lang")
     all_sigs = old_sigs.select_columns(sig_cols).union(
         new_full.select_columns(sig_cols)
-    ).materialize()
+    )
 
     def touching_new(t: pa.Table) -> pa.Table:
         mask = np.isin(t["id_a"].to_numpy(), new_ids_arr) | np.isin(
@@ -87,11 +128,36 @@ def incremental_add(
         )
         return t.filter(pa.array(mask))
 
+    metrics: dict = {"n_new_docs": len(new_ids)}
     pair_sets = []
+    touched_ids: list[np.ndarray] = []
     if cfg.use_minhash:
-        cands = minhash_candidate_pairs(minhash_band_table(all_sigs, cfg), cfg)
-        cands_new = cands.map_batches(touching_new, batch_format="pyarrow")
-        verified_new = verify_pairs(cands_new, all_sigs, cfg)
+        band, keys = _affected_band_table(
+            minhash_band_table(new_full, cfg), old_sigs, minhash_band_table,
+            cfg, "band_key",
+        )
+        band = band.materialize()          # O(new keys' buckets) rows
+        metrics["minhash_new_keys"] = int(len(keys))
+        metrics["minhash_band_rows"] = int(band.count())
+        cands = minhash_candidate_pairs(band, cfg)
+        # affected buckets still contain old-old pairs (already in the
+        # old edge set) — keep only pairs with >= 1 new side
+        cands_new = cands.map_batches(
+            touching_new, batch_format="pyarrow"
+        ).materialize()
+        pair_id_cols = cands_new.select_columns(["id_a", "id_b"]).to_pandas()
+        pair_ids = np.unique(
+            np.concatenate([
+                pair_id_cols["id_a"].to_numpy(), pair_id_cols["id_b"].to_numpy(),
+                new_ids_arr,
+            ])
+        ).astype(np.int64)
+        touched_ids.append(pair_ids)
+        metrics["minhash_candidates"] = int(len(pair_id_cols))
+        # the verify cogroups shuffle ONLY the signatures of docs that
+        # occur in a candidate pair — never the full corpus
+        sigs_touched = semi_join_broadcast(all_sigs, "doc_id", pair_ids)
+        verified_new = verify_pairs(cands_new, sigs_touched, cfg)
         if cfg.use_exact_tier:
             # same ambiguous-band re-scoring as the full pipeline —
             # an incremental run configured with the exact tier must
@@ -100,19 +166,32 @@ def incremental_add(
                 exact_jaccard_tier,
             )
 
-            all_docs_lazy = old_meta.select_columns(
-                ["doc_id", "text_norm"]
-            ).union(new_full.select_columns(["doc_id", "text_norm"]))
-            verified_new = exact_jaccard_tier(verified_new, all_docs_lazy, cfg)
+            docs_touched = semi_join_broadcast(
+                old_meta.select_columns(["doc_id", "text_norm"]).union(
+                    new_full.select_columns(["doc_id", "text_norm"])
+                ),
+                "doc_id", pair_ids,
+            )
+            verified_new = exact_jaccard_tier(verified_new, docs_touched, cfg)
         pair_sets.append(match_edges(verified_new, cfg))
     if cfg.use_simhash:
-        sim = simhash_match_pairs(simhash_band_table(all_sigs, cfg), cfg)
+        band, keys = _affected_band_table(
+            simhash_band_table(new_full, cfg), old_sigs, simhash_band_table,
+            cfg, "band_key",
+        )
+        metrics["simhash_new_keys"] = int(len(keys))
+        sim = simhash_match_pairs(band, cfg)
         sim_new = sim.map_batches(touching_new, batch_format="pyarrow").select_columns(
             ["id_a", "id_b", "score", "tier"]
         )
         pair_sets.append(sim_new)
     if cfg.use_substring:
-        sub = substring_match_pairs(substring_fp_table(all_sigs, cfg), cfg)
+        band, keys = _affected_band_table(
+            substring_fp_table(new_full, cfg), old_sigs, substring_fp_table,
+            cfg, "fp_key",
+        )
+        metrics["substring_new_keys"] = int(len(keys))
+        sub = substring_match_pairs(band, cfg)
         sub_new = sub.map_batches(touching_new, batch_format="pyarrow").select_columns(
             ["id_a", "id_b", "score", "tier"]
         )
@@ -139,5 +218,5 @@ def incremental_add(
     return DedupResult(
         docs=all_meta, signatures=all_sigs, verified_pairs=edges, edges=edges,
         assignments=assignments, canonical=canonical,
-        metrics={"n_new_docs": len(new_ids)},
+        metrics=metrics,
     )

@@ -45,7 +45,8 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
     # source, n_chars — no url): rows are keyed by their existing
     # doc_id; a synthetic doc:// url stands in for provenance columns
     had_doc_id = "doc_id" in batch.column_names
-    if "url" not in batch.column_names:
+    had_url = "url" in batch.column_names
+    if not had_url:
         if not had_doc_id:
             raise ValueError(
                 "input table needs a 'url' or 'doc_id' column "
@@ -139,9 +140,13 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
                    pa.scalar(None, pa.string())),
     )
 
+    # id precedence: when a url exists, the stable url-hash id WINS —
+    # eval maps golden urls through doc_ids_for_urls, so honoring a
+    # foreign doc_id alongside urls would silently zero recall.  A
+    # provided doc_id is used only for url-less driver tables.
     doc_id_col = (
         pc.cast(batch["doc_id"], pa.int64())
-        if had_doc_id
+        if (had_doc_id and not had_url)
         else pa.array(doc_ids_for_urls(urls), pa.int64())
     )
     source_col = (

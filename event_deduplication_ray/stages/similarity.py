@@ -101,19 +101,35 @@ def brute_force_topk_many(
     q_ref = ray.put(qm.T)  # (d, q)
 
     def local_topk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        if len(ids) == 0:                          # empty block: argpartition
+            return pa.table({                      # on a 0-row axis raises
+                "query_idx": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            })
         qt = ray.get(q_ref)
         m = _normalize_rows(_emb_matrix(t[emb_col]))
         cos = m @ qt                               # (n, q)
-        ids = t[id_col].to_numpy()
         kk = min(k, len(ids))
-        # per-query local top-k via one argpartition per column block
-        top = np.argpartition(-cos, kk - 1, axis=0)[:kk]   # (kk, q)
-        qi = np.repeat(np.arange(nq), kk)
-        ri = top.T.reshape(-1)
+        # bulk prune with one argpartition per query column, then make
+        # the boundary exact under the (cos desc, vec_id asc) order:
+        # keep every row tied with the kth value and lexsort those, so
+        # the local winner set matches the q31 oracle's row_number
+        # tie-break even when an exact-cosine tie straddles k
+        part = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, q)
+        qi_out = np.empty(kk * nq, dtype=np.int64)
+        ri_out = np.empty(kk * nq, dtype=np.int64)
+        for qi in range(nq):
+            thresh = cos[part[:, qi], qi].min()
+            cand = np.flatnonzero(cos[:, qi] >= thresh)
+            order = np.lexsort((ids[cand], -cos[cand, qi]))[:kk]
+            qi_out[qi * kk:(qi + 1) * kk] = qi
+            ri_out[qi * kk:(qi + 1) * kk] = cand[order]
         return pa.table({
-            "query_idx": pa.array(qi, pa.int64()),
-            id_col: pa.array(ids[ri]),
-            "cos": pa.array(cos[ri, qi]),
+            "query_idx": pa.array(qi_out, pa.int64()),
+            id_col: pa.array(ids[ri_out]),
+            "cos": pa.array(cos[ri_out, qi_out]),
         })
 
     parts = embeddings.map_batches(local_topk, batch_format="pyarrow").to_pandas()

@@ -62,16 +62,22 @@ def resolve_match_thresholds(
     sa = pd.Series(lang_a, dtype=object)
     sb = pd.Series(lang_b, dtype=object)
     ta, tb = sa.map(ov), sb.map(ov)
-    ra, rb = sa.map(pri), sb.map(pri)
     thr = np.full(len(sa), cfg.jaccard_match, dtype=np.float64)
     same = (sa == sb).to_numpy()
     m = same & ta.notna().to_numpy()
     thr[m] = ta.to_numpy(dtype=np.float64, na_value=np.nan)[m]
     diff = ~same
-    use_a = diff & ra.notna().to_numpy() & (rb.isna() | (ra <= rb)).to_numpy() \
-        & ta.notna().to_numpy()
-    use_b = diff & rb.notna().to_numpy() & (ra.isna() | (rb < ra)).to_numpy() \
-        & tb.notna().to_numpy()
+    # Cross-lang: the first lang in lang_priority that CARRIES an
+    # override wins (cascade) — rank by priority among override
+    # carriers, so an override on the lower-priority side still
+    # applies when the higher-priority lang has none.  A lang outside
+    # lang_priority never wins cross-lang (rank +inf).
+    ra = sa.map(pri).to_numpy(dtype=np.float64, na_value=np.inf)
+    rb = sb.map(pri).to_numpy(dtype=np.float64, na_value=np.inf)
+    elig_a = ta.notna().to_numpy() & np.isfinite(ra)
+    elig_b = tb.notna().to_numpy() & np.isfinite(rb)
+    use_a = diff & elig_a & (~elig_b | (ra <= rb))
+    use_b = diff & elig_b & ~use_a
     thr[use_a] = ta.to_numpy(dtype=np.float64, na_value=np.nan)[use_a]
     thr[use_b] = tb.to_numpy(dtype=np.float64, na_value=np.nan)[use_b]
     return thr

@@ -60,6 +60,35 @@ def test_jsonl_docs_roundtrip_and_dedup(tmp_path):
     assert sizes == [1, 1, 1, 1, 1, 6]
 
 
+def test_parquet_dir_with_stray_json_sidecar(tmp_path):
+    """A Parquet dataset directory containing one stray JSON sidecar
+    (manifest/metadata) must still be read as Parquet — and the
+    sidecar must not be parsed as data."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({
+        "url": [f"https://p.example/{i}" for i in range(7)],
+        "text": [f"parquet row number {i} words words" for i in range(7)],
+        "lang": ["en"] * 7,
+    })
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "part-0.parquet")
+    (tmp_path / "manifest.json").write_text(json.dumps({"rows": 7}))
+
+    ds = read_docs(str(tmp_path))
+    assert ds.count() == 7
+    assert "url" in ds.schema().names
+
+
+def test_pure_jsonl_dir_reads_json(tmp_path):
+    rows = [{"url": f"https://d.example/{i}",
+             "text": f"dir jsonl row {i} more words here"} for i in range(3)]
+    _write_jsonl(tmp_path / "a.jsonl", rows)
+    ds = read_docs(str(tmp_path))
+    assert ds.count() == 3
+
+
 def test_jsonl_missing_optional_columns(tmp_path):
     """JSON records without html/lang/warc_ts still flow (typed-null
     fill), matching the reference's permissive JSON validator."""

@@ -43,6 +43,24 @@ def test_resolve_priority_breaks_cross_lang_ties():
     assert thr.tolist() == [0.6, 0.5, cfg.jaccard_match]
 
 
+def test_resolve_cascades_to_lower_priority_override():
+    """An override on the LOWER-priority side must still apply when the
+    higher-priority lang carries none (documented cascade: 'the first
+    lang in lang_priority that carries an override wins')."""
+    cfg = DedupConfig(
+        lang_match_overrides=(("de", 0.5),),
+        lang_priority=("fr", "de"),
+    )
+    thr = resolve_match_thresholds(
+        np.array(["fr", "de", "fr"], dtype=object),
+        np.array(["de", "fr", "en"], dtype=object),
+        cfg,
+    )
+    # fr/de (either order): fr has no override -> cascade to de's 0.5;
+    # fr/en: no side carries an override -> global
+    assert thr.tolist() == [0.5, 0.5, cfg.jaccard_match]
+
+
 def _mid_similarity_docs() -> pd.DataFrame:
     """Two doc pairs with shingle Jaccard ~0.59 (between the global
     0.75 match bar and a 0.5 override): 150 shared + 50 distinct

@@ -82,6 +82,45 @@ def test_embedding_dup_pairs_no_duplicate_pairs():
     assert set(pairs["tier"]) <= {"embedding"}
 
 
+def test_brute_force_topk_many_empty_block_safe():
+    """An empty input block must not crash the per-batch argpartition
+    (kk=0 used to raise 'kth out of bounds')."""
+    from event_deduplication_ray.stages.similarity import brute_force_topk_many
+
+    _, m = _emb_ds(n=50, d=8, seed=9)
+    empty = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    })
+    full = pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array([r.astype(np.float32).tolist() for r in m],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow([empty, full])
+    got = brute_force_topk_many(ds, m[:2], k=5)
+    assert len(got) == 2 * 5
+
+
+def test_brute_force_topk_many_tie_break_on_vec_id():
+    """Exact-cosine ties straddling k within one batch resolve by
+    vec_id asc (the q31 oracle's row_number tie-break)."""
+    from event_deduplication_ray.stages.similarity import brute_force_topk_many
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(8)
+    # ids descending on purpose: 5 identical vectors, k=2 must pick
+    # the two SMALLEST ids, not argpartition's arbitrary survivors
+    m = np.vstack([v] * 5)
+    t = pa.table({
+        "vec_id": pa.array(np.array([9, 7, 5, 3, 1], dtype=np.int64)),
+        "embedding": pa.array([r.astype(np.float32).tolist() for r in m],
+                              pa.list_(pa.float32())),
+    })
+    got = brute_force_topk_many(rd.from_arrow(t), v[None, :], k=2)
+    assert got["vec_id"].tolist() == [1, 3]
+
+
 def test_brute_force_topk_many_matches_single():
     """Batched multi-query top-k agrees with the single-query baseline
     for every query row, in one pass over the table."""
