@@ -82,6 +82,60 @@ def test_embedding_dup_pairs_no_duplicate_pairs():
     assert set(pairs["tier"]) <= {"embedding"}
 
 
+def test_srp_index_matches_lsh_topk(tmp_path):
+    """The partitioned SRP index must return the same answer as the
+    scan-based lsh_topk (same planes/seed → same candidate buckets)."""
+    from event_deduplication_ray.stages.similarity import (
+        srp_index_build,
+        srp_index_topk,
+    )
+
+    ds, m = _emb_ds(n=400, d=16, planted=[(0, 7, 0.01), (3, 9, 0.02)])
+    idx = str(tmp_path / "idx")
+    srp_index_build(ds, idx)
+    got = srp_index_topk(idx, m[0], k=5)
+    want = lsh_topk(ds, m[0], k=5)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(got["cos"].to_numpy(), want["cos"].to_numpy())
+    assert 7 in set(got["vec_id"])
+
+
+def test_srp_index_reads_fraction_of_table(tmp_path):
+    """Serving a query touches only the <= n_bits+1 matching partition
+    dirs — the rows read must be a small fraction of the table (the
+    round-2 weak: lsh_topk re-scanned everything per query)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray.stages.similarity import (
+        srp_bucket_codes,
+        srp_index_build,
+    )
+
+    n, n_bits = 3000, 8
+    ds, m = _emb_ds(n=n, d=16, seed=2)
+    idx = str(tmp_path / "idx")
+    srp_index_build(ds, idx, n_bits=n_bits)
+
+    total = sum(
+        pq.read_table(os.path.join(idx, d)).num_rows for d in os.listdir(idx)
+    )
+    assert total == n          # index covers the table exactly once
+
+    q = m[0] / np.linalg.norm(m[0])
+    q_code = int(srp_bucket_codes(q[None, :], n_bits, 42, 16)[0])
+    near = {q_code} | {q_code ^ (1 << b) for b in range(n_bits)}
+    scanned = sum(
+        pq.read_table(p).num_rows
+        for c in near
+        if os.path.isdir(p := os.path.join(idx, f"srp_code={c}"))
+    )
+    # 9 of 256 buckets ~ 3.5% expected; assert a loose 20% bound
+    assert scanned < 0.2 * n
+    assert scanned > 0
+
+
 def test_brute_force_topk_many_empty_block_safe():
     """An empty input block must not crash the per-batch argpartition
     (kk=0 used to raise 'kth out of bounds')."""
