@@ -51,10 +51,7 @@ def quality_features(text: pd.Series) -> pd.DataFrame:
     n_nospace = t.str.replace(r"\s", "", regex=True).str.len().to_numpy(np.int64)
     n_alpha = t.str.count(r"[A-Za-zÀ-ÿ]").to_numpy(np.int64)
     n_punct = t.str.count(r"[^\w\s]").to_numpy(np.int64)
-    stops = _LANG_PROFILES["en"]
-    stop_hits = words.map(
-        lambda ws: sum(w.lower() in stops for w in ws) if isinstance(ws, list) else 0
-    ).to_numpy(np.int64)
+    stop_hits = _profile_hit_counts(words, [_LANG_PROFILES["en"]])[0]
     safe_words = np.maximum(n_words, 1)
     safe_chars = np.maximum(n_nospace, 1)
     return pd.DataFrame(
@@ -69,27 +66,48 @@ def quality_features(text: pd.Series) -> pd.DataFrame:
     )
 
 
+def _profile_hit_counts(
+    toks: pd.Series, profiles: list[frozenset[str]]
+) -> np.ndarray:
+    """(len(profiles), n) matrix of per-row stopword hit counts —
+    one explode + one ``isin`` per profile instead of per-row Python
+    (the tokens column flattens once and each profile check is a
+    vectorized hash lookup).  Token case must be pre-normalized by the
+    caller except for the lowercase applied here."""
+    n = len(toks)
+    toks = toks.copy()
+    toks.index = np.arange(n)
+    ex = toks.explode()
+    valid = ex.notna().to_numpy()
+    rows = ex.index.to_numpy()[valid]
+    words = pd.Series(ex.to_numpy()[valid], dtype="object").str.lower()
+    out = np.zeros((len(profiles), n), dtype=np.int64)
+    for i, prof in enumerate(profiles):
+        hits = words.isin(prof).to_numpy()
+        out[i] = np.bincount(rows[hits], minlength=n)
+    return out
+
+
 def language_id(text: pd.Series) -> pd.Series:
     """Stopword-profile language ID → ISO code or 'und'.
 
     Scores each language by stopword hit-rate over lowercased tokens;
-    deterministic argmax with fixed language order.
+    deterministic argmax with fixed language order.  Vectorized:
+    explode + per-profile ``isin`` (np.argmax's first-max tie-break
+    reproduces the sorted-language-order-first semantics the q24
+    oracle encodes).
     """
     langs = sorted(_LANG_PROFILES)
     toks = text.fillna("").str.lower().str.split()
-
-    def score_row(ws) -> str:
-        if not isinstance(ws, list) or not ws:
-            return "und"
-        best, best_score = "und", 0.0
-        for lang in langs:
-            prof = _LANG_PROFILES[lang]
-            s = sum(w in prof for w in ws) / len(ws)
-            if s > best_score:
-                best, best_score = lang, s
-        return best if best_score >= 0.05 else "und"
-
-    return toks.map(score_row)
+    n = len(toks)
+    lens = toks.str.len().fillna(0).to_numpy(np.int64)
+    counts = _profile_hit_counts(toks, [_LANG_PROFILES[l] for l in langs])
+    rates = counts / np.maximum(lens, 1)
+    best_li = np.argmax(rates, axis=0)
+    best_score = rates[best_li, np.arange(n)]
+    out = np.array(langs, dtype=object)[best_li]
+    out[(best_score < 0.05) | (lens == 0)] = "und"
+    return pd.Series(out, index=text.index)
 
 
 def doc_fingerprints(text: pd.Series, k: int = 8, seed: int = 42) -> np.ndarray:

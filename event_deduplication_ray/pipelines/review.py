@@ -16,7 +16,9 @@ Linking").
 
 from __future__ import annotations
 
+import os
 import time
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -45,26 +47,86 @@ def empty_audit() -> pd.DataFrame:
     })
 
 
+class AuditLog:
+    """Durable append-only audit table in the run dir (reference R3:
+    AuditLog rows persisted per edit,
+    /root/reference/src/event_dedup/models/audit_log.py:13, writes at
+    review/operations.py:201-208,321-331).  Batch-engine form: one
+    immutable Parquet part per edit batch under ``{run_dir}/audit/``
+    (tmp-write → atomic rename), so edits survive process restarts and
+    a later run can replay them into an edit table."""
+
+    def __init__(self, run_dir: str):
+        self.dir = os.path.join(run_dir, "audit")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def append(self, rows: pd.DataFrame) -> None:
+        if len(rows) == 0:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # lexicographically ordered part names keep replay order stable
+        fname = (
+            f"part-{time.strftime('%Y%m%dT%H%M%S')}"
+            f"-{time.monotonic_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
+        )
+        tmp = os.path.join(self.dir, "." + fname)
+        pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(self.dir, fname))
+
+    def load(self) -> pd.DataFrame:
+        """All audit rows ever appended, in append order."""
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            f for f in os.listdir(self.dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        if not files:
+            return empty_audit()
+        return pd.concat(
+            [pq.read_table(os.path.join(self.dir, f)).to_pandas() for f in files],
+            ignore_index=True,
+        )
+
+
+def edits_from_audit(audit: pd.DataFrame) -> pd.DataFrame:
+    """Replay an audit trail into the edit table (last edit per doc
+    wins — the same semantics the in-memory path applies online), so a
+    restarted process recovers every review decision from the run
+    dir."""
+    if len(audit) == 0:
+        return empty_edits()
+    last = audit.drop_duplicates("doc_id", keep="last")
+    return pd.DataFrame({
+        "doc_id": last["doc_id"].to_numpy(np.int64),
+        "forced_cluster_id": last["cluster_id"].to_numpy(np.int64),
+    }).reset_index(drop=True)
+
+
 def split_doc(
     edits: pd.DataFrame, audit: pd.DataFrame, doc_id: int,
     target_cluster_id: int | None = None, operator: str = "reviewer",
+    log: AuditLog | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Detach a doc from its computed cluster: into its own singleton
     (target None → forced cluster = own doc_id) or onto a target
-    cluster (reference split-with-target, operations.py:20-216)."""
+    cluster (reference split-with-target, operations.py:20-216).
+    Pass ``log`` to persist the audit rows durably per edit."""
     forced = int(doc_id) if target_cluster_id is None else int(target_cluster_id)
     edits = pd.concat(
         [edits[edits["doc_id"] != doc_id],
          pd.DataFrame({"doc_id": [doc_id], "forced_cluster_id": [forced]})],
         ignore_index=True,
     )
-    audit = pd.concat(
-        [audit, pd.DataFrame({
-            "action_type": ["split"], "doc_id": [doc_id],
-            "cluster_id": [forced], "operator": [operator],
-            "at": [time.strftime("%Y-%m-%dT%H:%M:%S")]})],
-        ignore_index=True,
-    )
+    new_rows = pd.DataFrame({
+        "action_type": ["split"], "doc_id": [doc_id],
+        "cluster_id": [forced], "operator": [operator],
+        "at": [time.strftime("%Y-%m-%dT%H:%M:%S")]})
+    audit = pd.concat([audit, new_rows], ignore_index=True)
+    if log is not None:
+        log.append(new_rows)
     return edits, audit
 
 
@@ -72,9 +134,11 @@ def merge_clusters(
     edits: pd.DataFrame, audit: pd.DataFrame,
     assignments: pd.DataFrame, donor_cluster_id: int,
     survivor_cluster_id: int, operator: str = "reviewer",
+    log: AuditLog | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Force every member of the donor cluster onto the survivor
-    (reference merge, operations.py:219-338)."""
+    (reference merge, operations.py:219-338).  Pass ``log`` to persist
+    the audit rows durably per edit batch."""
     members = assignments.loc[
         assignments["cluster_id"] == donor_cluster_id, "doc_id"
     ]
@@ -85,15 +149,15 @@ def merge_clusters(
     edits = pd.concat(
         [edits[~edits["doc_id"].isin(set(members))], new], ignore_index=True
     )
-    audit = pd.concat(
-        [audit, pd.DataFrame({
-            "action_type": ["merge"] * len(members),
-            "doc_id": members.to_numpy(np.int64),
-            "cluster_id": np.full(len(members), survivor_cluster_id, np.int64),
-            "operator": [operator] * len(members),
-            "at": [time.strftime("%Y-%m-%dT%H:%M:%S")] * len(members)})],
-        ignore_index=True,
-    )
+    new_rows = pd.DataFrame({
+        "action_type": ["merge"] * len(members),
+        "doc_id": members.to_numpy(np.int64),
+        "cluster_id": np.full(len(members), survivor_cluster_id, np.int64),
+        "operator": [operator] * len(members),
+        "at": [time.strftime("%Y-%m-%dT%H:%M:%S")] * len(members)})
+    audit = pd.concat([audit, new_rows], ignore_index=True)
+    if log is not None:
+        log.append(new_rows)
     return edits, audit
 
 

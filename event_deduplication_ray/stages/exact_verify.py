@@ -45,6 +45,24 @@ from event_deduplication_ray.functions import hashing as H
 from event_deduplication_ray.stages.shuffle import cogroup_apply
 
 
+# per-worker residency for the broadcast cache table: ray.get on a
+# pandas DataFrame DESERIALIZES it per call, so paying that once per
+# batch turns the broadcast into per-batch setup cost (round-2
+# VERDICT).  One entry max — the previous table is dropped when a new
+# ref appears (new run / new cache generation).
+_WORKER_RESIDENT: dict[str, pd.DataFrame] = {}
+
+
+def _resident_df(ref) -> pd.DataFrame:
+    key = ref.hex()
+    df = _WORKER_RESIDENT.get(key)
+    if df is None:
+        df = ray.get(ref)
+        _WORKER_RESIDENT.clear()
+        _WORKER_RESIDENT[key] = df
+    return df
+
+
 def exact_config_fingerprint(cfg: DedupConfig) -> str:
     """Hash of every config input that determines the exact score.
 
@@ -157,7 +175,7 @@ def exact_jaccard_tier(
         def drop_cached(df: pd.DataFrame) -> pd.DataFrame:
             if len(df) == 0:
                 return df
-            keys = ray.get(cache_ref)[["id_a", "id_b"]]
+            keys = _resident_df(cache_ref)[["id_a", "id_b"]]
             m = df.merge(keys.assign(__hit=1), on=["id_a", "id_b"], how="left")
             return m[m["__hit"].isna()].drop(columns="__hit")
 
@@ -174,7 +192,7 @@ def exact_jaccard_tier(
                      "score0": pd.Series(dtype="float64"),
                      "score": pd.Series(dtype="float64")}
                 )
-            c = ray.get(cache_ref)
+            c = _resident_df(cache_ref)
             m = df.rename(columns={"score": "score0"}).merge(
                 c, on=["id_a", "id_b"], how="inner"
             )

@@ -56,6 +56,57 @@ def test_merge_clusters(result, asn_df):
     assert (audit["action_type"] == "merge").all()
 
 
+def test_audit_log_survives_restart(result, asn_df, tmp_path):
+    """Reference R3: the audit trail is durable.  Edits written through
+    AuditLog must be readable after a process restart (a fresh AuditLog
+    over the same run dir), and replaying them must reproduce the edit
+    table exactly."""
+    run_dir = str(tmp_path / "run")
+    log = R.AuditLog(run_dir)
+
+    multi = asn_df.groupby("cluster_id").size()
+    cid = multi[multi > 2].index[0]
+    victim = int(asn_df[asn_df.cluster_id == cid]["doc_id"].iloc[1])
+    sizes = asn_df.groupby("cluster_id").size()
+    donor, survivor = int(sizes.index[0]), int(sizes.index[1])
+
+    edits, audit = R.split_doc(R.empty_edits(), R.empty_audit(), victim, log=log)
+    edits, audit = R.merge_clusters(edits, audit, asn_df, donor, survivor,
+                                    log=log)
+
+    # "restart": a fresh AuditLog instance reads everything back
+    recovered = R.AuditLog(run_dir).load()
+    pd.testing.assert_frame_equal(
+        recovered.reset_index(drop=True), audit.reset_index(drop=True)
+    )
+
+    # replay reproduces the edit table (last edit per doc wins)
+    replayed = R.edits_from_audit(recovered)
+    a = edits.sort_values("doc_id").reset_index(drop=True)
+    b = replayed.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # applying recovered edits matches applying the in-memory ones
+    out1 = R.apply_edits(result.assignments, edits, CFG).to_pandas()
+    out2 = R.apply_edits(result.assignments, replayed, CFG).to_pandas()
+    m = out1.merge(out2, on="doc_id", suffixes=("_a", "_b"))
+    assert (m["cluster_id_a"] == m["cluster_id_b"]).all()
+
+
+def test_audit_log_append_only(tmp_path):
+    """Appends never rewrite earlier parts: each edit batch lands in
+    its own immutable file."""
+    run_dir = str(tmp_path / "run2")
+    log = R.AuditLog(run_dir)
+    _, audit = R.split_doc(R.empty_edits(), R.empty_audit(), 1, log=log)
+    first_parts = sorted(os.listdir(log.dir))
+    _, audit = R.split_doc(R.empty_edits(), audit, 2, log=log)
+    second_parts = sorted(os.listdir(log.dir))
+    assert len(second_parts) == len(first_parts) + 1
+    assert set(first_parts) <= set(second_parts)
+    assert len(R.AuditLog(run_dir).load()) == 2
+
+
 def test_resynthesize_touched_only(result, asn_df, corpus_dir):
     multi = asn_df.groupby("cluster_id").size()
     cid = multi[multi > 2].index[0]
