@@ -41,16 +41,24 @@ def _chunked_to_array(col) -> pa.Array:
 
 
 def extract_text_arrow(html: "pa.Array | pa.ChunkedArray") -> pa.Array:
-    """HTML → text, byte-identical to the pandas reference path."""
+    """HTML → text, byte-identical to the pandas reference path
+    (functions.text.extract_text_from_html — keep the regex pairs in
+    sync; tolerance contract documented there: attribute-bearing and
+    unclosed <article> tags extract, generic path drops site chrome)."""
     s = pc.fill_null(_chunked_to_array(html), "")
-    has_article = pc.match_substring_regex(s, r"(?s)<article>.*?</article>")
-    # article payload: drop everything up to the first <article> and
-    # from the first closing </article> on
-    art = pc.replace_substring_regex(s, pattern=r"(?s)^.*?<article>", replacement="", max_replacements=1)
+    has_article = pc.match_substring_regex(s, r"(?s)<article[^>]*>")
+    # article payload: drop everything up to the first <article…> and
+    # from the first closing </article> on (none → payload runs to EOF)
+    art = pc.replace_substring_regex(s, pattern=r"(?s)^.*?<article[^>]*>", replacement="", max_replacements=1)
     art = pc.replace_substring_regex(art, pattern=r"(?s)</article>.*$", replacement="", max_replacements=1)
     art = pc.replace_substring_regex(art, pattern=r"(?s)<[^>]+>", replacement="")
     gen = pc.replace_substring_regex(
-        s, pattern=r"(?s)<(script|style)[^>]*>.*?</(script|style)>", replacement=" "
+        s, pattern=r"(?s)<(?:script|style)[^>]*>.*?</(?:script|style)>",
+        replacement=" ",
+    )
+    gen = pc.replace_substring_regex(
+        gen, pattern=r"(?s)<(?:nav|header|footer)[^>]*>.*?</(?:nav|header|footer)>",
+        replacement=" ",
     )
     gen = pc.replace_substring_regex(gen, pattern=r"(?s)<[^>]+>", replacement="")
     gen = pc.utf8_trim_whitespace(gen)

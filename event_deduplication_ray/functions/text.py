@@ -87,23 +87,74 @@ def extract_text_from_html(html: pd.Series) -> pd.Series:
     byte-identical to the original ``text`` column for every ``url``.
 
     Strategy: prefer the ``<article>…</article>`` payload (site chrome
-    like <nav>/<footer> outside it is dropped); fall back to a generic
-    strip (remove <script>/<style> blocks, then all tags). Tags inside
-    the payload are removed and the five standard HTML entities are
-    unescaped — the exact inverse of ``html.escape``.
+    like <nav>/<footer> outside it is dropped); real-world tolerance:
+    attribute-bearing and UNCLOSED article tags still extract (payload
+    runs to EOF), nested articles stop at the first close.  Fallback:
+    a generic strip (remove <script>/<style>/<nav>/<header>/<footer>
+    blocks, then all tags).  Tags inside the payload are removed and
+    the five standard HTML entities are unescaped — the exact inverse
+    of ``html.escape``.
     """
     s = html.fillna("")
-    article = s.str.extract(r"(?s)<article>(.*?)</article>", expand=False)
+    article = s.str.extract(
+        r"(?s)<article[^>]*>(.*?)(?:</article>|$)", expand=False
+    )
     article = article.str.replace(r"(?s)<[^>]+>", "", regex=True)
-    generic = s.str.replace(r"(?s)<(script|style)[^>]*>.*?</\1>", " ", regex=True)
+    generic = s.str.replace(
+        r"(?s)<(?:script|style)[^>]*>.*?</(?:script|style)>", " ", regex=True
+    )
+    generic = generic.str.replace(
+        r"(?s)<(?:nav|header|footer)[^>]*>.*?</(?:nav|header|footer)>",
+        " ", regex=True,
+    )
     generic = generic.str.replace(r"(?s)<[^>]+>", "", regex=True).str.strip()
     return unescape_html(article.where(article.notna(), generic))
 
 
+_CHARSET_RE = None  # compiled lazily (bytes regex)
+
+
+def decode_html_bytes(b) -> str:
+    """Charset-aware single-page decode: BOM first, then strict utf-8,
+    then the <meta charset=…> declaration from the head, then utf-8
+    with replacement.  Never raises on arbitrary bytes."""
+    global _CHARSET_RE
+    if b is None:
+        return ""
+    if not isinstance(b, (bytes, bytearray)):
+        return str(b)
+    b = bytes(b)
+    if b.startswith(b"\xef\xbb\xbf"):
+        return b[3:].decode("utf-8", "replace")
+    if b.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return b.decode("utf-16", "replace")
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    if _CHARSET_RE is None:
+        import re
+
+        _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I)
+    m = _CHARSET_RE.search(b[:2048])
+    if m:
+        try:
+            return b.decode(m.group(1).decode("ascii"), "replace")
+        except (LookupError, UnicodeDecodeError, UnicodeError):
+            pass
+    return b.decode("utf-8", "replace")
+
+
 def decode_binary_html(html_bytes: pd.Series) -> pd.Series:
-    """binary column → str (utf-8, errors replaced)."""
+    """binary column → str.  Fast path: one strict vectorized utf-8
+    decode; batches containing any non-utf-8 page fall back to the
+    charset-aware per-row decode (BOM / meta charset / replacement) —
+    only dirty batches pay the Python cost."""
     if html_bytes.dtype == object and len(html_bytes) and isinstance(
         html_bytes.dropna().iloc[0] if html_bytes.notna().any() else b"", (bytes, bytearray)
     ):
-        return html_bytes.str.decode("utf-8", errors="replace").fillna("")
+        try:
+            return html_bytes.str.decode("utf-8").fillna("")
+        except (UnicodeDecodeError, UnicodeError):
+            return html_bytes.map(decode_html_bytes)
     return html_bytes.fillna("").astype(str)

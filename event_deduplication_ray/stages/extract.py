@@ -83,7 +83,22 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
             normalize_arrow,
         )
 
-        html_str = pc.cast(html_in, pa.string())
+        try:
+            # fast path: the whole batch is valid utf-8 (zero-copy cast)
+            html_str = pc.cast(html_in, pa.string())
+        except pa.ArrowInvalid:
+            # dirty batch (non-utf-8 pages): charset-aware per-row
+            # decode (BOM / meta charset / replacement) — only batches
+            # that actually contain such pages pay the Python cost
+            from event_deduplication_ray.functions.text import decode_html_bytes
+
+            if isinstance(html_in, pa.ChunkedArray):
+                html_in2 = html_in.combine_chunks()
+            else:
+                html_in2 = html_in
+            html_str = pa.array(
+                [decode_html_bytes(v.as_py()) for v in html_in2], pa.string()
+            )
         text_arr = extract_text_arrow(html_str)
         if provided_text is not None:
             no_html = pc.less_equal(
