@@ -113,3 +113,54 @@ class DedupConfig:
 
 
 DEFAULT_CONFIG = DedupConfig()
+
+
+# --- run-config (de)serialization (reference Q8 analog: the runtime
+# config is PERSISTED and patchable with deep merge,
+# /root/reference/src/event_dedup/api/routes/config.py:27-146 +
+# matching/config.py:165-199 — re-keyed to a JSON artifact in the run
+# dir that a later run/export reads back; see state/runstate.py) ---
+
+def config_to_dict(cfg: DedupConfig) -> dict:
+    from dataclasses import asdict
+
+    return asdict(cfg)
+
+
+def _tuple_fields() -> set[str]:
+    from dataclasses import fields
+
+    return {
+        f.name for f in fields(DedupConfig)
+        if isinstance(getattr(DEFAULT_CONFIG, f.name), tuple)
+    }
+
+
+def config_from_dict(d: dict) -> DedupConfig:
+    """Inverse of config_to_dict, tolerant of JSON round-trips (lists
+    come back as tuples for tuple-typed fields; unknown keys are
+    rejected loudly by the dataclass constructor)."""
+    from dataclasses import fields
+
+    tf = _tuple_fields()
+    kwargs = {}
+    for f in fields(DedupConfig):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if f.name in tf and isinstance(v, list):
+            v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        kwargs[f.name] = v
+    return DedupConfig(**kwargs)
+
+
+def deep_merge(base: dict, patch: dict) -> dict:
+    """Recursive dict merge, patch wins (reference deep_merge,
+    matching/config.py:165-199)."""
+    out = dict(base)
+    for k, v in patch.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out

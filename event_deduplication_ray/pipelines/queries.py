@@ -547,7 +547,12 @@ def q29_media_dup_clusters(sf_dir: str) -> pd.DataFrame:
 
 def q27_flagship_dedup(sf_dir: str) -> Dataset:
     """Full flagship pipeline over the deterministic CC-style corpus
-    derived from this sf tier's documents table → (url, cluster_id)."""
+    derived from this sf tier's documents table → (url, cluster_id).
+
+    The corpus is capped at 4 000 docs: this entry exists for the
+    per-round correctness gate (rows-only — hash-seeded clusters have
+    no SQL oracle), so it runs a SMALLER corpus than entry()/bench.py,
+    which exercise the same pipeline at 1 k and 500 k docs."""
     from event_deduplication_ray import fixtures as F
     from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
 

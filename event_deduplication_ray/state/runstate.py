@@ -57,6 +57,64 @@ def input_fingerprint(path: str) -> str:
     return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]
 
 
+def save_run_config(run_dir: str, cfg: DedupConfig) -> None:
+    """Persist the run's FULL config values (not just the fingerprint)
+    as ``config.json`` in the run dir — reference Q8: the runtime
+    config is a durable, readable artifact
+    (/root/reference/src/event_dedup/api/routes/config.py:27-146)."""
+    from event_deduplication_ray.config import config_to_dict
+
+    path = os.path.join(run_dir, "config.json")
+    payload = {
+        "fingerprint": config_fingerprint(cfg),
+        "values": config_to_dict(cfg),
+    }
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                if json.load(f).get("fingerprint") == payload["fingerprint"]:
+                    return
+        except (json.JSONDecodeError, OSError):
+            pass
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True, default=str)
+    os.replace(tmp, path)
+
+
+def load_run_config(run_dir: str) -> DedupConfig | None:
+    """Read the persisted run config back (None if the run dir has
+    none) — lets a later export/incremental run reuse the exact config
+    the checkpoints were written under."""
+    from event_deduplication_ray.config import config_from_dict
+
+    path = os.path.join(run_dir, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return config_from_dict(json.load(f)["values"])
+
+
+def patch_run_config(run_dir: str, patch: dict) -> DedupConfig:
+    """Deep-merge a partial update into the persisted run config and
+    write it back (reference Q8 PATCH semantics).  The next RunState
+    built from the patched config invalidates stale checkpoints via
+    the config fingerprint — patching never silently reuses stages
+    computed under the old values."""
+    from event_deduplication_ray.config import (
+        config_from_dict,
+        config_to_dict,
+        deep_merge,
+    )
+
+    base = load_run_config(run_dir)
+    if base is None:
+        raise FileNotFoundError(f"no config.json under {run_dir}")
+    merged = config_from_dict(deep_merge(config_to_dict(base), patch))
+    save_run_config(run_dir, merged)
+    return merged
+
+
 class RunState:
     """Stage-granular checkpoint/resume for one pipeline run."""
 
@@ -71,6 +129,7 @@ class RunState:
         os.makedirs(run_dir, exist_ok=True)
         self.manifest_path = os.path.join(run_dir, "manifest.json")
         self.manifest = self._load_or_init()
+        save_run_config(run_dir, cfg)
 
     def _load_or_init(self) -> dict:
         if os.path.exists(self.manifest_path):

@@ -70,3 +70,34 @@ def test_config_change_invalidates(corpus_dir, run_dir):
     from event_deduplication_ray.state.runstate import config_fingerprint
 
     assert m["lineage"]["config_fingerprint"] == config_fingerprint(cfg2)
+
+
+def test_run_config_persisted_and_patchable(corpus_dir, run_dir):
+    """Reference Q8: the run's config is a durable, readable,
+    PATCHABLE artifact — a later process can read back the exact
+    config the checkpoints were written under, deep-merge a partial
+    update, and the patched config invalidates stale stages via the
+    fingerprint."""
+    from event_deduplication_ray.state.runstate import (
+        config_fingerprint,
+        load_run_config,
+        patch_run_config,
+    )
+
+    dedup_path_resumable(f"{corpus_dir}/docs", run_dir, CFG)
+    got = load_run_config(run_dir)
+    assert got == CFG                       # full round-trip, not just fp
+
+    patched = patch_run_config(run_dir, {"jaccard_match": 0.8,
+                                         "langs": ["en", "de"]})
+    assert patched.jaccard_match == 0.8
+    assert patched.langs == ("en", "de")    # JSON list -> tuple field
+    assert patched.shingle_k == CFG.shingle_k  # untouched keys survive
+    assert load_run_config(run_dir) == patched
+    assert config_fingerprint(patched) != config_fingerprint(CFG)
+
+    # running under the patched config invalidates the old stages
+    dedup_path_resumable(f"{corpus_dir}/docs", run_dir, patched)
+    with open(os.path.join(run_dir, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["lineage"]["config_fingerprint"] == config_fingerprint(patched)
