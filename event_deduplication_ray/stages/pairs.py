@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ray.data import Dataset
 
@@ -92,6 +93,118 @@ def _pairs_from_groups(df: pd.DataFrame, key: str, cap: int) -> pd.DataFrame:
     return res.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
 
 
+# ---------------------------------------------------------------------------
+# numpy pair-enumeration core (zero-pandas hot path).
+#
+# The pandas `_pairs_from_groups` path costs one full Arrow→pandas
+# copy per partition plus pandas' merge/groupby internals — measured
+# on this host, the candidate-gen window spends ~6x more CPU in the
+# kernel (page faults from those allocations) than in user code.  The
+# numpy core works directly on the partition's zero-copy int64 arrays:
+# one lexsort, triangle-index enumeration for small groups, star+chain
+# for hot groups — identical pair sets (property-tested against the
+# pandas reference implementation).
+# ---------------------------------------------------------------------------
+
+_TRI_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _tri(s: int) -> tuple[np.ndarray, np.ndarray]:
+    t = _TRI_CACHE.get(s)
+    if t is None:
+        i, j = np.triu_indices(s, k=1)
+        t = (i.astype(np.int64), j.astype(np.int64))
+        if len(_TRI_CACHE) < 4096:
+            _TRI_CACHE[s] = t
+    return t
+
+
+def _sorted_dedup(k: np.ndarray, d: np.ndarray, extras: list[np.ndarray]):
+    """Sort rows by (key, doc_id) and drop (key, doc_id) duplicates."""
+    order = np.lexsort((d, k))
+    ks, ds = k[order], d[order]
+    keep = np.empty(len(ks), dtype=bool)
+    if len(ks):
+        keep[0] = True
+        keep[1:] = (ks[1:] != ks[:-1]) | (ds[1:] != ds[:-1])
+    idx = order[keep]
+    return k[idx], d[idx], [e[idx] for e in extras]
+
+
+def _group_offsets(ks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted key array → (group starts, group sizes)."""
+    n = len(ks)
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = ks[1:] != ks[:-1]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.r_[starts, n])
+    return starts, sizes
+
+
+def _enumerate_pair_rows(
+    starts: np.ndarray, sizes: np.ndarray, cap: int,
+    hub_rows_hot: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row-index pairs over (key, doc_id)-sorted rows: all-pairs for
+    groups of 2..cap, star(hub)+chain for larger groups (the skew
+    policy documented on `_pairs_from_groups`).  ``hub_rows_hot``
+    overrides the hub row per hot group (default: group start = min
+    doc_id).  Returns (a_rows, b_rows); with the default hub both are
+    doc_id-ascending within each pair."""
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    small = (sizes >= 2) & (sizes <= cap)
+    sstarts, ssizes = starts[small], sizes[small]
+    if len(ssizes):
+        # batch groups of identical size → one broadcast per size
+        order = np.argsort(ssizes, kind="stable")
+        ssz, sst = ssizes[order], sstarts[order]
+        bounds = np.r_[0, np.flatnonzero(ssz[1:] != ssz[:-1]) + 1, len(ssz)]
+        for bi in range(len(bounds) - 1):
+            lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+            s = int(ssz[lo])
+            i, j = _tri(s)
+            st = sst[lo:hi]
+            a_parts.append((st[:, None] + i[None, :]).ravel())
+            b_parts.append((st[:, None] + j[None, :]).ravel())
+    hot = sizes > cap
+    hstarts, hsizes = starts[hot], sizes[hot]
+    if len(hsizes):
+        tot = int(hsizes.sum())
+        pos = np.arange(tot) - np.repeat(np.cumsum(hsizes) - hsizes, hsizes)
+        rows = np.repeat(hstarts, hsizes) + pos
+        hubs = hub_rows_hot if hub_rows_hot is not None else hstarts
+        hub_rows = np.repeat(hubs, hsizes)
+        m = rows != hub_rows
+        a_parts.append(hub_rows[m])
+        b_parts.append(rows[m])
+        # chain edges keep a family connected when the hub itself is
+        # dissimilar (adversarial hot group)
+        m2 = pos > 0
+        a_parts.append(rows[m2] - 1)
+        b_parts.append(rows[m2])
+    if not a_parts:
+        z = np.empty(0, np.int64)
+        return z, z
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _unique_pairs(ia: np.ndarray, ib: np.ndarray, *extras: np.ndarray):
+    """Lexsort-dedup on (id_a, id_b); extras are gathered alongside."""
+    order = np.lexsort((ib, ia))
+    ia, ib = ia[order], ib[order]
+    keep = np.empty(len(ia), dtype=bool)
+    if len(ia):
+        keep[0] = True
+        keep[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+    out_extras = [e[order][keep] for e in extras]
+    return ia[keep], ib[keep], out_extras
+
+
 def minhash_candidate_pairs(
     band_table: Dataset, cfg: DedupConfig, pre_fn=None, out_keys=None
 ):
@@ -109,14 +222,24 @@ def minhash_candidate_pairs(
     cap = cfg.max_block_pairs
     P = cfg.join_num_partitions
 
-    def gen(df: pd.DataFrame) -> pd.DataFrame:
-        p = _pairs_from_groups(df, "band_key", cap)
-        # dedup across ALL band keys of this partition (a pair often
-        # collides in many bands) — shrinks the shuffle into verify
-        return p[["id_a", "id_b"]].drop_duplicates()
+    def gen(t: pa.Table) -> pa.Table:
+        return minhash_pair_table(t, cap)
 
     return partition_apply(band_table, ["band_key"], P, gen, pre_fn=pre_fn,
-                           out_keys=out_keys)
+                           out_keys=out_keys, batch_format="pyarrow")
+
+
+def minhash_pair_table(t: pa.Table, cap: int) -> pa.Table:
+    """One partition's (band_key, doc_id) rows → deduped (id_a, id_b)."""
+    k = t["band_key"].to_numpy(zero_copy_only=False)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    ks, ds, _ = _sorted_dedup(k, d, [])
+    starts, sizes = _group_offsets(ks)
+    a, b = _enumerate_pair_rows(starts, sizes, cap)
+    # dedup across ALL band keys of this partition (a pair often
+    # collides in many bands) — shrinks the shuffle into verify
+    ia, ib, _ = _unique_pairs(ds[a], ds[b])
+    return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib)})
 
 
 def simhash_match_pairs(
@@ -131,24 +254,13 @@ def simhash_match_pairs(
     P = cfg.join_num_partitions
     radius, bits = cfg.hamming_radius, cfg.simhash_bits
 
-    def gen(df: pd.DataFrame) -> pd.DataFrame:
-        p = _pairs_from_groups(df, "band_key", cap)
-        if len(p) == 0:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "score": pd.Series(dtype="float64")}
-            )
-        d = hamming_distance_u64(
-            p["simhash_a"].to_numpy().astype(np.uint64),
-            p["simhash_b"].to_numpy().astype(np.uint64),
-        )
-        p = p.assign(score=1.0 - d / bits)[d <= radius]
-        return p[["id_a", "id_b", "score"]].drop_duplicates(["id_a", "id_b"])
+    def gen(t: pa.Table) -> pa.Table:
+        return simhash_pair_table(t, cap, radius, bits)
 
     # chained: gen's merge tasks emit pre-split by (id_a, id_b) — the
     # dedup wave starts per-partition with no driver barrier
     raw = partition_apply(sim_band_table, ["band_key"], P, gen, pre_fn=pre_fn,
-                          out_keys=["id_a", "id_b"])
+                          out_keys=["id_a", "id_b"], batch_format="pyarrow")
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("score", ascending=False).drop_duplicates(["id_a", "id_b"])
@@ -157,6 +269,26 @@ def simhash_match_pairs(
         return df
 
     return partition_apply(raw, ["id_a", "id_b"], P, dedup)
+
+
+def simhash_pair_table(t: pa.Table, cap: int, radius: int, bits: int) -> pa.Table:
+    """One partition's (band_key, doc_id, simhash) rows →
+    Hamming-verified (id_a, id_b, score)."""
+    k = t["band_key"].to_numpy(zero_copy_only=False)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ks, ds, (shs,) = _sorted_dedup(k, d, [sh])
+    starts, sizes = _group_offsets(ks)
+    a, b = _enumerate_pair_rows(starts, sizes, cap)
+    dist = hamming_distance_u64(shs[a], shs[b])
+    m = dist <= radius
+    a, b = a[m], b[m]
+    score = 1.0 - dist[m] / bits
+    # same-pair copies from different chunks carry the same
+    # fingerprints, hence the same score — dedup order irrelevant
+    ia, ib, (score,) = _unique_pairs(ds[a], ds[b], score)
+    return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib),
+                     "score": pa.array(score)})
 
 
 def substring_match_pairs(
@@ -183,69 +315,119 @@ def substring_match_pairs(
     P = cfg.join_num_partitions
     thresh = cfg.substring_containment
 
-    def gen(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["fp_key", "doc_id"])
-        sizes = df.groupby("fp_key")["doc_id"].transform("size")
-        df = df[(sizes > 1) & (sizes <= drop_cap)]
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "shared": pd.Series(dtype="int64"),
-             "na": pd.Series(dtype="int64"), "nb": pd.Series(dtype="int64")}
-        )
-        if len(df) == 0:
-            return empty
-        sizes = sizes[sizes.index.isin(df.index)]
-        small = df[sizes <= cap]
-        hot = df[sizes > cap]
-        outs = []
-        if len(small):
-            m = small.merge(small, on="fp_key", suffixes=("_a", "_b"))
-            outs.append(m[m["doc_id_a"] < m["doc_id_b"]])
-        if len(hot):
-            # hub = min (n_fps, doc_id) row per group: least-padded,
-            # hence most-contained member — its containment vs every
-            # member is ~1.0 for true duplicate families
-            h = hot.sort_values(["fp_key", "n_fps", "doc_id"])
-            hubs = h.groupby("fp_key", sort=False).head(1)
-            m2 = hubs.merge(hot, on="fp_key", suffixes=("_a", "_b"))
-            m2 = m2[m2["doc_id_a"] != m2["doc_id_b"]]
-            swap = m2["doc_id_a"] > m2["doc_id_b"]
-            for col in ("doc_id", "n_fps"):
-                a, b = f"{col}_a", f"{col}_b"
-                m2.loc[swap, [a, b]] = m2.loc[swap, [b, a]].to_numpy()
-            outs.append(m2)
-            # chain fallback for a non-contained hub (see _chain_pairs)
-            outs.append(_chain_pairs(hot, "fp_key"))
-        if not outs:
-            return empty
-        res = pd.concat(outs, ignore_index=True)
-        res = res.drop_duplicates(["fp_key", "doc_id_a", "doc_id_b"])
-        res = res.rename(
-            columns={"doc_id_a": "id_a", "doc_id_b": "id_b",
-                     "n_fps_a": "na", "n_fps_b": "nb"}
-        )
-        # partial shared-count per pair within this partition (all
-        # rows of one fp group are here; a pair spanning several fp
-        # groups in other partitions is summed in the agg stage)
-        return res.groupby(["id_a", "id_b"], as_index=False).agg(
-            shared=("na", "size"), na=("na", "first"), nb=("nb", "first")
-        )
+    def gen(t: pa.Table) -> pa.Table:
+        return substring_shared_table(t, cap, drop_cap)
 
     shared_rows = partition_apply(fp_table, ["fp_key"], P, gen, pre_fn=pre_fn,
-                                  out_keys=["id_a", "id_b"])
+                                  out_keys=["id_a", "id_b"],
+                                  batch_format="pyarrow")
 
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            df.groupby(["id_a", "id_b"], as_index=False)
-            .agg(shared=("shared", "sum"), na=("na", "first"), nb=("nb", "first"))
-        )
-        g["score"] = g["shared"] / np.minimum(g["na"], g["nb"])
-        g = g[g["score"] >= thresh]
-        g["decision"] = "match"
-        g["tier"] = "substring"
-        return g[["id_a", "id_b", "score", "decision", "tier"]]
+    def agg(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "decision": pa.array([], pa.string()),
+            "tier": pa.array([], pa.string()),
+        })
+        if len(t) == 0:
+            return empty
+        ia = t["id_a"].to_numpy(zero_copy_only=False)
+        ib = t["id_b"].to_numpy(zero_copy_only=False)
+        sh = t["shared"].to_numpy(zero_copy_only=False)
+        na = t["na"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ib, ia))
+        ia, ib = ia[order], ib[order]
+        sh, na, nb = sh[order], na[order], nb[order]
+        run = np.empty(len(ia), dtype=bool)
+        run[0] = True
+        run[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        rstart = np.flatnonzero(run)
+        shared = np.add.reduceat(sh, rstart)
+        na1, nb1 = na[rstart], nb[rstart]
+        score = shared / np.minimum(na1, nb1)
+        m = score >= thresh
+        n = int(m.sum())
+        return pa.table({
+            "id_a": pa.array(ia[rstart][m]), "id_b": pa.array(ib[rstart][m]),
+            "score": pa.array(score[m]),
+            "decision": pa.array(np.full(n, "match"), pa.string()),
+            "tier": pa.array(np.full(n, "substring"), pa.string()),
+        })
 
-    return partition_apply(shared_rows, ["id_a", "id_b"], P, agg)
+    return partition_apply(shared_rows, ["id_a", "id_b"], P, agg,
+                           batch_format="pyarrow")
+
+
+def substring_shared_table(t: pa.Table, cap: int, drop_cap: int) -> pa.Table:
+    """One partition's (fp_key, doc_id, n_fps) rows → partial
+    per-pair shared-fingerprint counts (id_a, id_b, shared, na, nb).
+
+    All rows of one fp group are in this partition; a pair spanning
+    several fp groups in OTHER partitions is summed in the agg stage.
+    """
+    empty = pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "shared": pa.array([], pa.int64()),
+        "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64()),
+    })
+    k = t["fp_key"].to_numpy(zero_copy_only=False)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    nf = t["n_fps"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ks, ds, (nfs,) = _sorted_dedup(k, d, [nf])
+    starts, sizes = _group_offsets(ks)
+    # boilerplate guard: groups above drop_cap carry no containment
+    # signal and are dropped outright
+    ok = (sizes >= 2) & (sizes <= drop_cap)
+    starts2, sizes2 = starts[ok], sizes[ok]
+    if len(sizes2) == 0:
+        return empty
+    hub = None
+    hot_mask = sizes2 > cap
+    if hot_mask.any():
+        # hub = min (n_fps, doc_id) row per group: least-padded, hence
+        # most-contained member — its containment vs every member is
+        # ~1.0 for true duplicate families
+        order2 = np.lexsort((ds, nfs, ks))
+        ks2 = ks[order2]
+        first = np.empty(len(ks2), dtype=bool)
+        first[0] = True
+        first[1:] = ks2[1:] != ks2[:-1]
+        hub_all = order2[first]           # one per group, group-sorted order
+        hub = hub_all[ok][hot_mask]
+    a, b = _enumerate_pair_rows(starts2, sizes2, cap, hub_rows_hot=hub)
+    if len(a) == 0:
+        return empty
+    ia, ib = ds[a].copy(), ds[b].copy()
+    na, nb = nfs[a].copy(), nfs[b].copy()
+    sw = ia > ib                          # custom hub can break ordering
+    tmp = ia[sw]; ia[sw] = ib[sw]; ib[sw] = tmp
+    tmp = na[sw]; na[sw] = nb[sw]; nb[sw] = tmp
+    # per-(group, pair) dedup (star + chain can emit the same pair
+    # within one group — it must count ONCE toward 'shared'), then
+    # partial shared-count per pair across this partition's groups
+    ga = np.searchsorted(starts2, a, side="right") - 1
+    order = np.lexsort((ib, ia, ga))
+    ga_s = ga[order]
+    ia, ib, na, nb = ia[order], ib[order], na[order], nb[order]
+    keep = np.empty(len(ia), dtype=bool)
+    keep[0] = True
+    keep[1:] = (ga_s[1:] != ga_s[:-1]) | (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+    ia, ib, na, nb = ia[keep], ib[keep], na[keep], nb[keep]
+    # count runs of (ia, ib): re-sort by (ia, ib) for run-length count
+    order = np.lexsort((ib, ia))
+    ia, ib, na, nb = ia[order], ib[order], na[order], nb[order]
+    run = np.empty(len(ia), dtype=bool)
+    run[0] = True
+    run[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+    rstart = np.flatnonzero(run)
+    shared = np.diff(np.r_[rstart, len(ia)])
+    return pa.table({
+        "id_a": pa.array(ia[rstart]), "id_b": pa.array(ib[rstart]),
+        "shared": pa.array(shared.astype(np.int64)),
+        # na/nb are per-doc constants — identical in every run row
+        "na": pa.array(na[rstart]), "nb": pa.array(nb[rstart]),
+    })
 
 
 def ngram_jaccard_match_pairs(

@@ -20,7 +20,7 @@ import ray
 from ray.data import Dataset
 
 from event_deduplication_ray.config import DedupConfig
-from event_deduplication_ray.stages.pairs import _pairs_from_groups
+from event_deduplication_ray.stages.pairs import minhash_pair_table
 from event_deduplication_ray.stages.shuffle import (
     cogroup_apply,
     partition_apply,
@@ -331,14 +331,15 @@ def embedding_dup_pairs(
 
     keyed = embeddings.map_batches(explode, batch_format="pyarrow")
 
-    def gen(df: pd.DataFrame) -> pd.DataFrame:
-        p = _pairs_from_groups(df, "band_key", cfg.max_block_pairs)
-        # dedup within the partition; the global dedup happens in the
-        # attach_a cogroup below (partitioned by id_a — all copies of
-        # a pair land together), as in minhash_candidate_pairs
-        return p[["id_a", "id_b"]].drop_duplicates()
+    def gen(t: pa.Table) -> pa.Table:
+        # numpy pair core (pairs.py): dedup within the partition; the
+        # global dedup happens in the attach_a cogroup below
+        # (partitioned by id_a — all copies of a pair land together),
+        # as in minhash_candidate_pairs
+        return minhash_pair_table(t, cfg.max_block_pairs)
 
-    pairs = partition_apply(keyed, ["band_key"], P, gen, out_keys=["id_a"])
+    pairs = partition_apply(keyed, ["band_key"], P, gen, out_keys=["id_a"],
+                            batch_format="pyarrow")
 
     # normalized vectors as fixed_size_list<double> — zero-copy numpy
     # view inside the cogroup merges

@@ -1,0 +1,162 @@
+"""The numpy pair-enumeration core (round-3 scaling attack: the
+pandas per-partition generators cost a full Arrow→pandas copy plus
+pandas merge/groupby allocations — measured 6x more kernel than user
+CPU in the candidate-gen window) must produce EXACTLY the same pair
+sets as the pandas reference `_pairs_from_groups` across random keyed
+tables: duplicates, singletons, small groups, hot groups (star+chain),
+custom substring hubs, and shared-count partials."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from event_deduplication_ray.functions.hashing import hamming_distance_u64
+from event_deduplication_ray.stages.pairs import (
+    _chain_pairs,
+    _pairs_from_groups,
+    minhash_pair_table,
+    simhash_pair_table,
+    substring_shared_table,
+)
+
+
+@st.composite
+def keyed_rows(draw, with_payload=None):
+    n_keys = draw(st.integers(1, 8))
+    rows = []
+    rng_seed = draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(rng_seed)
+    doc_pool = rng.choice(np.arange(1, 400), size=60, replace=False)
+    payload = {int(x): int(rng.integers(1, 50)) for x in doc_pool}
+    for key in range(n_keys):
+        size = draw(st.integers(0, 14))
+        members = rng.choice(doc_pool, size=min(size, len(doc_pool)),
+                             replace=True)  # duplicates on purpose
+        for m in members:
+            rows.append((key * 7919 + 13, int(m)))
+    if not rows:
+        rows = [(13, int(doc_pool[0]))]
+    df = pd.DataFrame(rows, columns=["key", "doc_id"]).astype(np.int64)
+    if with_payload == "simhash":
+        fps = {int(x): np.uint64(rng.integers(0, 2**63)) for x in doc_pool}
+        # plant near-identical fingerprints so the radius filter passes
+        base = np.uint64(rng.integers(0, 2**63))
+        for x in list(fps)[:20]:
+            fps[x] = base ^ np.uint64(1 << int(rng.integers(0, 60)))
+        df["simhash"] = df["doc_id"].map(lambda x: fps[int(x)]).astype(np.uint64)
+    if with_payload == "n_fps":
+        df["n_fps"] = df["doc_id"].map(payload).astype(np.int64)
+    return df
+
+
+def _pairset(df: pd.DataFrame, cols=("id_a", "id_b")):
+    return set(map(tuple, df[list(cols)].itertuples(index=False)))
+
+
+@settings(max_examples=120, deadline=None)
+@given(keyed_rows(), st.integers(2, 6))
+def test_minhash_pairs_match_pandas_reference(df, cap):
+    ref = _pairs_from_groups(
+        df.rename(columns={"key": "band_key"}), "band_key", cap
+    )[["id_a", "id_b"]].drop_duplicates()
+    got = minhash_pair_table(
+        pa.table({"band_key": df["key"].to_numpy(),
+                  "doc_id": df["doc_id"].to_numpy()}),
+        cap,
+    ).to_pandas()
+    assert _pairset(got) == _pairset(ref)
+    assert not got.duplicated(["id_a", "id_b"]).any()
+    assert (got["id_a"] < got["id_b"]).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(keyed_rows(with_payload="simhash"), st.integers(2, 6))
+def test_simhash_pairs_match_pandas_reference(df, cap):
+    radius, bits = 3, 64
+    p = _pairs_from_groups(
+        df.rename(columns={"key": "band_key"}), "band_key", cap
+    )
+    if len(p):
+        d = hamming_distance_u64(
+            p["simhash_a"].to_numpy().astype(np.uint64),
+            p["simhash_b"].to_numpy().astype(np.uint64),
+        )
+        p = p.assign(score=1.0 - d / bits)[d <= radius]
+        ref = p[["id_a", "id_b", "score"]].drop_duplicates(["id_a", "id_b"])
+    else:
+        ref = pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+    got = simhash_pair_table(
+        pa.table({"band_key": df["key"].to_numpy(),
+                  "doc_id": df["doc_id"].to_numpy(),
+                  "simhash": df["simhash"].to_numpy()}),
+        cap, radius, bits,
+    ).to_pandas()
+    assert _pairset(got) == _pairset(ref)
+    m = got.merge(ref, on=["id_a", "id_b"], suffixes=("_n", "_p"))
+    assert np.allclose(m["score_n"], m["score_p"])
+
+
+def _substring_reference(df: pd.DataFrame, cap: int, drop_cap: int) -> pd.DataFrame:
+    """The original pandas implementation, kept verbatim as the spec."""
+    df = df.drop_duplicates(["fp_key", "doc_id"])
+    sizes = df.groupby("fp_key")["doc_id"].transform("size")
+    df = df[(sizes > 1) & (sizes <= drop_cap)]
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "shared": pd.Series(dtype="int64"),
+         "na": pd.Series(dtype="int64"), "nb": pd.Series(dtype="int64")}
+    )
+    if len(df) == 0:
+        return empty
+    sizes = sizes[sizes.index.isin(df.index)]
+    small = df[sizes <= cap]
+    hot = df[sizes > cap]
+    outs = []
+    if len(small):
+        m = small.merge(small, on="fp_key", suffixes=("_a", "_b"))
+        outs.append(m[m["doc_id_a"] < m["doc_id_b"]])
+    if len(hot):
+        h = hot.sort_values(["fp_key", "n_fps", "doc_id"])
+        hubs = h.groupby("fp_key", sort=False).head(1)
+        m2 = hubs.merge(hot, on="fp_key", suffixes=("_a", "_b"))
+        m2 = m2[m2["doc_id_a"] != m2["doc_id_b"]]
+        swap = m2["doc_id_a"] > m2["doc_id_b"]
+        for col in ("doc_id", "n_fps"):
+            a, b = f"{col}_a", f"{col}_b"
+            m2.loc[swap, [a, b]] = m2.loc[swap, [b, a]].to_numpy()
+        outs.append(m2)
+        outs.append(_chain_pairs(hot, "fp_key"))
+    if not outs:
+        return empty
+    res = pd.concat(outs, ignore_index=True)
+    res = res.drop_duplicates(["fp_key", "doc_id_a", "doc_id_b"])
+    res = res.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b",
+                              "n_fps_a": "na", "n_fps_b": "nb"})
+    return res.groupby(["id_a", "id_b"], as_index=False).agg(
+        shared=("na", "size"), na=("na", "first"), nb=("nb", "first")
+    )
+
+
+@settings(max_examples=80, deadline=None)
+@given(keyed_rows(with_payload="n_fps"), st.integers(2, 5), st.integers(6, 12))
+def test_substring_shared_match_pandas_reference(df, cap, drop_cap):
+    dfr = df.rename(columns={"key": "fp_key"})
+    ref = _substring_reference(dfr, cap, drop_cap)
+    got = substring_shared_table(
+        pa.table({"fp_key": df["key"].to_numpy(),
+                  "doc_id": df["doc_id"].to_numpy(),
+                  "n_fps": df["n_fps"].to_numpy()}),
+        cap, drop_cap,
+    ).to_pandas()
+    key = ["id_a", "id_b"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = ref.sort_values(key).reset_index(drop=True)[a.columns.tolist()] \
+        if len(ref) else ref
+    assert _pairset(got) == _pairset(ref)
+    if len(a):
+        m = a.merge(ref, on=key, suffixes=("_n", "_p"))
+        assert (m["shared_n"] == m["shared_p"]).all()
+        assert (m["na_n"] == m["na_p"]).all()
+        assert (m["nb_n"] == m["nb_p"]).all()
