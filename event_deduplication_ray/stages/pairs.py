@@ -120,15 +120,19 @@ def _tri(s: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _sorted_dedup(k: np.ndarray, d: np.ndarray, extras: list[np.ndarray]):
-    """Sort rows by (key, doc_id) and drop (key, doc_id) duplicates."""
+    """Sort rows by (key, doc_id) and drop (key, doc_id) duplicates.
+    One gather per column (the sorted arrays are sliced by the keep
+    mask, not re-gathered through indices)."""
     order = np.lexsort((d, k))
     ks, ds = k[order], d[order]
+    if len(ks) == 0:
+        return ks, ds, [e[order] for e in extras]
     keep = np.empty(len(ks), dtype=bool)
-    if len(ks):
-        keep[0] = True
-        keep[1:] = (ks[1:] != ks[:-1]) | (ds[1:] != ds[:-1])
-    idx = order[keep]
-    return k[idx], d[idx], [e[idx] for e in extras]
+    keep[0] = True
+    keep[1:] = (ks[1:] != ks[:-1]) | (ds[1:] != ds[:-1])
+    if keep.all():
+        return ks, ds, [e[order] for e in extras]
+    return ks[keep], ds[keep], [e[order[keep]] for e in extras]
 
 
 def _group_offsets(ks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -387,14 +391,20 @@ def substring_shared_table(t: pa.Table, cap: int, drop_cap: int) -> pa.Table:
     if hot_mask.any():
         # hub = min (n_fps, doc_id) row per group: least-padded, hence
         # most-contained member — its containment vs every member is
-        # ~1.0 for true duplicate families
-        order2 = np.lexsort((ds, nfs, ks))
-        ks2 = ks[order2]
+        # ~1.0 for true duplicate families.  Lexsort only the HOT
+        # groups' rows (one hot group must not force a 3-key sort of
+        # the whole partition).
+        hstarts, hsizes = starts2[hot_mask], sizes2[hot_mask]
+        tot = int(hsizes.sum())
+        rows = (np.repeat(hstarts, hsizes)
+                + np.arange(tot)
+                - np.repeat(np.cumsum(hsizes) - hsizes, hsizes))
+        order2 = np.lexsort((ds[rows], nfs[rows], ks[rows]))
+        ks2 = ks[rows][order2]
         first = np.empty(len(ks2), dtype=bool)
         first[0] = True
         first[1:] = ks2[1:] != ks2[:-1]
-        hub_all = order2[first]           # one per group, group-sorted order
-        hub = hub_all[ok][hot_mask]
+        hub = rows[order2[first]]         # one per hot group, group order
     a, b = _enumerate_pair_rows(starts2, sizes2, cap, hub_rows_hot=hub)
     if len(a) == 0:
         return empty
