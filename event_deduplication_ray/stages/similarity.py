@@ -135,7 +135,7 @@ def brute_force_topk_many(
     parts = embeddings.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(["query_idx", "cos", id_col],
                               ascending=[True, False, True])
-    out = parts.groupby("query_idx", as_index=False).head(k)
+    out = parts.groupby("query_idx", as_index=False).head(k).copy()
     out["cos"] = out["cos"].round(6)
     return out.reset_index(drop=True)
 
