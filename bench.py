@@ -24,14 +24,14 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CORPUS_ROOT = "/tmp/edr_bench_corpora"
 
-# Shuffle-task width: on wide nodes, 2-cpu shuffle tasks halve the
-# number of CONCURRENTLY page-faulting workers — on this host fault
-# cost is globally contended, and paired A/B runs show ~2.7x less
-# sys-time and consistently lower wall at 32 cpus (BASELINE.md
-# "Scaling"); at 8 cpus full task parallelism wins.  An operator
-# sizing num_cpus per stage to the node is the intended Ray pattern.
+# Shuffle-task width: 1 cpu per task (full task parallelism).  An
+# earlier round set 2-cpu tasks on wide nodes to cap concurrent
+# page-faulters during a fault-contended host window; re-measured in a
+# quiet window (round 3), tc=2 just halves parallelism (34.2 s vs
+# 23.0 s at 32 cpus, P=32, 500 k docs).  EDR_TASK_CPUS stays as an
+# operator knob for genuinely fault-contended hosts.
 if "EDR_TASK_CPUS" not in os.environ:
-    os.environ["EDR_TASK_CPUS"] = "2" if NCPU >= 16 else "1"
+    os.environ["EDR_TASK_CPUS"] = "1"
 
 
 def corpus_docs_for(sf_dir: str) -> int:
@@ -71,12 +71,15 @@ def run_flagship(corpus_dir: str, repeats: int = 3) -> float:
     from event_deduplication_ray.config import DedupConfig
     from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
 
-    # P = 2x cores: one task per core leaves the wave tail to the
-    # slowest partition (measured 18.6s vs 16.4s at 500k/32cpu);
-    # beyond ~2x the O(P^2) shuffle object count dominates (measured
-    # 37s+ at P>=96).
+    # P is sized by DATA (target partition bytes), not cluster width —
+    # exactly what a 100 TB deployment does, and what makes the N-vs-4N
+    # scaling runs the SAME job.  The earlier P=2*NCPU policy made the
+    # 32-cpu job carry 16x the shuffle objects of the 8-cpu job
+    # (O(P^2) per hop) and measurably anti-scaled the candidate + CC
+    # phases (12.2 s vs 10.4 s and 7.8 s vs 3.6 s); fixed P=32 at both
+    # widths measured 39.1 s @8 / 23.0 s @32 on the same input.
     cfg = DedupConfig(use_substring=True, use_simhash=True,
-                      join_num_partitions=max(16, 2 * NCPU))
+                      join_num_partitions=32)
     wd = F.materialize_corpus(CORPUS_ROOT, 1000, seed=42)
     assert dedup_path(f"{wd}/docs", cfg).assignments.count() > 0   # warmup
 
@@ -167,7 +170,7 @@ def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ONLY="flagship",
-                   EDR_TASK_CPUS="2" if ncpu >= 16 else "1")
+                   EDR_TASK_CPUS="1")
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
             env=env, capture_output=True, text=True, check=True,
