@@ -323,7 +323,7 @@ def ablation() -> None:
     d = F.materialize_corpus(CORPUS_ROOT, n, seed=42,
                              base_texts=F.load_base_texts(SF_DIR))
     gp = pq.read_table(f"{d}/golden_pairs.parquet")
-    cfg = DedupConfig(join_num_partitions=max(16, 2 * NCPU))
+    cfg = DedupConfig(join_num_partitions=32)
     df = tier_ablation(f"{d}/docs", gp, base_cfg=cfg)
     ray.shutdown()
     print(json.dumps({"metric": "tier_ablation", "corpus_docs": n,
