@@ -35,6 +35,12 @@ if "EDR_TASK_CPUS" not in os.environ:
 
 
 def corpus_docs_for(sf_dir: str) -> int:
+    # GRAFT_BENCH_DOCS overrides the corpus size (e.g. the 1M-doc
+    # scaling-vs-input-size evidence in BASELINE.md); default derives
+    # from the sf tier, capped at 500k.
+    override = os.environ.get("GRAFT_BENCH_DOCS")
+    if override:
+        return int(override)
     import pyarrow.parquet as pq
 
     n_documents = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
@@ -71,15 +77,16 @@ def run_flagship(corpus_dir: str, repeats: int = 3) -> float:
     from event_deduplication_ray.config import DedupConfig
     from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
 
-    # P is sized by DATA (target partition bytes), not cluster width —
+    # P is sized by DATA (~16k docs/partition), not cluster width —
     # exactly what a 100 TB deployment does, and what makes the N-vs-4N
     # scaling runs the SAME job.  The earlier P=2*NCPU policy made the
     # 32-cpu job carry 16x the shuffle objects of the 8-cpu job
     # (O(P^2) per hop) and measurably anti-scaled the candidate + CC
     # phases (12.2 s vs 10.4 s and 7.8 s vs 3.6 s); fixed P=32 at both
-    # widths measured 39.1 s @8 / 23.0 s @32 on the same input.
+    # widths measured 39.1 s @8 / 23.0 s @32 on the same 500k input.
+    n_docs = corpus_docs_for(SF_DIR)
     cfg = DedupConfig(use_substring=True, use_simhash=True,
-                      join_num_partitions=32)
+                      join_num_partitions=max(16, round(n_docs / 15_625)))
     wd = F.materialize_corpus(CORPUS_ROOT, 1000, seed=42)
     assert dedup_path(f"{wd}/docs", cfg).assignments.count() > 0   # warmup
 

@@ -497,6 +497,38 @@ def q25_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return srp_index_topk(idx, _query_vec(sf_dir), k=10)
 
 
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def q32_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF-indexed ANN: build (once per process) the spherical-k-means
+    inverted-file index, then serve vec_id=0's top-10 neighbors.
+
+    Probes ALL lists so the answer is the exact global top-k — that
+    makes this entry DuckDB-oracleable and gates the whole
+    build→partition→serve path; the pruned n_probes<n_lists mode (the
+    at-scale point) is gated by the planted-cluster pytest
+    (tests/test_similarity_ivf.py).  Ids only, same float-hash caveat
+    as q11; the self-match rides at rank 1 (cos=1.0)."""
+    import os
+    import tempfile
+
+    from event_deduplication_ray.stages.similarity import (
+        ivf_index_build,
+        ivf_topk,
+    )
+
+    n_lists = 16
+    idx = _IVF_INDEX_CACHE.get(sf_dir)
+    if idx is None or not os.path.isdir(idx):
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        idx = tempfile.mkdtemp(prefix="edr_ivf_idx_")
+        ivf_index_build(emb, idx, n_lists=n_lists)
+        _IVF_INDEX_CACHE[sf_dir] = idx
+    out = ivf_topk(idx, _query_vec(sf_dir), k=10, n_probes=n_lists)
+    return out[["vec_id"]]
+
+
 def q26_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Narrow (id_a, id_b) projection: pair identity is the oracle-
     comparable part (cosine floats differ in last ulps across engines,
@@ -605,6 +637,7 @@ RAY_QUERIES = {
     "q29_media_dup_clusters": q29_media_dup_clusters,
     "q30_containment_pairs_exact": q30_containment_pairs_exact,
     "q31_embedding_topk_batch": q31_embedding_topk_batch,
+    "q32_ivf_topk": q32_ivf_topk,
 }
 
 
@@ -830,5 +863,16 @@ ORACLE_SQL = {
                      e.vec_id
         ) <= 10
         ORDER BY query_id, vec_id
+    """,
+    # exact top-k incl. the self-match: q32 probes all IVF lists, so
+    # the indexed answer must equal the global cosine ranking
+    "q32_ivf_topk": """
+        SELECT vec_id
+        FROM embeddings
+        ORDER BY list_cosine_similarity(
+                   embedding,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                 vec_id
+        LIMIT 10
     """,
 }

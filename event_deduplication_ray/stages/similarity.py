@@ -4,7 +4,11 @@
   per-batch numpy matmul + local top-k, tiny driver combine;
 - SRP/LSH-bucketed variant: signed-random-projection bucket keys
   prune the search to buckets near the query's bucket (the scale
-  path — touches a fraction of batsom rows, same shape of answer);
+  path — touches a fraction of rows, same shape of answer);
+- IVF variant: spherical-k-means coarse quantizer (trained on a
+  bounded sample) partitions the corpus into inverted lists; a query
+  reads only its n_probes nearest lists — data-adaptive counterpart
+  of the SRP index with the same persisted-partition serving shape;
 - embedding near-dup pairs: SRP bucket → within-bucket cosine pairs
   above a threshold (feeds the same edges→union-find clustering as
   the text passes).
@@ -229,36 +233,22 @@ def srp_index_build(
     )
 
 
-def srp_index_topk(
-    index_dir: str,
-    query_vec: np.ndarray,
-    k: int = 10,
-    n_bits: int = 8,
-    seed: int = 42,
-    id_col: str = "vec_id",
-) -> pd.DataFrame:
-    """Serve a bucketed ANN query from an ``srp_index_build`` index by
-    reading ONLY the partitions within Hamming distance 1 of the
-    query's bucket (same candidate set and answer as ``lsh_topk``,
-    without the per-query full scan)."""
+def _partition_paths(dirs: list[str]) -> list[str]:
     import os
 
-    import ray.data as rd
-
-    q = query_vec.astype(np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    q_code = int(srp_bucket_codes(qn[None, :], n_bits, seed, len(q))[0])
-    near = {q_code} | {q_code ^ (1 << b) for b in range(n_bits)}
-    dirs = [
-        p for c in sorted(near)
-        if os.path.isdir(p := os.path.join(index_dir, f"srp_code={c}"))
-    ]
-    paths = [
+    return [
         os.path.join(d, f)
         for d in dirs
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
+
+
+def _serve_topk(paths: list[str], qn: np.ndarray, k: int, id_col: str) -> pd.DataFrame:
+    """Top-k cosine over pre-normalized ``emb_norm`` index partitions
+    (shared serving path of the SRP and IVF indexes)."""
+    import ray.data as rd
+
     empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
                           "cos": pd.Series(dtype="float64")})
     if not paths:
@@ -286,6 +276,160 @@ def srp_index_topk(
     parts = parts.sort_values(["cos", id_col], ascending=[False, True]).head(k)
     parts["cos"] = parts["cos"].round(6)
     return parts.reset_index(drop=True)
+
+
+def srp_index_topk(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Serve a bucketed ANN query from an ``srp_index_build`` index by
+    reading ONLY the partitions within Hamming distance 1 of the
+    query's bucket (same candidate set and answer as ``lsh_topk``,
+    without the per-query full scan)."""
+    import os
+
+    q = query_vec.astype(np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    q_code = int(srp_bucket_codes(qn[None, :], n_bits, seed, len(q))[0])
+    near = {q_code} | {q_code ^ (1 << b) for b in range(n_bits)}
+    dirs = [
+        p for c in sorted(near)
+        if os.path.isdir(p := os.path.join(index_dir, f"srp_code={c}"))
+    ]
+    return _serve_topk(_partition_paths(dirs), qn, k, id_col)
+
+
+def spherical_kmeans(
+    sample: np.ndarray, n_lists: int, n_iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Train L2-normalized centroids by spherical k-means (cosine
+    assignment) on an in-memory sample.  Deterministic for a given
+    (sample, seed); empty lists are reseeded to the point worst-served
+    by the current centroids, so all ``n_lists`` rows stay distinct
+    when the sample has enough distinct directions."""
+    x = _normalize_rows(np.asarray(sample, dtype=np.float64))
+    n = len(x)
+    n_lists = max(1, min(n_lists, n))
+    rng = np.random.default_rng(seed)
+    # farthest-first seeding (kmeans++-style, deterministic): each new
+    # seed is the point least similar to its nearest existing seed —
+    # on separated clumps this lands one seed per clump instead of the
+    # random-init collisions that split a clump across two lists
+    seeds = [int(rng.integers(n))]
+    best_sim = x @ x[seeds[0]]
+    for _ in range(n_lists - 1):
+        nxt = int(np.argmin(best_sim))
+        seeds.append(nxt)
+        best_sim = np.maximum(best_sim, x @ x[nxt])
+    c = x[seeds]
+    for _ in range(n_iters):
+        sim = x @ c.T                       # (n, n_lists)
+        assign = sim.argmax(axis=1)
+        best = sim[np.arange(n), assign]
+        new_c = np.zeros_like(c)
+        np.add.at(new_c, assign, x)
+        empty = ~np.isin(np.arange(n_lists), assign)
+        if empty.any():                     # reseed to worst-served points
+            far = np.argsort(best)[: int(empty.sum())]
+            new_c[np.flatnonzero(empty)] = x[far]
+        c = _normalize_rows(new_c)
+    return c
+
+
+def ivf_index_build(
+    embeddings: Dataset,
+    index_dir: str,
+    n_lists: int = 16,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize an IVF (inverted-file) ANN index: train ``n_lists``
+    spherical-k-means centroids on a BOUNDED sample, then one linear
+    assignment pass writes Parquet partitioned by nearest-centroid id
+    (``ivf_list=<i>/`` under ``index_dir``; centroids in
+    ``index_dir/centroids.parquet``).
+
+    Complement of the SRP index: data-adaptive coarse quantization
+    (clustered corpora get tight lists where SRP's fixed hyperplanes
+    split clusters), same at-scale serving shape — a query reads only
+    its ``n_probes`` nearest lists.  The sample is the only
+    driver-side materialization and is capped at ``sample_size`` rows
+    regardless of table size (the 100 TB shape: train on a sample,
+    assign in a streaming pass)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_dir, exist_ok=True)
+    sample = embeddings.limit(sample_size).to_pandas()
+    cent = spherical_kmeans(
+        np.vstack(sample[emb_col].to_numpy()), n_lists, n_iters, seed
+    )
+    d = cent.shape[1]
+    pq.write_table(
+        pa.table({
+            "ivf_list": pa.array(np.arange(len(cent), dtype=np.int64)),
+            "centroid": pa.FixedSizeListArray.from_arrays(
+                pa.array(cent.reshape(-1), pa.float64()), d
+            ),
+        }),
+        f"{index_dir}/centroids.parquet",
+    )
+    c_ref = ray.put(cent.T)  # (d, n_lists)
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        m = _normalize_rows(_emb_matrix(t[emb_col]))
+        lists = (m @ ray.get(c_ref)).argmax(axis=1).astype(np.int64)
+        norm = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), pa.float64()), m.shape[1]
+        )
+        return pa.table({
+            id_col: t[id_col],
+            "emb_norm": norm,
+            "ivf_list": pa.array(lists),
+        })
+
+    embeddings.map_batches(assign_batch, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["ivf_list"]
+    )
+
+
+def ivf_topk(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Serve a top-k cosine query from an ``ivf_index_build`` index,
+    reading only the ``n_probes`` lists whose centroids are nearest
+    the query (``n_probes >= n_lists`` degrades gracefully to an exact
+    scan through the index layout — the correctness-gate mode; small
+    ``n_probes`` is the at-scale recall/cost trade-off)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    q = query_vec.astype(np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    ct = pq.read_table(f"{index_dir}/centroids.parquet")
+    cent_col = ct["centroid"].combine_chunks()
+    d = cent_col.type.list_size
+    cent = cent_col.flatten().to_numpy(zero_copy_only=False).reshape(len(ct), d)
+    list_ids = ct["ivf_list"].to_numpy()
+    order = np.argsort(-(cent @ qn), kind="stable")[: max(1, n_probes)]
+    dirs = [
+        p for li in list_ids[order]
+        if os.path.isdir(p := os.path.join(index_dir, f"ivf_list={li}"))
+    ]
+    return _serve_topk(_partition_paths(dirs), qn, k, id_col)
 
 
 def embedding_dup_pairs(

@@ -53,7 +53,7 @@ SQL_CHECKED = [
     "q13_region_customers", "q14_session_windows",
     "q15_customers_without_orders", "q24_langid",
     "q26_embedding_dup_pairs", "q28_ngram_jaccard_clusters",
-    "q30_containment_pairs_exact",
+    "q30_containment_pairs_exact", "q32_ivf_topk",
 ]
 
 

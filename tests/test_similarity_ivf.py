@@ -1,0 +1,103 @@
+"""IVF (inverted-file) ANN index: build → partitioned layout → probe-
+limited serving.  Reference analog: the engine's SRP index; the IVF
+variant is the data-adaptive coarse quantizer named by the build brief
+("IVF or LSH-bucketed variant as the scale path")."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from event_deduplication_ray.stages.similarity import (
+    brute_force_topk,
+    ivf_index_build,
+    ivf_topk,
+    spherical_kmeans,
+)
+
+
+def _clustered_ds(n_clumps=8, per=25, d=16, seed=3):
+    """Well-separated direction clumps: IVF's best case, and the case
+    where the planted neighbors MUST survive pruning."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clumps, d)) * 10
+    rows = []
+    for c in centers:
+        rows.append(c + 0.05 * rng.standard_normal((per, d)))
+    m = np.vstack(rows)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float64())),
+    })
+    return rd.from_arrow(t), m
+
+
+def test_spherical_kmeans_separates_clumps():
+    _, m = _clustered_ds()
+    cent = spherical_kmeans(m, n_lists=8, seed=1)
+    assert cent.shape == (8, m.shape[1])
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+    # every clump should map to a single list, one list per clump
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    assign = (mn @ cent.T).argmax(axis=1)
+    lists_per_clump = [len(set(assign[i * 25:(i + 1) * 25])) for i in range(8)]
+    assert lists_per_clump == [1] * 8
+    assert len(set(assign)) == 8
+
+
+def test_ivf_pruned_probe_matches_brute_force_on_clumps(tmp_path):
+    ds, m = _clustered_ds()
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(ds, idx, n_lists=8, seed=1)
+    q = m[0] + 0.01 * np.ones_like(m[0])
+    got = ivf_topk(idx, q, k=10, n_probes=2)
+    want = brute_force_topk(ds, q, k=10)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(got["cos"], want["cos"], atol=1e-6)
+
+
+def test_ivf_full_probes_equal_brute_force_on_random(tmp_path):
+    # unstructured data: full probes must STILL return the exact global
+    # top-k (the q32 oracle-gate mode)
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((300, 12))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t)
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(ds, idx, n_lists=16, seed=2)
+    q = rng.standard_normal(12)
+    got = ivf_topk(idx, q, k=7, n_probes=16)
+    want = brute_force_topk(ds, q, k=7)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+
+
+def test_ivf_probe_scans_fraction_of_rows(tmp_path):
+    # the point of the index: a pruned query READS only its probed
+    # lists, not the table
+    ds, m = _clustered_ds()
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(ds, idx, n_lists=8, seed=1)
+    total = sum(
+        pq.read_table(os.path.join(r, f)).num_rows
+        for r, _, fs in os.walk(idx) for f in fs
+        if f.endswith(".parquet") and "centroids" not in f
+    )
+    assert total == 200
+    cent = pq.read_table(f"{idx}/centroids.parquet")
+    cc = cent["centroid"].combine_chunks()
+    d = cc.type.list_size
+    cm = cc.flatten().to_numpy(zero_copy_only=False).reshape(len(cent), d)
+    qn = m[0] / np.linalg.norm(m[0])
+    probe = np.argsort(-(cm @ qn))[:2]
+    probed_rows = sum(
+        pq.read_table(os.path.join(dirp, f)).num_rows
+        for li in cent["ivf_list"].to_numpy()[probe]
+        if os.path.isdir(dirp := os.path.join(idx, f"ivf_list={li}"))
+        for f in os.listdir(dirp) if f.endswith(".parquet")
+    )
+    assert probed_rows <= total * 0.5
