@@ -77,16 +77,20 @@ def run_flagship(corpus_dir: str, repeats: int = 3) -> float:
     from event_deduplication_ray.config import DedupConfig
     from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
 
-    # P is sized by DATA (~16k docs/partition), not cluster width —
-    # exactly what a 100 TB deployment does, and what makes the N-vs-4N
-    # scaling runs the SAME job.  The earlier P=2*NCPU policy made the
-    # 32-cpu job carry 16x the shuffle objects of the 8-cpu job
-    # (O(P^2) per hop) and measurably anti-scaled the candidate + CC
-    # phases (12.2 s vs 10.4 s and 7.8 s vs 3.6 s); fixed P=32 at both
-    # widths measured 39.1 s @8 / 23.0 s @32 on the same 500k input.
+    # P = max(slots, data/target-partition-size): the floor (32 = the
+    # widest level bench tests) keeps every merge wave full; the growth
+    # term bounds per-partition memory as data grows.  P is IDENTICAL
+    # at both scaling widths — the N-vs-4N runs are the SAME job.  The
+    # earlier P=2*NCPU policy made the 32-cpu job carry 16x the shuffle
+    # objects of the 8-cpu job (O(P^2) per hop) and measurably
+    # anti-scaled the candidate + CC phases; and oversizing P hurts
+    # both widths (1M docs interleaved: P=32 26.6-29.9 s vs P=64
+    # 37.2-45.7 s @32 cpus; 72.0 s vs 80.9 s @8 cpus) — fewer, larger
+    # partitions amortize per-object costs while staying well inside
+    # worker memory (~31k docs = ~20 MB text per partition at 1M).
     n_docs = corpus_docs_for(SF_DIR)
     cfg = DedupConfig(use_substring=True, use_simhash=True,
-                      join_num_partitions=max(16, round(n_docs / 15_625)))
+                      join_num_partitions=max(32, round(n_docs / 31_250)))
     wd = F.materialize_corpus(CORPUS_ROOT, 1000, seed=42)
     assert dedup_path(f"{wd}/docs", cfg).assignments.count() > 0   # warmup
 
