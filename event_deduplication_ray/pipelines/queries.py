@@ -322,6 +322,176 @@ def q24_langid(sf_dir: str) -> Dataset:
     return ds.map_batches(f, batch_format="pandas")
 
 
+# ----------------------------------------------- training-data pipeline ops
+
+def q33_decontaminate(sf_dir: str) -> Dataset:
+    """Train/test decontamination — the GPT-3/Pile-style overlap
+    filter: flag every TRAIN doc that shares at least one token
+    5-gram with any TEST doc (test = ``doc_id % 10 == 0``, a
+    deterministic stand-in for a held-out benchmark suite).
+
+    Scale shape: the TEST shingle-hash set is the genuinely small side
+    (benchmarks are millions of shingles vs the corpus's trillions),
+    so it is collected once and broadcast via ``ray.put``; the train
+    side streams — per-batch ``np.isin`` against the broadcast set,
+    contaminated doc ids deduped by a hash-partitioned combine, and
+    the final flag attached with a cogroup (no driver-side join).
+    Reuses the q28/q30 shingle machinery (``substring_mod_p=1`` =
+    every distinct shingle, no sampling), so the DuckDB string-shingle
+    oracle must match exactly.  Output: (doc_id, contaminated 0/1)
+    for every train doc."""
+    import ray
+
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.shuffle import cogroup_apply
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    docs = _docs_from_documents(sf_dir)
+    fps = substring_fp_table(signature_stage(docs, cfg), cfg).materialize()
+
+    def test_side(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        fp = t["fp_key"].to_numpy()
+        return pa.table(
+            {"fp_key": pa.array(np.unique(fp[did % 10 == 0]), pa.int64())}
+        )
+
+    tdf = fps.map_batches(test_side, batch_format="pyarrow").to_pandas()
+    test_set = (np.unique(tdf["fp_key"].to_numpy())
+                if len(tdf) else np.empty(0, np.int64))
+    ref = ray.put(np.ascontiguousarray(test_set))
+
+    def hits(t: pa.Table) -> pa.Table:
+        ts = ray.get(ref)          # zero-copy numpy view from plasma
+        did = t["doc_id"].to_numpy()
+        fp = t["fp_key"].to_numpy()
+        m = (did % 10 != 0) & np.isin(fp, ts)
+        return pa.table({"doc_id": pa.array(np.unique(did[m]), pa.int64())})
+
+    hit_parts = fps.map_batches(hits, batch_format="pyarrow")
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    hit_ids = partition_apply(
+        hit_parts, ["doc_id"], cfg.join_num_partitions, dedupe
+    )
+
+    def train_only(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(did[did % 10 != 0], pa.int64())})
+
+    train_ids = docs.select_columns(["doc_id"]).map_batches(
+        train_only, batch_format="pyarrow"
+    )
+
+    def flag(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        out = l[["doc_id"]].copy()
+        out["contaminated"] = (
+            l["doc_id"].isin(r["doc_id"]).to_numpy().astype(np.int64)
+        )
+        return out
+
+    hit_schema = pa.schema([("doc_id", pa.int64())])
+    return cogroup_apply(train_ids, hit_ids, ["doc_id"], ["doc_id"],
+                         cfg.join_num_partitions, flag,
+                         right_schema=hit_schema)
+
+
+# percentile_disc fractions as exact rationals: DuckDB evaluates the
+# fraction in exact decimal, k = ceil(p*n) = (num*n + den - 1) // den
+# (verified against DuckDB for n in {7, 10, 100, 101, 500})
+_QUANTILES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def q34_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-lang EXACT length quantiles WITHOUT a sort shuffle: text
+    lengths are bounded ints, so per-batch (lang, n_chars) value
+    counts are the partial, a hash-partitioned combine sums them, and
+    the quantile reads off the cumulative histogram — at 100 TB the
+    shuffle carries one row per distinct (lang, length), not one per
+    document.  Matches DuckDB percentile_disc (smallest value whose
+    cumulative count reaches ceil(p*n), p exact)."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["text"].notna()
+        g = pd.DataFrame({
+            "lang": df.loc[m, "lang"],
+            "n_chars": df.loc[m, "text"].str.len().astype(np.int64),
+        })
+        out = g.groupby(["lang", "n_chars"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False)["n"].sum()
+        rows = []
+        for lang, sub in g.groupby("lang"):   # loop over langs, not rows
+            sub = sub.sort_values("n_chars")
+            vals = sub["n_chars"].to_numpy()
+            cum = np.cumsum(sub["n"].to_numpy())
+            total = int(cum[-1])
+            row = {"lang": lang}
+            for name, num, den in _QUANTILES:
+                k = (num * total + den - 1) // den
+                row[name] = int(vals[np.searchsorted(cum, max(k, 1))])
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    out = partition_apply(
+        parts, ["lang"], QCFG.join_num_partitions, combine
+    ).to_pandas()
+    for c in ("p50", "p90", "p99"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q35_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide heavy hitters: top-20 token bigrams by multiset
+    count, tie-broken by ngram asc.  Partial bigram counts per batch
+    (flat-token vectorized, no per-row loop), hash-partitioned
+    combine on the DISTINCT ngram key, per-partition top-20, tiny
+    driver merge — the shuffle carries one row per distinct bigram
+    per batch, never one per occurrence."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        n = len(flat)
+        if n < 2:
+            return pd.DataFrame({"ngram": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        # a bigram starts at every token that is not the last of its doc
+        start_ok = np.ones(n, dtype=bool)
+        ends = np.cumsum(lens)
+        start_ok[ends[lens > 0] - 1] = False
+        idx = np.flatnonzero(start_ok[:-1])
+        big = flat[idx] + " "
+        big = big + flat[idx + 1]
+        vc = pd.Series(big).value_counts()
+        return pd.DataFrame({"ngram": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy(dtype=np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ngram", as_index=False)["n"].sum()
+        return g.sort_values(["n", "ngram"],
+                             ascending=[False, True]).head(20)
+
+    parts = partition_apply(
+        partials, ["ngram"], QCFG.join_num_partitions, combine
+    ).to_pandas()
+    out = parts.sort_values(["n", "ngram"], ascending=[False, True]).head(20)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 # ------------------------------------------------------------ dedup pipelines
 
 def _docs_from_documents(sf_dir: str) -> Dataset:
@@ -638,6 +808,9 @@ RAY_QUERIES = {
     "q30_containment_pairs_exact": q30_containment_pairs_exact,
     "q31_embedding_topk_batch": q31_embedding_topk_batch,
     "q32_ivf_topk": q32_ivf_topk,
+    "q33_decontaminate": q33_decontaminate,
+    "q34_length_quantiles": q34_length_quantiles,
+    "q35_top_bigrams": q35_top_bigrams,
 }
 
 
@@ -874,5 +1047,64 @@ ORACLE_SQL = {
                    (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
                  vec_id
         LIMIT 10
+    """,
+    # same normalization + token-5-gram shingles as q28/q30, plus the
+    # short-doc stub (docs with 1-4 tokens contribute ONE shingle of
+    # all their tokens — mirrors hashing.shingle_hashes)
+    "q33_decontaminate": """
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                        replace(replace(replace(replace(lower(coalesce(text, '')),
+                            chr(228), 'ae'), chr(246), 'oe'), chr(252), 'ue'), chr(223), 'ss'),
+                        '[^\\w\\s-]+', ' ', 'g'), '\\s+', ' ', 'g')) AS tn
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, list_filter(string_split(tn, ' '), x -> x <> '') AS ws
+            FROM norm
+        ), sh AS (
+            SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+            FROM toks, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+            UNION ALL
+            SELECT doc_id, array_to_string(ws, ' ') AS shingle
+            FROM toks WHERE len(ws) BETWEEN 1 AND 4
+        ), dsh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh
+        ), test_sh AS (
+            SELECT DISTINCT shingle FROM dsh WHERE doc_id % 10 = 0
+        ), hits AS (
+            SELECT DISTINCT s.doc_id
+            FROM dsh s JOIN test_sh t ON s.shingle = t.shingle
+            WHERE s.doc_id % 10 <> 0
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % 10 <> 0
+        ORDER BY d.doc_id
+    """,
+    "q34_length_quantiles": """
+        SELECT lang,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY length(text)) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY length(text)) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY length(text)) AS p99
+        FROM documents
+        GROUP BY lang ORDER BY lang
+    """,
+    "q35_top_bigrams": """
+        WITH toks AS (
+            SELECT list_filter(
+                       regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS ws
+            FROM documents
+        ), bg AS (
+            SELECT ws[i] || ' ' || ws[i+1] AS ngram
+            FROM toks, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+        )
+        SELECT ngram, count(*) AS n
+        FROM bg GROUP BY ngram
+        ORDER BY n DESC, ngram
+        LIMIT 20
     """,
 }

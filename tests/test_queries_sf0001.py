@@ -53,7 +53,9 @@ SQL_CHECKED = [
     "q13_region_customers", "q14_session_windows",
     "q15_customers_without_orders", "q24_langid",
     "q26_embedding_dup_pairs", "q28_ngram_jaccard_clusters",
-    "q30_containment_pairs_exact", "q32_ivf_topk",
+    "q30_containment_pairs_exact", "q31_embedding_topk_batch",
+    "q32_ivf_topk", "q33_decontaminate", "q34_length_quantiles",
+    "q35_top_bigrams",
 ]
 
 
