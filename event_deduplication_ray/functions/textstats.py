@@ -136,3 +136,34 @@ def doc_fingerprints(text: pd.Series, k: int = 8, seed: int = 42) -> np.ndarray:
                 out[i] = (seg * pw[L - 1::-1]).sum(dtype=np.uint64) + np.uint64(seed) * pw[L - 1] * B
     mixed = H._splitmix_array(out, H._GOLDEN, np.uint64(seed))
     return (mixed >> np.uint64(1)).astype(np.int64)
+
+
+# PII scrub patterns — ASCII-explicit character classes so Python re
+# (backtracking, leftmost-first) and RE2 engines (DuckDB/Spark,
+# leftmost-longest) produce identical matches: plain greedy
+# concatenations with no alternation agree across both semantics
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def scrub_pii(text: pd.Series) -> pd.DataFrame:
+    """Redact emails and IPv4 addresses (standard training-data PII
+    pass).  Vectorized pandas str ops with compiled patterns; counts
+    are measured on the ORIGINAL text, redaction applied in fixed
+    pattern order (email first, then ipv4).
+
+    Columns: text_clean (str), n_email (int64), n_ipv4 (int64).
+    """
+    import re
+
+    s = text.fillna("")
+    out = pd.DataFrame(index=text.index)
+    clean = s
+    for name, pat in PII_PATTERNS.items():
+        rx = re.compile(pat)
+        out[f"n_{name}"] = s.str.count(rx).to_numpy(np.int64)
+        clean = clean.str.replace(rx, f"<{name.upper()}>", regex=True)
+    out.insert(0, "text_clean", clean)
+    return out

@@ -492,6 +492,49 @@ def q35_top_bigrams(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q36_pii_scrub(sf_dir: str) -> Dataset:
+    """PII redaction pass (emails, IPv4) — the standard pre-training
+    scrub step: per-batch vectorized regex replace + match counts on
+    the original text.  Patterns are ASCII-explicit so Python re and
+    the RE2-family engines (DuckDB oracle) match identically; planted
+    PII is unit-tested in test_training_ops.py (the driver corpus is
+    PII-free, so this entry gates the plumbing + regex parity)."""
+    from event_deduplication_ray.functions.textstats import scrub_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = scrub_pii(df["text"])
+        out.insert(0, "doc_id", df["doc_id"])
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q37_lang_cap(sf_dir: str) -> Dataset:
+    """Per-group cap (corpus-mixture control): keep the 40 smallest
+    doc_ids per lang — the deterministic stratified-downsample shape
+    used to rebalance language mixes.  One hash shuffle on lang, then
+    a vectorized groupby-head per partition; at 100 TB the per-group
+    top-k would pre-prune inside the split wave (per-batch head) so
+    only candidate rows shuffle — here groups are few and small."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "doc_id"])
+        return df.groupby("lang", sort=False).head(40)
+
+    def pre_cap(t: pa.Table) -> pa.Table:
+        # combiner: per-batch head(40) per lang — only candidates shuffle
+        df = t.to_pandas().sort_values(["lang", "doc_id"])
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(40), preserve_index=False
+        )
+
+    return partition_apply(ds, ["lang"], QCFG.join_num_partitions, cap,
+                           pre_fn=pre_cap)
+
+
 # ------------------------------------------------------------ dedup pipelines
 
 def _docs_from_documents(sf_dir: str) -> Dataset:
@@ -811,6 +854,8 @@ RAY_QUERIES = {
     "q33_decontaminate": q33_decontaminate,
     "q34_length_quantiles": q34_length_quantiles,
     "q35_top_bigrams": q35_top_bigrams,
+    "q36_pii_scrub": q36_pii_scrub,
+    "q37_lang_cap": q37_lang_cap,
 }
 
 
@@ -1106,5 +1151,28 @@ ORACLE_SQL = {
         FROM bg GROUP BY ngram
         ORDER BY n DESC, ngram
         LIMIT 20
+    """,
+    # counts on the ORIGINAL text; redaction order email -> ipv4
+    # (mirrors textstats.PII_PATTERNS iteration order)
+    "q36_pii_scrub": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(coalesce(text, ''),
+                   '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+',
+                   '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IPV4>', 'g') AS text_clean,
+               len(regexp_extract_all(coalesce(text, ''),
+                   '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+'))
+                   AS n_email,
+               len(regexp_extract_all(coalesce(text, ''),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                   AS n_ipv4
+        FROM documents
+    """,
+    "q37_lang_cap": """
+        SELECT doc_id, lang
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 40
+        ORDER BY lang, doc_id
     """,
 }

@@ -29,6 +29,54 @@ def test_percentile_disc_formula_matches_duckdb():
             assert k == want, (n, name, k, want)
 
 
+def test_scrub_pii_planted():
+    """The driver corpus is PII-free, so the oracle-parity run can't
+    prove the redaction itself — plant PII here and check counts,
+    redaction order, and None handling."""
+    import pandas as pd
+
+    from event_deduplication_ray.functions.textstats import scrub_pii
+
+    df = scrub_pii(pd.Series([
+        "mail a.b+c@ex-1.co.uk or ping 10.0.0.1 twice 10.0.0.1",
+        "clean",
+        None,
+        "x@y.z x@y.z",
+        "an email at an ip: root@192.168.0.1",
+    ]))
+    assert df["n_email"].tolist() == [1, 0, 0, 2, 1]
+    assert df["n_ipv4"].tolist() == [2, 0, 0, 0, 1]
+    assert df["text_clean"].iloc[0] == "mail <EMAIL> or ping <IPV4> twice <IPV4>"
+    assert df["text_clean"].iloc[2] == ""
+    # email wins where both overlap (applied first, mirrors the oracle)
+    assert df["text_clean"].iloc[4] == "an email at an ip: <EMAIL>"
+
+
+def test_scrub_pii_matches_duckdb_on_planted_rows():
+    """Regex-engine parity (Python re vs DuckDB RE2) on rows the
+    fixture corpus can't provide."""
+    import pandas as pd
+
+    from event_deduplication_ray.functions.textstats import scrub_pii
+    from event_deduplication_ray.pipelines.queries import ORACLE_SQL
+
+    texts = [
+        "a@b.cd then c@d-e.f.g end",
+        "ips 1.2.3.4 99.999.9.9 and 1234.5.6.7",
+        "email-at-ip root@10.0.0.1 trailing",
+        "dots a.b.c.d.e@f.gh",
+        None, "", "   ",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT unnest(range(7)) AS doc_id, "
+                "unnest(?::VARCHAR[]) AS text", [texts])
+    want = con.execute(ORACLE_SQL["q36_pii_scrub"]).fetchdf()
+    got = scrub_pii(pd.Series(texts))
+    assert got["text_clean"].tolist() == want["text_clean"].tolist()
+    assert got["n_email"].tolist() == want["n_email"].astype(int).tolist()
+    assert got["n_ipv4"].tolist() == want["n_ipv4"].astype(int).tolist()
+
+
 def test_bigram_partial_respects_doc_boundaries():
     """No bigram may span two documents: the last token of doc i and
     the first of doc i+1 never pair."""
