@@ -128,6 +128,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     names = [
         "q01_pricing_summary", "q06_user_hourly_windows", "q08_token_counts",
         "q10_exact_dedup", "q11_embedding_topk", "q20_minhash_clusters",
+        "q33_decontaminate", "q34_length_quantiles", "q35_top_bigrams",
+        "q38_tfidf_topterms",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -535,6 +535,57 @@ def q37_lang_cap(sf_dir: str) -> Dataset:
                            pre_fn=pre_cap)
 
 
+def q38_tfidf_topterms(sf_dir: str) -> Dataset:
+    """Per-doc top-3 TF-IDF terms — the classic two-shuffle corpus
+    statistic, shaped for scale: the (doc, token, tf) table is
+    shuffled ONCE by token, and because a partition then owns every
+    row of its tokens, document frequency is computed IN-PARTITION
+    (transform('size')) with no separate DF table, no join and no
+    broadcast vocabulary; scores chain straight into a doc_id shuffle
+    (out_keys — zero driver barrier) for the per-doc top-k.  Scores
+    are rounded to 6 dp before ranking on BOTH sides so the float-ulp
+    ranking caveat (q11) is pinned; ties break token-asc.  Output
+    (doc_id, token), <= 3 rows per doc."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+    from event_deduplication_ray.stages.shuffle import shuffle_to
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()    # driver scalar (parquet metadata)
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        t = pd.DataFrame({"doc_id": doc, "token": flat})
+        g = t.groupby(["doc_id", "token"], as_index=False).size()
+        return g.rename(columns={"size": "tf"})
+
+    # rows never split docs across batches, so per-batch (doc, token)
+    # counts are already the final tf
+    tf = ds.map_batches(tf_partial, batch_format="pandas")
+    tf_sh = shuffle_to(tf, ["token"], QCFG.join_num_partitions)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("token")["doc_id"].transform("size")
+        s = np.round(
+            df["tf"].to_numpy() * np.log(n_docs / dfreq.to_numpy()), 6
+        )
+        out = df[["doc_id", "token"]].copy()
+        out["score"] = s
+        return out
+
+    scored = partition_apply(
+        tf_sh, ["token"], QCFG.join_num_partitions, score,
+        out_keys=["doc_id"], out_parts=QCFG.join_num_partitions,
+    )
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "score", "token"],
+                            ascending=[True, False, True])
+        return df.groupby("doc_id", sort=False).head(3)[["doc_id", "token"]]
+
+    return partition_apply(scored, ["doc_id"], QCFG.join_num_partitions, top3)
+
+
 # ------------------------------------------------------------ dedup pipelines
 
 def _docs_from_documents(sf_dir: str) -> Dataset:
@@ -856,6 +907,7 @@ RAY_QUERIES = {
     "q35_top_bigrams": q35_top_bigrams,
     "q36_pii_scrub": q36_pii_scrub,
     "q37_lang_cap": q37_lang_cap,
+    "q38_tfidf_topterms": q38_tfidf_topterms,
 }
 
 
@@ -1174,5 +1226,31 @@ ORACLE_SQL = {
         FROM documents
         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 40
         ORDER BY lang, doc_id
+    """,
+    # score rounded to 6 dp BEFORE ranking on both sides (float-ulp
+    # ranking caveat, see q11); ties break token-asc
+    "q38_tfidf_topterms": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                     '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, t.x AS token, count(*) AS tf
+            FROM toks, unnest(ws) AS t(x)
+            GROUP BY doc_id, t.x
+        ), df AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), n AS (
+            SELECT count(*) AS n FROM documents
+        )
+        SELECT doc_id, token
+        FROM tf JOIN df USING (token), n
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY round(tf * ln(n::DOUBLE / df), 6) DESC, token
+        ) <= 3
+        ORDER BY doc_id, token
     """,
 }

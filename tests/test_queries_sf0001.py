@@ -56,6 +56,7 @@ SQL_CHECKED = [
     "q30_containment_pairs_exact", "q31_embedding_topk_batch",
     "q32_ivf_topk", "q33_decontaminate", "q34_length_quantiles",
     "q35_top_bigrams", "q36_pii_scrub", "q37_lang_cap",
+    "q38_tfidf_topterms",
 ]
 
 
