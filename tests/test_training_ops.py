@@ -77,6 +77,35 @@ def test_scrub_pii_matches_duckdb_on_planted_rows():
     assert got["n_ipv4"].tolist() == want["n_ipv4"].astype(int).tolist()
 
 
+def test_histogram_quantile_matches_duckdb_on_random_multisets():
+    """The full q34 read-off (cumulative histogram + searchsorted)
+    against DuckDB percentile_disc over random multisets with heavy
+    ties — covers the duplicate-value paths the fixture corpus's
+    mostly-unique lengths never exercise."""
+    rng = np.random.default_rng(7)
+    con = duckdb.connect()
+    for trial in range(25):
+        n = int(rng.integers(1, 400))
+        vals = rng.integers(0, 12, size=n).astype(np.int64)  # many ties
+        con.execute(
+            "CREATE OR REPLACE TABLE t AS SELECT unnest(?::BIGINT[]) AS x",
+            [vals.tolist()],
+        )
+        want = con.execute(
+            "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x),"
+            "       percentile_disc(0.9) WITHIN GROUP (ORDER BY x),"
+            "       percentile_disc(0.99) WITHIN GROUP (ORDER BY x) FROM t"
+        ).fetchone()
+        uniq, counts = np.unique(vals, return_counts=True)
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        got = []
+        for _, num, den in _QUANTILES:
+            k = max((num * total + den - 1) // den, 1)
+            got.append(int(uniq[np.searchsorted(cum, k)]))
+        assert tuple(got) == tuple(want), (trial, n, got, want)
+
+
 def test_bigram_partial_respects_doc_boundaries():
     """No bigram may span two documents: the last token of doc i and
     the first of doc i+1 never pair."""
