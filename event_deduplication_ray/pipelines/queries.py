@@ -585,6 +585,146 @@ def q38_tfidf_topterms(sf_dir: str) -> Dataset:
 
     return partition_apply(scored, ["doc_id"], QCFG.join_num_partitions, top3)
 
+def q39_repetition_filter(sf_dir: str) -> Dataset:
+    """Gopher-style per-doc repetition quality filter (Rae et al. 2021
+    §A1.1 repetition rules, re-shaped to this corpus's newline-free
+    token soup): per doc, the fraction of tokens taken by the single
+    most frequent token, the same for bigrams, and the type-token
+    (distinct) ratio; ``keep`` applies the thresholds.  Entirely
+    per-row → one vectorized map_batches pass, no shuffle, trivially
+    100 TB-safe.  Fracs rounded to 6 dp on BOTH sides and ``keep``
+    computed from the ROUNDED values so the float boundary is pinned
+    (q11 convention).  Docs with < 2 tokens have no bigrams → NaN,
+    matching the oracle's empty-aggregate NULL."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        doc = np.repeat(np.arange(len(df)), lens)
+        idx = pd.RangeIndex(len(df))
+        cnt = pd.DataFrame({"i": doc, "tok": flat}).groupby(
+            ["i", "tok"], sort=False).size()
+        g = cnt.groupby(level=0)
+        top_frac = (g.max() / g.sum()).reindex(idx)
+        dis_frac = (g.size() / g.sum()).reindex(idx)
+        same = doc[:-1] == doc[1:] if len(doc) else np.zeros(0, bool)
+        bg = pd.DataFrame({
+            "i": doc[:-1][same],
+            "bg": pd.Series(flat[:-1][same]) + " " + pd.Series(flat[1:][same]),
+        }).groupby(["i", "bg"], sort=False).size().groupby(level=0)
+        bg_frac = (bg.max() / bg.sum()).reindex(idx)
+        top_r = np.round(top_frac.to_numpy(), 6)
+        dis_r = np.round(dis_frac.to_numpy(), 6)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "top_token_frac": top_r,
+            "top_bigram_frac": np.round(bg_frac.to_numpy(), 6),
+            "distinct_frac": dis_r,
+            "keep": (top_r <= 0.125) & (dis_r >= 0.35),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q40_event_asof_anchor(sf_dir: str) -> Dataset:
+    """As-of join — an operator Ray Data lacks natively: every event
+    joined to the most recent 'purchase' event (the anchor stream) of
+    the same user at-or-before its timestamp (events with no prior
+    anchor drop, i.e. inner as-of).  Both sides hash-shuffle ONCE on
+    user_id into the SAME partitioning (cogroup); inside a partition
+    one pd.merge_asof (sorted on ts, by=user_id) does the vectorized
+    backward search — no per-row loop, no driver materialization.
+    Anchors are deduped to one per (user_id, ts) (max event_id, batch
+    partial + in-partition final) so the equal-timestamp choice is
+    deterministic on both engines.  Partitioning assumption: a user's
+    rows co-locate (hash on user_id); skew bounded by per-user event
+    counts.  anchor_ts is emitted as a strftime STRING (module
+    convention) to pin timestamp precision against the oracle."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    from event_deduplication_ray.stages.shuffle import cogroup_apply
+
+    left = ev.map_batches(
+        lambda df: df[["event_id", "ts", "user_id"]],
+        batch_format="pandas",
+    )
+
+    def anchor_partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.loc[df["event_type"] == "purchase", ["user_id", "ts", "event_id"]]
+        return a.groupby(["user_id", "ts"], as_index=False)["event_id"].max() \
+                .rename(columns={"event_id": "anchor_id"})
+
+    anchors = ev.map_batches(anchor_partial, batch_format="pandas")
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("anchor_id", pa.int64()),
+                            ("anchor_ts", pa.string())])
+
+    def join(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        l, r = lt.to_pandas(), rt.to_pandas()
+        if len(r):
+            r = r.groupby(["user_id", "ts"], as_index=False)["anchor_id"].max()
+        r = r.assign(anchor_ts=r["ts"])
+        l = l.sort_values("ts", kind="mergesort")
+        r = r.sort_values("ts", kind="mergesort")
+        out = pd.merge_asof(l, r, on="ts", by="user_id", direction="backward")
+        out = out.dropna(subset=["anchor_id"])
+        # explicit schema pins anchor_ts to Arrow string on EMPTY
+        # partitions too (pandas inference would emit null type)
+        return pa.Table.from_pandas(pd.DataFrame({
+            "event_id": out["event_id"].to_numpy(),
+            "anchor_id": out["anchor_id"].to_numpy(np.int64),
+            "anchor_ts": out["anchor_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+        }), schema=out_schema, preserve_index=False)
+
+    lschema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                         ("user_id", pa.int64())])
+    rschema = pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+                         ("anchor_id", pa.int64())])
+    return cogroup_apply(left, anchors, ["user_id"], ["user_id"],
+                         QCFG.join_num_partitions, join,
+                         batch_format="pyarrow",
+                         left_schema=lschema, right_schema=rschema)
+
+
+def q41_rolling_user_window(sf_dir: str) -> Dataset:
+    """Sliding-window aggregate (7-day RANGE frame) per user over the
+    event stream — the feature-engineering shape (trailing activity
+    counts) Ray Data has no window operator for.  One hash shuffle on
+    user_id, then a fully vectorized per-partition pass: sort by
+    (user, ts), collapse user boundaries into ONE searchsorted by
+    shifting each user's int64-µs timeline onto a disjoint range
+    (margin > window, so frames never cross users), and read frame
+    sums off a prefix-sum difference.  O(n log n) per partition, no
+    per-user Python loop.  RANGE semantics (equal-ts peers share a
+    frame) fall out of side='right'/side='left'.  Sums rounded to
+    4 dp on both sides (prefix-sum differencing vs the oracle's exact
+    per-frame sum differ at ~1e-10)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    window_us = 7 * 86_400 * 1_000_000
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(ts) == 0:
+            return pd.DataFrame({"event_id": np.empty(0, np.int64),
+                                 "n_7d": np.empty(0, np.int64),
+                                 "sum_7d": np.empty(0, np.float64)})
+        codes = pd.factorize(df["user_id"], sort=False)[0].astype(np.int64)
+        span = (ts.max() - ts.min()) + window_us + 2
+        shifted = (ts - ts.min()) + codes * span
+        lo = np.searchsorted(shifted, shifted - window_us, side="left")
+        hi = np.searchsorted(shifted, shifted, side="right")
+        cum = np.concatenate([[0.0], np.cumsum(df["value"].to_numpy())])
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "n_7d": (hi - lo).astype(np.int64),
+            "sum_7d": np.round(cum[hi] - cum[lo], 4),
+        })
+
+    return partition_apply(ev, ["user_id"], QCFG.join_num_partitions, roll)
+
 
 # ------------------------------------------------------------ dedup pipelines
 
@@ -908,6 +1048,9 @@ RAY_QUERIES = {
     "q36_pii_scrub": q36_pii_scrub,
     "q37_lang_cap": q37_lang_cap,
     "q38_tfidf_topterms": q38_tfidf_topterms,
+    "q39_repetition_filter": q39_repetition_filter,
+    "q40_event_asof_anchor": q40_event_asof_anchor,
+    "q41_rolling_user_window": q41_rolling_user_window,
 }
 
 
@@ -1252,5 +1395,60 @@ ORACLE_SQL = {
             ORDER BY round(tf * ln(n::DOUBLE / df), 6) DESC, token
         ) <= 3
         ORDER BY doc_id, token
+    """,
+    "q39_repetition_filter": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS ws
+            FROM documents
+        ), tok_cnt AS (
+            SELECT doc_id, ws[i] AS tok, count(*) AS n
+            FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)
+            GROUP BY doc_id, tok
+        ), tok_agg AS (
+            SELECT doc_id, max(n) AS top_n, sum(n) AS n_tok,
+                   count(*) AS n_distinct
+            FROM tok_cnt GROUP BY doc_id
+        ), bg_cnt AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg, count(*) AS n
+            FROM toks, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+            GROUP BY doc_id, bg
+        ), bg_agg AS (
+            SELECT doc_id, max(n) AS top_bg, sum(n) AS n_bg
+            FROM bg_cnt GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(top_n * 1.0 / n_tok, 6)       AS top_token_frac,
+               round(top_bg * 1.0 / n_bg, 6)       AS top_bigram_frac,
+               round(n_distinct * 1.0 / n_tok, 6)  AS distinct_frac,
+               (round(top_n * 1.0 / n_tok, 6) <= 0.125
+                AND round(n_distinct * 1.0 / n_tok, 6) >= 0.35) AS keep
+        FROM documents d
+        LEFT JOIN tok_agg USING (doc_id)
+        LEFT JOIN bg_agg USING (doc_id)
+        ORDER BY doc_id
+    """,
+    "q40_event_asof_anchor": """
+        WITH anchors AS (
+            SELECT user_id, ts, max(event_id) AS anchor_id
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT e.event_id, a.anchor_id,
+               strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS anchor_ts
+        FROM events e ASOF JOIN anchors a
+          ON e.user_id = a.user_id AND a.ts <= e.ts
+        ORDER BY event_id
+    """,
+    "q41_rolling_user_window": """
+        SELECT event_id,
+               count(*) OVER w          AS n_7d,
+               round(sum(value) OVER w, 4) AS sum_7d
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
     """,
 }

@@ -56,7 +56,8 @@ SQL_CHECKED = [
     "q30_containment_pairs_exact", "q31_embedding_topk_batch",
     "q32_ivf_topk", "q33_decontaminate", "q34_length_quantiles",
     "q35_top_bigrams", "q36_pii_scrub", "q37_lang_cap",
-    "q38_tfidf_topterms",
+    "q38_tfidf_topterms", "q39_repetition_filter",
+    "q40_event_asof_anchor", "q41_rolling_user_window",
 ]
 
 

@@ -123,3 +123,89 @@ def test_bigram_partial_respects_doc_boundaries():
     big = flat[idx] + " "
     big = big + flat[idx + 1]
     assert sorted(big) == ["a b", "b c", "d e"]
+
+
+def _write_tbl(tmp_path, name, df):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def test_repetition_filter_planted(ray_session, tmp_path):
+    """Hand-computed repetition fracs: 'a a a a b' → top 0.8,
+    top-bigram 0.75 ('a a' 3/4), distinct 0.4; single-token doc has
+    NaN bigram frac (oracle NULL); keep thresholds applied to the
+    rounded values."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q39_repetition_filter
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a a b", "solo", "p q r s t u v w"],
+    }))
+    got = q39_repetition_filter(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["top_token_frac"].tolist() == [0.8, 1.0, 0.125]
+    assert got["top_bigram_frac"].iloc[0] == 0.75
+    assert np.isnan(got["top_bigram_frac"].iloc[1])
+    assert got["distinct_frac"].tolist() == [0.4, 1.0, 1.0]
+    assert got["keep"].tolist() == [False, False, True]
+
+
+def test_asof_anchor_tie_and_boundary(ray_session, tmp_path):
+    """Equal-ts anchors resolve to max event_id; an event AT the
+    anchor ts matches it (<=); events before any anchor drop."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q40_event_asof_anchor
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": [t0, t0, t0 + pd.Timedelta("1h"),
+               t0 - pd.Timedelta("1h"), t0, t0 + pd.Timedelta("2h")],
+        "user_id": [7, 7, 7, 7, 7, 8],
+        "event_type": ["purchase", "purchase", "view",
+                       "view", "view", "view"],
+        "value": [1.0] * 6,
+        "props": [""] * 6,
+    })
+    sf = _write_tbl(tmp_path, "events", ev)
+    got = q40_event_asof_anchor(sf).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    # event 4 precedes every anchor → dropped; user 8 has none → dropped
+    assert got["event_id"].tolist() == [1, 2, 3, 5]
+    assert got["anchor_id"].tolist() == [2, 2, 2, 2]
+
+
+def test_rolling_window_boundary_and_peers(ray_session, tmp_path):
+    """RANGE frame semantics: a row exactly 7 days back is IN the
+    frame; equal-ts peers share one frame (each counts the other)."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q41_rolling_user_window
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": [t0, t0 + pd.Timedelta(days=7), t0 + pd.Timedelta(days=7),
+               t0 + pd.Timedelta(days=7, microseconds=1),
+               t0 + pd.Timedelta(days=3)],
+        "user_id": [1, 1, 1, 1, 2],
+        "event_type": ["view"] * 5,
+        "value": [1.0, 10.0, 100.0, 1000.0, 5.0],
+        "props": [""] * 5,
+    })
+    sf = _write_tbl(tmp_path, "events", ev)
+    got = q41_rolling_user_window(sf).to_pandas().set_index("event_id")
+    assert got.loc[1, "n_7d"] == 1 and got.loc[1, "sum_7d"] == 1.0
+    # peers at t0+7d: both see {1, 2, 3} (boundary row included)
+    assert got.loc[2, "n_7d"] == 3 and got.loc[2, "sum_7d"] == 111.0
+    assert got.loc[3, "n_7d"] == 3 and got.loc[3, "sum_7d"] == 111.0
+    # one µs later: boundary row 1 falls out of the frame
+    assert got.loc[4, "n_7d"] == 3 and got.loc[4, "sum_7d"] == 1110.0
+    assert got.loc[5, "n_7d"] == 1 and got.loc[5, "sum_7d"] == 5.0
