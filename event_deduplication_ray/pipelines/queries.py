@@ -726,6 +726,21 @@ def q41_rolling_user_window(sf_dir: str) -> Dataset:
     return partition_apply(ev, ["user_id"], QCFG.join_num_partitions, roll)
 
 
+def q42_semantic_dedup(sf_dir: str) -> Dataset:
+    """SemDeDup-style embedding semantic dedup over the embeddings
+    table: spherical-k-means coarse clusters (bounded sample), then
+    within-cluster cosine >= 0.95 drops all but the min vec_id of
+    each dense ball (stages/similarity.semantic_dedup).  Rows-only
+    for the driver (k-means is not SQL-expressible; the driver
+    embeddings carry no pairs above 0.48 cosine so every row keeps) —
+    the drop semantics are pinned by the planted-clump pytest."""
+    from event_deduplication_ray.stages.similarity import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(ds, n_lists=16, cos_threshold=0.95,
+                          num_parts=QCFG.join_num_partitions)
+
+
 # ------------------------------------------------------------ dedup pipelines
 
 def _docs_from_documents(sf_dir: str) -> Dataset:
@@ -1051,6 +1066,7 @@ RAY_QUERIES = {
     "q39_repetition_filter": q39_repetition_filter,
     "q40_event_asof_anchor": q40_event_asof_anchor,
     "q41_rolling_user_window": q41_rolling_user_window,
+    "q42_semantic_dedup": q42_semantic_dedup,
 }
 
 

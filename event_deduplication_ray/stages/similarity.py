@@ -582,3 +582,89 @@ def embedding_dup_pairs(
         "decision": pa.array([], pa.string()), "tier": pa.array([], pa.string()),
     }))
     return anchor.union(out)
+
+
+def semantic_dedup(
+    embeddings: Dataset,
+    n_lists: int = 16,
+    cos_threshold: float = 0.95,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_parts: int | None = None,
+) -> Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus with a spherical-k-means coarse quantizer
+    (trained on a BOUNDED sample — the only driver materialization),
+    then WITHIN each cluster drop every vector that has a
+    lower-vec_id neighbor with cosine >= threshold.  Output one row
+    per vector: (vec_id, ivf_list, keep).
+
+    Drop rule (deterministic, fully vectorized): sort a cluster's
+    members by vec_id, one matmul for the member cosine matrix, drop
+    row i iff any j < i has cos(i, j) >= threshold — every dense
+    semantic ball keeps exactly its minimal vec_id.  Known SemDeDup
+    approximation: near-dup pairs STRADDLING a cluster boundary are
+    not examined (the SRP-banded q26 path is the exhaustive
+    alternative); recall grows with n_lists accuracy, precision is
+    exact.
+
+    Scale shape: vectors shuffle ONCE (hash on ivf_list); per-cluster
+    work is O(m^2) vectorized, bounded by growing n_lists with corpus
+    size (SemDeDup used 50 k clusters at LAION scale) — the cluster,
+    not the corpus, is the unit a worker must hold.
+    """
+    P = num_parts or 16
+    sample = embeddings.limit(sample_size).to_pandas()
+    cent = spherical_kmeans(
+        np.vstack(sample[emb_col].to_numpy()), n_lists, n_iters, seed
+    )
+    c_ref = ray.put(cent.T)  # (d, n_lists)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _normalize_rows(_emb_matrix(t[emb_col]))
+        lists = (m @ ray.get(c_ref)).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "emb_norm": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1), pa.float64()), m.shape[1]
+            ),
+            "ivf_list": pa.array(lists),
+        })
+
+    assigned = embeddings.map_batches(assign, batch_format="pyarrow")
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "ivf_list": pa.array([], pa.int64()),
+                          "keep": pa.array([], pa.bool_())})
+        if len(t) == 0:
+            return empty
+        ids_all, lists_all, keep_all = [], [], []
+        df_lists = t["ivf_list"].to_numpy()
+        m_all = _emb_matrix(t["emb_norm"])
+        ids_col = t[id_col].to_numpy()
+        for li in np.unique(df_lists):
+            sel = df_lists == li
+            ids = ids_col[sel]
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            m = m_all[sel][order]
+            cos = m @ m.T
+            dom = (cos >= cos_threshold) & np.tri(len(ids), k=-1, dtype=bool)
+            drop = dom.any(axis=1)
+            ids_all.append(ids)
+            lists_all.append(np.full(len(ids), li, dtype=np.int64))
+            keep_all.append(~drop)
+        if not ids_all:
+            return empty
+        return pa.table({
+            id_col: pa.array(np.concatenate(ids_all)),
+            "ivf_list": pa.array(np.concatenate(lists_all)),
+            "keep": pa.array(np.concatenate(keep_all)),
+        })
+
+    return partition_apply(assigned, ["ivf_list"], P, dedup_cluster,
+                           batch_format="pyarrow")

@@ -75,6 +75,7 @@ def test_sql_checked_query(name, sf_dir, con):
 ROWS_ONLY = [
     "q20_minhash_clusters", "q21_simhash_pairs", "q22_substring_pairs",
     "q23_doc_fingerprints", "q25_lsh_topk", "q29_media_dup_clusters",
+    "q42_semantic_dedup",
 ]
 
 

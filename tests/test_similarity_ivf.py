@@ -101,3 +101,35 @@ def test_ivf_probe_scans_fraction_of_rows(tmp_path):
         for f in os.listdir(dirp) if f.endswith(".parquet")
     )
     assert probed_rows <= total * 0.5
+
+
+def test_semantic_dedup_planted_clumps():
+    """Each tight clump keeps exactly its min vec_id; isolated
+    vectors all keep; output covers every input row once."""
+    from event_deduplication_ray.stages.similarity import semantic_dedup
+
+    ds, m = _clustered_ds(n_clumps=6, per=10, d=16, seed=7)
+    out = semantic_dedup(ds, n_lists=6, cos_threshold=0.95,
+                         sample_size=1000, seed=1).to_pandas()
+    n = len(m)
+    assert sorted(out["vec_id"]) == list(range(n))
+    kept = set(out.loc[out["keep"], "vec_id"])
+    # clump i occupies vec_ids [10i, 10i+10) — min id survives
+    for i in range(6):
+        ids = set(range(10 * i, 10 * i + 10))
+        assert ids & kept == {10 * i}, (i, ids & kept)
+
+
+def test_semantic_dedup_no_dups_keeps_all():
+    """Spread-out vectors (max pairwise cosine < threshold) all keep."""
+    from event_deduplication_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((40, 32))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float64())),
+    })
+    out = semantic_dedup(rd.from_arrow(t), n_lists=4, cos_threshold=0.99,
+                         sample_size=100, seed=2).to_pandas()
+    assert len(out) == 40 and out["keep"].all()
