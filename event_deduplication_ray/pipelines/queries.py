@@ -1028,6 +1028,175 @@ def q27_flagship_dedup(sf_dir: str) -> Dataset:
                          right_schema=labels_schema)
 
 
+_CHUNK_W = 10   # tokens per dedup chunk (q43)
+
+
+def _doc_chunks(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Non-overlapping ``_CHUNK_W``-token chunks per doc (last partial
+    window is its own chunk).  Returns (doc_row_idx, chunk_strings) —
+    one entry per chunk occurrence, in document order."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    flat, lens = tokenize_offsets(texts.str.lower())
+    if len(flat) == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    doc = np.repeat(np.arange(len(texts)), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(len(flat)) - np.repeat(starts, lens)
+    cid = pos // _CHUNK_W
+    chunks = pd.Series(flat).groupby([doc, cid], sort=False).agg(" ".join)
+    di = chunks.index.get_level_values(0).to_numpy().astype(np.int64)
+    return di, chunks.to_numpy(dtype=object)
+
+
+def q43_chunk_dedup(sf_dir: str) -> Dataset:
+    """CCNet/C4-style paragraph-level dedup at fixed granularity: the
+    corpus's texts are newline-free token soup, so the 'paragraph'
+    unit is a non-overlapping 10-token chunk.  A chunk is boilerplate
+    if it occurs in >= 2 distinct docs; a doc is kept while dup chunks
+    are <= half its chunks.  Output per doc: (doc_id, n_chunks,
+    n_dup_chunks, keep) — n_chunks counts all occurrences, boilerplate
+    membership counts distinct docs.
+
+    Scale shape (the q33 decontamination pattern): pass 1 streams the
+    corpus emitting per-batch DISTINCT (chunk_hash → partial doc
+    count) rows — docs never span batches, so summing partials over a
+    hash-partitioned combine is the exact distinct-doc count; the
+    boilerplate set (hashes with count >= 2) is the genuinely small
+    side and is broadcast once via ``ray.put``; pass 2 streams again
+    flagging occurrences with ``np.isin``.  The shuffle carries one
+    row per distinct chunk per batch, never one per token.  Parity
+    caveat: the engine compares 64-bit chunk hashes, the oracle exact
+    strings (same acceptance as q33)."""
+    import ray
+
+    from event_deduplication_ray.functions.hashing import hash_strings_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        di, ch = _doc_chunks(df["text"].fillna(""))
+        if len(ch) == 0:
+            return pd.DataFrame({"h": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        h = (hash_strings_u64(ch) >> np.uint64(1)).astype(np.int64)
+        vc = pd.DataFrame({"d": di, "h": h}).drop_duplicates()["h"].value_counts()
+        return pd.DataFrame({"h": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", as_index=False)["n"].sum()
+        return g[g["n"] >= 2][["h"]]
+
+    boiler = partition_apply(
+        partials, ["h"], QCFG.join_num_partitions, combine
+    ).to_pandas()
+    bset = np.sort(boiler["h"].to_numpy(np.int64)) if len(boiler) \
+        else np.empty(0, np.int64)
+    ref = ray.put(np.ascontiguousarray(bset))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(ref)          # zero-copy numpy view from plasma
+        di, ch = _doc_chunks(df["text"].fillna(""))
+        n_chunks = np.zeros(len(df), np.int64)
+        n_dup = np.zeros(len(df), np.int64)
+        if len(ch):
+            h = (hash_strings_u64(ch) >> np.uint64(1)).astype(np.int64)
+            np.add.at(n_chunks, di, 1)
+            np.add.at(n_dup, di, np.isin(h, bs).astype(np.int64))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_chunks": n_chunks,
+            "n_dup_chunks": n_dup,
+            "keep": (2 * n_dup <= n_chunks).astype(np.int64),
+        })
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+def q44_quality_outliers(sf_dir: str) -> Dataset:
+    """Per-lang z-score outlier flagging on document length — the
+    'statistical quality gate' step of a corpus pipeline (drop docs
+    whose length is anomalous FOR THEIR LANGUAGE).  Two passes: tiny
+    per-batch (lang, count, sum, sumsq) partials combine on the
+    driver (one row per lang per batch — genuinely small), per-lang
+    mean/stddev_pop broadcast, then a vectorized streaming flag pass.
+    Float parity: sums of integer lengths are exact in float64; z is
+    rounded to 6 dp on BOTH sides and ``outlier`` computed from the
+    ROUNDED z (q11 convention).  std == 0 langs define z = 0."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["text"].fillna("").str.len().astype(np.float64)
+        g = pd.DataFrame({"lang": df["lang"], "ln": ln, "ln2": ln * ln})
+        out = g.groupby("lang", as_index=False).agg(
+            n=("ln", "size"), s=("ln", "sum"), s2=("ln2", "sum"))
+        return out
+
+    sp = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    agg = sp.groupby("lang", as_index=False)[["n", "s", "s2"]].sum()
+    mu = agg["s"] / agg["n"]
+    sd = np.sqrt(np.maximum(agg["s2"] / agg["n"] - mu * mu, 0.0))
+    ref = ray.put((dict(zip(agg["lang"], mu)), dict(zip(agg["lang"], sd))))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        mu_d, sd_d = ray.get(ref)
+        ln = df["text"].fillna("").str.len().to_numpy(np.int64)
+        mus = df["lang"].map(mu_d).to_numpy(np.float64)
+        sds = df["lang"].map(sd_d).to_numpy(np.float64)
+        z = np.where(sds == 0, 0.0, (ln - mus) / np.where(sds == 0, 1.0, sds))
+        zr = np.round(z, 6)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "lang": df["lang"],
+            "n_chars": ln,
+            "z": zr,
+            "outlier": (np.abs(zr) > 2).astype(np.int64),
+        })
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+def q45_props_rollup(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured payload extraction + rollup: pull the integer
+    field ``k`` out of the JSON ``props`` column and aggregate per
+    event_type — the 'parse the crawl metadata sidecar' shape.  The
+    extraction is a VECTORIZED regex over the whole batch
+    (``str.extract``), not a per-row ``json.loads`` loop; the oracle
+    uses DuckDB's real ``json_extract`` so the test proves the fast
+    path agrees with a genuine JSON parser on this payload shape
+    (flat object, int value; malformed/missing rows → NULL, excluded
+    from sum/avg but counted in n_events on both sides)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(
+            r'"k"\s*:\s*(-?\d+)', expand=False).astype("float64")
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k})
+        out = g.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), n_k=("k", "count"), sum_k=("k", "sum"))
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False)[
+            ["n_events", "n_k", "sum_k"]].sum()
+        g["avg_k"] = np.round(g["sum_k"] / g["n_k"].replace(0, np.nan), 6)
+        g["sum_k"] = g["sum_k"].astype(np.int64)
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g[["event_type", "n_events", "sum_k", "avg_k"]]
+
+    out = partition_apply(
+        parts, ["event_type"], QCFG.join_num_partitions, combine
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1067,6 +1236,9 @@ RAY_QUERIES = {
     "q40_event_asof_anchor": q40_event_asof_anchor,
     "q41_rolling_user_window": q41_rolling_user_window,
     "q42_semantic_dedup": q42_semantic_dedup,
+    "q43_chunk_dedup": q43_chunk_dedup,
+    "q44_quality_outliers": q44_quality_outliers,
+    "q45_props_rollup": q45_props_rollup,
 }
 
 
@@ -1466,5 +1638,77 @@ ORACLE_SQL = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
         ORDER BY event_id
+    """,
+    # 'paragraph' = non-overlapping 10-token chunk (ws[a:b] is 1-based
+    # INCLUSIVE); boilerplate = chunk in >= 2 distinct docs; n_chunks
+    # counts occurrences.  Engine compares chunk hashes, oracle exact
+    # strings (q33 acceptance).
+    "q43_chunk_dedup": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS ws
+            FROM documents
+        ), ch AS (
+            SELECT doc_id,
+                   array_to_string(ws[(i-1)*10+1 : least(i*10, len(ws))], ' ')
+                       AS chunk
+            FROM toks, unnest(range(1, (len(ws) + 9) // 10 + 1)) AS t(i)
+        ), boiler AS (
+            SELECT chunk
+            FROM (SELECT DISTINCT doc_id, chunk FROM ch)
+            GROUP BY chunk HAVING count(*) >= 2
+        ), agg AS (
+            SELECT c.doc_id,
+                   count(*) AS n_chunks,
+                   sum(CASE WHEN b.chunk IS NULL THEN 0 ELSE 1 END)
+                       AS n_dup_chunks
+            FROM ch c LEFT JOIN boiler b USING (chunk)
+            GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_chunks, 0) AS BIGINT)     AS n_chunks,
+               CAST(coalesce(a.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+               CAST(CASE WHEN 2 * coalesce(a.n_dup_chunks, 0)
+                              <= coalesce(a.n_chunks, 0)
+                         THEN 1 ELSE 0 END AS BIGINT)      AS keep
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    # z rounded to 6 dp BEFORE the outlier compare on both sides;
+    # stddev_pop from exact-integer sums keeps float parity
+    "q44_quality_outliers": """
+        WITH s AS (
+            SELECT lang,
+                   avg(length(coalesce(text, '')))        AS mu,
+                   stddev_pop(length(coalesce(text, ''))) AS sd
+            FROM documents GROUP BY lang
+        ), z AS (
+            SELECT d.doc_id, d.lang,
+                   CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+                   round(CASE WHEN s.sd = 0 THEN 0.0
+                              ELSE (length(coalesce(d.text, '')) - s.mu) / s.sd
+                         END, 6) AS z
+            FROM documents d JOIN s USING (lang)
+        )
+        SELECT doc_id, lang, n_chars, z,
+               CAST(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END AS BIGINT)
+                   AS outlier
+        FROM z ORDER BY doc_id
+    """,
+    # real JSON parser on the oracle side vs the engine's vectorized
+    # regex fast path; NULL k excluded from sum/avg, counted in n_events
+    "q45_props_rollup": """
+        WITH x AS (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               count(*)                     AS n_events,
+               CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+               round(avg(k), 6)             AS avg_k
+        FROM x GROUP BY event_type ORDER BY event_type
     """,
 }

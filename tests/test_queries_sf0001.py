@@ -58,6 +58,7 @@ SQL_CHECKED = [
     "q35_top_bigrams", "q36_pii_scrub", "q37_lang_cap",
     "q38_tfidf_topterms", "q39_repetition_filter",
     "q40_event_asof_anchor", "q41_rolling_user_window",
+    "q43_chunk_dedup", "q44_quality_outliers", "q45_props_rollup",
 ]
 
 

@@ -156,6 +156,82 @@ def test_repetition_filter_planted(ray_session, tmp_path):
     assert got["keep"].tolist() == [False, False, True]
 
 
+def test_chunk_dedup_planted(ray_session, tmp_path):
+    """The driver corpus shares no 10-token chunks across docs, so the
+    oracle-parity run only proves the no-op path — plant shared,
+    partial-window, within-doc-repeated and empty cases here and check
+    BOTH the hand-computed flags and full DuckDB-oracle parity."""
+    import duckdb
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        q43_chunk_dedup,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(10))       # one full chunk
+    uniq = " ".join(f"u{i}" for i in range(15))         # 1.5 chunks
+    rep = " ".join(f"r{i}" for i in range(10))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            shared + " " + uniq,          # 25 tok: chunks [sh, u0-9, u10-14]
+            shared,                       # the shared chunk only
+            "",                           # no tokens → 0 chunks
+            " ".join(f"x{i}" for i in range(12)),   # 2 chunks, unique
+            rep + " " + rep,              # same chunk TWICE within one doc
+        ],
+    })
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q43_chunk_dedup(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["n_chunks"].tolist() == [3, 1, 0, 2, 2]
+    # within-doc repetition (doc 5) is NOT boilerplate (1 distinct doc)
+    assert got["n_dup_chunks"].tolist() == [1, 1, 0, 0, 0]
+    assert got["keep"].tolist() == [1, 0, 1, 1, 1]
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = con.execute(ORACLE_SQL["q43_chunk_dedup"]).fetchdf()
+    for c in ("doc_id", "n_chunks", "n_dup_chunks", "keep"):
+        assert got[c].astype("int64").tolist() == \
+            want[c].astype("int64").tolist(), c
+
+
+def test_quality_outliers_planted(ray_session, tmp_path):
+    """z-score edge cases the fixture corpus won't pin: a single-doc
+    lang (stddev 0 → z defined as 0, not NULL/inf) and a planted
+    far-outlier; full DuckDB-oracle parity on the same rows."""
+    import duckdb
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        q44_quality_outliers,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(1, 9, dtype=np.int64),
+        "lang": ["en"] * 6 + ["fr"] + ["de"],
+        "text": ["a" * 10] * 5 + ["a" * 100] + ["bonjour"] + [""],
+    })
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q44_quality_outliers(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got.loc[got["doc_id"] == 6, "outlier"].item() == 1   # the 100-char doc
+    assert (got.loc[got["doc_id"] < 6, "outlier"] == 0).all()
+    # single-doc langs: sd == 0 → z = 0, not NaN
+    assert got.loc[got["doc_id"] == 7, "z"].item() == 0.0
+    assert got.loc[got["doc_id"] == 8, "z"].item() == 0.0
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = con.execute(ORACLE_SQL["q44_quality_outliers"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, atol=1e-6)
+
+
 def test_asof_anchor_tie_and_boundary(ray_session, tmp_path):
     """Equal-ts anchors resolve to max event_id; an event AT the
     anchor ts matches it (<=); events before any anchor drop."""
