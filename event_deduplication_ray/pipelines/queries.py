@@ -585,6 +585,33 @@ def q38_tfidf_topterms(sf_dir: str) -> Dataset:
 
     return partition_apply(scored, ["doc_id"], QCFG.join_num_partitions, top3)
 
+def _rep_features(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc repetition fractions (q39 core, shared with q46):
+    top-token frac, top-bigram frac, type-token (distinct) ratio —
+    rounded to 6 dp; NaN where a doc has no tokens/bigrams."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    flat, lens = tokenize_offsets(texts.str.lower())
+    doc = np.repeat(np.arange(len(texts)), lens)
+    idx = pd.RangeIndex(len(texts))
+    cnt = pd.DataFrame({"i": doc, "tok": flat}).groupby(
+        ["i", "tok"], sort=False).size()
+    g = cnt.groupby(level=0)
+    top_frac = (g.max() / g.sum()).reindex(idx)
+    dis_frac = (g.size() / g.sum()).reindex(idx)
+    same = doc[:-1] == doc[1:] if len(doc) else np.zeros(0, bool)
+    bg = pd.DataFrame({
+        "i": doc[:-1][same],
+        "bg": pd.Series(flat[:-1][same]) + " " + pd.Series(flat[1:][same]),
+    }).groupby(["i", "bg"], sort=False).size().groupby(level=0)
+    bg_frac = (bg.max() / bg.sum()).reindex(idx)
+    return pd.DataFrame({
+        "top_token_frac": np.round(top_frac.to_numpy(), 6),
+        "top_bigram_frac": np.round(bg_frac.to_numpy(), 6),
+        "distinct_frac": np.round(dis_frac.to_numpy(), 6),
+    })
+
+
 def q39_repetition_filter(sf_dir: str) -> Dataset:
     """Gopher-style per-doc repetition quality filter (Rae et al. 2021
     §A1.1 repetition rules, re-shaped to this corpus's newline-free
@@ -596,34 +623,14 @@ def q39_repetition_filter(sf_dir: str) -> Dataset:
     computed from the ROUNDED values so the float boundary is pinned
     (q11 convention).  Docs with < 2 tokens have no bigrams → NaN,
     matching the oracle's empty-aggregate NULL."""
-    from event_deduplication_ray.functions.hashing import tokenize_offsets
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        flat, lens = tokenize_offsets(df["text"].str.lower())
-        doc = np.repeat(np.arange(len(df)), lens)
-        idx = pd.RangeIndex(len(df))
-        cnt = pd.DataFrame({"i": doc, "tok": flat}).groupby(
-            ["i", "tok"], sort=False).size()
-        g = cnt.groupby(level=0)
-        top_frac = (g.max() / g.sum()).reindex(idx)
-        dis_frac = (g.size() / g.sum()).reindex(idx)
-        same = doc[:-1] == doc[1:] if len(doc) else np.zeros(0, bool)
-        bg = pd.DataFrame({
-            "i": doc[:-1][same],
-            "bg": pd.Series(flat[:-1][same]) + " " + pd.Series(flat[1:][same]),
-        }).groupby(["i", "bg"], sort=False).size().groupby(level=0)
-        bg_frac = (bg.max() / bg.sum()).reindex(idx)
-        top_r = np.round(top_frac.to_numpy(), 6)
-        dis_r = np.round(dis_frac.to_numpy(), 6)
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(),
-            "top_token_frac": top_r,
-            "top_bigram_frac": np.round(bg_frac.to_numpy(), 6),
-            "distinct_frac": dis_r,
-            "keep": (top_r <= 0.125) & (dis_r >= 0.35),
-        })
+        rep = _rep_features(df["text"])
+        rep.insert(0, "doc_id", df["doc_id"].to_numpy())
+        rep["keep"] = ((rep["top_token_frac"] <= 0.125)
+                       & (rep["distinct_frac"] >= 0.35))
+        return rep
 
     return ds.map_batches(f, batch_format="pandas")
 
@@ -1070,9 +1077,27 @@ def q43_chunk_dedup(sf_dir: str) -> Dataset:
     strings (same acceptance as q33)."""
     import ray
 
-    from event_deduplication_ray.functions.hashing import hash_strings_u64
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = ray.put(_chunk_boiler_set(ds))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(ref)          # zero-copy numpy view from plasma
+        n_chunks, n_dup = _chunk_dup_counts(df["text"], bs)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_chunks": n_chunks,
+            "n_dup_chunks": n_dup,
+            "keep": (2 * n_dup <= n_chunks).astype(np.int64),
+        })
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+def _chunk_boiler_set(ds: Dataset) -> np.ndarray:
+    """Sorted int64 hashes of chunks occurring in >= 2 distinct docs
+    (q43 pass 1, shared with q46): per-batch distinct (chunk, doc)
+    partials → hash-partitioned combine → small driver collect."""
+    from event_deduplication_ray.functions.hashing import hash_strings_u64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         di, ch = _doc_chunks(df["text"].fillna(""))
@@ -1095,25 +1120,22 @@ def q43_chunk_dedup(sf_dir: str) -> Dataset:
     ).to_pandas()
     bset = np.sort(boiler["h"].to_numpy(np.int64)) if len(boiler) \
         else np.empty(0, np.int64)
-    ref = ray.put(np.ascontiguousarray(bset))
+    return np.ascontiguousarray(bset)
 
-    def flag(df: pd.DataFrame) -> pd.DataFrame:
-        bs = ray.get(ref)          # zero-copy numpy view from plasma
-        di, ch = _doc_chunks(df["text"].fillna(""))
-        n_chunks = np.zeros(len(df), np.int64)
-        n_dup = np.zeros(len(df), np.int64)
-        if len(ch):
-            h = (hash_strings_u64(ch) >> np.uint64(1)).astype(np.int64)
-            np.add.at(n_chunks, di, 1)
-            np.add.at(n_dup, di, np.isin(h, bs).astype(np.int64))
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64),
-            "n_chunks": n_chunks,
-            "n_dup_chunks": n_dup,
-            "keep": (2 * n_dup <= n_chunks).astype(np.int64),
-        })
 
-    return ds.map_batches(flag, batch_format="pandas")
+def _chunk_dup_counts(texts: pd.Series,
+                      bset: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n_chunks, n_dup_chunks) per doc against a boilerplate set."""
+    from event_deduplication_ray.functions.hashing import hash_strings_u64
+
+    di, ch = _doc_chunks(texts.fillna(""))
+    n_chunks = np.zeros(len(texts), np.int64)
+    n_dup = np.zeros(len(texts), np.int64)
+    if len(ch):
+        h = (hash_strings_u64(ch) >> np.uint64(1)).astype(np.int64)
+        np.add.at(n_chunks, di, 1)
+        np.add.at(n_dup, di, np.isin(h, bset).astype(np.int64))
+    return n_chunks, n_dup
 
 
 def q44_quality_outliers(sf_dir: str) -> Dataset:
@@ -1129,27 +1151,12 @@ def q44_quality_outliers(sf_dir: str) -> Dataset:
     import ray
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-
-    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
-        ln = df["text"].fillna("").str.len().astype(np.float64)
-        g = pd.DataFrame({"lang": df["lang"], "ln": ln, "ln2": ln * ln})
-        out = g.groupby("lang", as_index=False).agg(
-            n=("ln", "size"), s=("ln", "sum"), s2=("ln2", "sum"))
-        return out
-
-    sp = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
-    agg = sp.groupby("lang", as_index=False)[["n", "s", "s2"]].sum()
-    mu = agg["s"] / agg["n"]
-    sd = np.sqrt(np.maximum(agg["s2"] / agg["n"] - mu * mu, 0.0))
-    ref = ray.put((dict(zip(agg["lang"], mu)), dict(zip(agg["lang"], sd))))
+    ref = ray.put(_lang_length_stats(ds))
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         mu_d, sd_d = ray.get(ref)
         ln = df["text"].fillna("").str.len().to_numpy(np.int64)
-        mus = df["lang"].map(mu_d).to_numpy(np.float64)
-        sds = df["lang"].map(sd_d).to_numpy(np.float64)
-        z = np.where(sds == 0, 0.0, (ln - mus) / np.where(sds == 0, 1.0, sds))
-        zr = np.round(z, 6)
+        zr = _length_z(ln, df["lang"], mu_d, sd_d)
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(np.int64),
             "lang": df["lang"],
@@ -1159,6 +1166,35 @@ def q44_quality_outliers(sf_dir: str) -> Dataset:
         })
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def _lang_length_stats(ds: Dataset) -> tuple[dict, dict]:
+    """Per-lang (mean, stddev_pop) of text length (q44 pass 1, shared
+    with q46): per-batch (lang, n, Σ, Σ²) partials — one row per lang
+    per batch — combined on the driver.  Sums of integer lengths are
+    exact in float64, so the moments match the oracle's."""
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["text"].fillna("").str.len().astype(np.float64)
+        g = pd.DataFrame({"lang": df["lang"], "ln": ln, "ln2": ln * ln})
+        return g.groupby("lang", as_index=False).agg(
+            n=("ln", "size"), s=("ln", "sum"), s2=("ln2", "sum"))
+
+    sp = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    agg = sp.groupby("lang", as_index=False)[["n", "s", "s2"]].sum()
+    mu = agg["s"] / agg["n"]
+    sd = np.sqrt(np.maximum(agg["s2"] / agg["n"] - mu * mu, 0.0))
+    return dict(zip(agg["lang"], mu)), dict(zip(agg["lang"], sd))
+
+
+def _length_z(ln: np.ndarray, langs: pd.Series,
+              mu_d: dict, sd_d: dict) -> np.ndarray:
+    """z = (len - mean)/stddev per lang, 0 where stddev is 0, rounded
+    to 6 dp (the compare-on-rounded convention)."""
+    mus = langs.map(mu_d).to_numpy(np.float64)
+    sds = langs.map(sd_d).to_numpy(np.float64)
+    z = np.where(sds == 0, 0.0, (ln - mus) / np.where(sds == 0, 1.0, sds))
+    return np.round(z, 6)
 
 
 def q45_props_rollup(sf_dir: str) -> pd.DataFrame:
@@ -1195,6 +1231,69 @@ def q45_props_rollup(sf_dir: str) -> pd.DataFrame:
         parts, ["event_type"], QCFG.join_num_partitions, combine
     ).to_pandas()
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q46_curation(sf_dir: str) -> Dataset:
+    """End-to-end corpus curation: the fused composition a real
+    training-data pipeline runs as ONE job — Gopher repetition filter
+    (q39) + per-lang length-outlier gate (q44) + chunk-boilerplate
+    gate (q43) + exact text dedup (keep the min doc_id per identical
+    text), with ``keep`` the conjunction.  Per-doc decision table out:
+    (doc_id, lang, n_chars, rep_keep, outlier, chunk_keep, exact_dup,
+    keep).
+
+    Fusion shape: the two small gate inputs (per-lang length moments;
+    chunk boilerplate hash set) are computed first — both are
+    broadcast-sized — then ONE streaming pass tokenizes each doc ONCE
+    and evaluates repetition fracs, z-score, and chunk-dup counts
+    together (vs three separate text scans running q39+q43+q44
+    back-to-back); exact dedup then shuffles only the compact
+    per-doc flag table keyed by text hash (16 B of key per row, no
+    text moves).  Docs with no tokens define rep_keep = 1 (nothing to
+    measure) — spelled out in the oracle too.  Hash-vs-string parity
+    acceptance as q33/q43 (text_hash stands in for text equality)."""
+    import ray
+
+    from event_deduplication_ray.functions.hashing import hash_strings_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    ref = ray.put((*_lang_length_stats(ds), _chunk_boiler_set(ds)))
+
+    def features(df: pd.DataFrame) -> pd.DataFrame:
+        mu_d, sd_d, bs = ray.get(ref)
+        texts = df["text"].fillna("")
+        rep = _rep_features(texts)
+        top_r = rep["top_token_frac"].to_numpy()
+        dis_r = rep["distinct_frac"].to_numpy()
+        rep_keep = np.where(
+            np.isnan(top_r), 1,
+            (top_r <= 0.125) & (dis_r >= 0.35)).astype(np.int64)
+        ln = texts.str.len().to_numpy(np.int64)
+        zr = _length_z(ln, df["lang"], mu_d, sd_d)
+        n_chunks, n_dup = _chunk_dup_counts(texts, bs)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "lang": df["lang"],
+            "n_chars": ln,
+            "rep_keep": rep_keep,
+            "outlier": (np.abs(zr) > 2).astype(np.int64),
+            "chunk_keep": (2 * n_dup <= n_chunks).astype(np.int64),
+            "th": (hash_strings_u64(texts) >> np.uint64(1)).astype(np.int64),
+        })
+
+    feats = ds.map_batches(features, batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        gmin = df.groupby("th")["doc_id"].transform("min")
+        dup = (df["doc_id"] != gmin).astype(np.int64)
+        out = df.drop(columns=["th"]).copy()
+        out["exact_dup"] = dup
+        out["keep"] = ((out["rep_keep"] == 1) & (out["outlier"] == 0)
+                       & (out["chunk_keep"] == 1)
+                       & (dup == 0)).astype(np.int64)
+        return out
+
+    return partition_apply(feats, ["th"], QCFG.join_num_partitions, finalize)
 
 
 RAY_QUERIES = {
@@ -1239,6 +1338,7 @@ RAY_QUERIES = {
     "q43_chunk_dedup": q43_chunk_dedup,
     "q44_quality_outliers": q44_quality_outliers,
     "q45_props_rollup": q45_props_rollup,
+    "q46_curation": q46_curation,
 }
 
 
@@ -1710,5 +1810,84 @@ ORACLE_SQL = {
                CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
                round(avg(k), 6)             AS avg_k
         FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    # conjunction of the q39/q43/q44 gates + exact text dedup (min
+    # doc_id per identical text wins); token-less docs: rep_keep = 1
+    "q46_curation": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS ws
+            FROM documents
+        ), tok_cnt AS (
+            SELECT doc_id, ws[i] AS tok, count(*) AS n
+            FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)
+            GROUP BY doc_id, tok
+        ), tok_agg AS (
+            SELECT doc_id, max(n) AS top_n, sum(n) AS n_tok,
+                   count(*) AS n_distinct
+            FROM tok_cnt GROUP BY doc_id
+        ), rep AS (
+            SELECT d.doc_id,
+                   CASE WHEN n_tok IS NULL THEN 1
+                        WHEN round(top_n * 1.0 / n_tok, 6) <= 0.125
+                         AND round(n_distinct * 1.0 / n_tok, 6) >= 0.35
+                        THEN 1 ELSE 0 END AS rep_keep
+            FROM documents d LEFT JOIN tok_agg USING (doc_id)
+        ), s AS (
+            SELECT lang,
+                   avg(length(coalesce(text, '')))        AS mu,
+                   stddev_pop(length(coalesce(text, ''))) AS sd
+            FROM documents GROUP BY lang
+        ), outl AS (
+            SELECT d.doc_id,
+                   CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+                   CASE WHEN abs(round(CASE WHEN s.sd = 0 THEN 0.0
+                             ELSE (length(coalesce(d.text, '')) - s.mu) / s.sd
+                             END, 6)) > 2 THEN 1 ELSE 0 END AS outlier
+            FROM documents d JOIN s USING (lang)
+        ), ch AS (
+            SELECT doc_id,
+                   array_to_string(ws[(i-1)*10+1 : least(i*10, len(ws))], ' ')
+                       AS chunk
+            FROM toks, unnest(range(1, (len(ws) + 9) // 10 + 1)) AS t(i)
+        ), boiler AS (
+            SELECT chunk
+            FROM (SELECT DISTINCT doc_id, chunk FROM ch)
+            GROUP BY chunk HAVING count(*) >= 2
+        ), chagg AS (
+            SELECT c.doc_id, count(*) AS n_chunks,
+                   sum(CASE WHEN b.chunk IS NULL THEN 0 ELSE 1 END) AS n_dup
+            FROM ch c LEFT JOIN boiler b USING (chunk)
+            GROUP BY c.doc_id
+        ), chk AS (
+            SELECT d.doc_id,
+                   CASE WHEN 2 * coalesce(a.n_dup, 0)
+                             <= coalesce(a.n_chunks, 0)
+                        THEN 1 ELSE 0 END AS chunk_keep
+            FROM documents d LEFT JOIN chagg a USING (doc_id)
+        ), dup AS (
+            SELECT doc_id,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY coalesce(text, '')
+                            ORDER BY doc_id) > 1
+                        THEN 1 ELSE 0 END AS exact_dup
+            FROM documents
+        )
+        SELECT d.doc_id, d.lang, o.n_chars,
+               CAST(r.rep_keep AS BIGINT)   AS rep_keep,
+               CAST(o.outlier AS BIGINT)    AS outlier,
+               CAST(c.chunk_keep AS BIGINT) AS chunk_keep,
+               CAST(p.exact_dup AS BIGINT)  AS exact_dup,
+               CAST(CASE WHEN r.rep_keep = 1 AND o.outlier = 0
+                          AND c.chunk_keep = 1 AND p.exact_dup = 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM documents d
+        JOIN rep r USING (doc_id)
+        JOIN outl o USING (doc_id)
+        JOIN chk c USING (doc_id)
+        JOIN dup p USING (doc_id)
+        ORDER BY d.doc_id
     """,
 }

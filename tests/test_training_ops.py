@@ -232,6 +232,54 @@ def test_quality_outliers_planted(ray_session, tmp_path):
         check_dtype=False, atol=1e-6)
 
 
+def test_curation_planted_gates(ray_session, tmp_path):
+    """One doc per curation gate: a repetitive doc (rep gate), an
+    exact-dup pair (dedup gate, min doc_id wins), a boilerplate-heavy
+    doc (chunk gate), an empty doc (rep_keep defined = 1), and clean
+    docs; full DuckDB-oracle parity on the same rows.  The z-score
+    gate fires on nothing here (lengths are close) — its planted case
+    lives in test_quality_outliers_planted."""
+    import duckdb
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        q46_curation,
+    )
+
+    clean = " ".join(f"c{i}" for i in range(40))        # diverse, unique
+    shared = " ".join(f"w{i}" for i in range(10))       # one shared chunk
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "lang": ["en"] * 6,
+        "text": [
+            clean,
+            "spam " * 39 + "spam",    # 40x one token → rep gate drops
+            clean,                    # exact dup of doc 1 → dedup gate
+            shared,                   # 100% boilerplate → chunk gate
+            shared + " " + " ".join(f"y{i}" for i in range(30)),  # 25% boiler → kept
+            "",                       # no tokens: rep_keep=1, kept
+        ],
+    })
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q46_curation(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["rep_keep"].tolist() == [1, 0, 1, 1, 1, 1]
+    assert got["exact_dup"].tolist() == [0, 0, 1, 0, 0, 0]
+    # docs 1/3 are identical texts → every chunk of theirs occurs in
+    # 2 distinct docs → the chunk gate fires on BOTH (exact dups trip
+    # the boilerplate gate as well, as in a real pipeline)
+    assert got["chunk_keep"].tolist() == [0, 1, 0, 0, 1, 1]
+    assert got["keep"].tolist() == [0, 0, 0, 0, 1, 1]
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = con.execute(ORACLE_SQL["q46_curation"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, atol=1e-6)
+
+
 def test_asof_anchor_tie_and_boundary(ray_session, tmp_path):
     """Equal-ts anchors resolve to max event_id; an event AT the
     anchor ts matches it (<=); events before any anchor drop."""
