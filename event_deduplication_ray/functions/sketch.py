@@ -1,0 +1,80 @@
+"""HyperLogLog — mergeable approximate count-distinct.
+
+A 100 TB-scale extension beyond the reference's operator set (the
+reference counts distincts exactly in SQL, e.g. its dashboard
+aggregates at src/event_dedup/api/routes/stats.py): at billions of
+distinct keys per group the exact distinct shuffle moves one row per
+(group, key), while an HLL partial is a FIXED 2**p bytes per group
+per batch, merged by elementwise max — associative, commutative,
+idempotent, so it composes with any shuffle topology and with
+incremental/resumable runs.
+
+Standard Flajolet et al. 2007 estimator with the small-range
+linear-counting correction; 64-bit hash makes the large-range
+correction unnecessary.  p = 12 → 4096 registers → ~1.6 % standard
+error, 4 KB per sketch.
+
+Vectorized throughout: one splitmix64 pass, register index / rank via
+shifts, np.maximum.at for the register fold.  The rank uses
+floor(log2) in float64 with an explicit off-by-one correction where
+log2 rounds up at a power-of-two boundary (w in [2**k, 2**(k+1)) can
+round to k+1 only at the very top of the interval).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+P_DEFAULT = 12
+
+_SPLITMIX_GAMMA = U64(0x9E3779B97F4A7C15)
+_MIX1 = U64(0xBF58476D1CE4E5B9)
+_MIX2 = U64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Stateless splitmix64 of a u64 array (fixed constants)."""
+    with np.errstate(over="ignore"):
+        z = (x + _SPLITMIX_GAMMA).astype(U64)
+        z = (z ^ (z >> U64(30))) * _MIX1
+        z = (z ^ (z >> U64(27))) * _MIX2
+        return z ^ (z >> U64(31))
+
+
+def hll_partial(values: np.ndarray, p: int = P_DEFAULT) -> np.ndarray:
+    """Fold int values into a fresh register array (uint8, 2**p)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _splitmix64(np.asarray(values).astype(np.int64).view(U64))
+    idx = (h >> U64(64 - p)).astype(np.int64)
+    w = (h << U64(p)).astype(U64)          # top 64-p payload bits
+    width = 64 - p
+    rank = np.full(len(w), width + 1, dtype=np.uint8)
+    nz = w != 0
+    if nz.any():
+        k = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
+        k = np.where((w[nz] >> k.astype(U64)) == 0, k - 1, k)  # log2 round-up
+        # w's msb sits at bit k (0-based within 64 bits); leading zeros
+        # within the width-bit payload = 63 - k; rank = lz + 1
+        rank[nz] = (U64(64) - k.astype(U64)).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(sketches: "list[np.ndarray]") -> np.ndarray:
+    """Elementwise max — the union of the underlying sets."""
+    return np.maximum.reduce([np.asarray(s, dtype=np.uint8) for s in sketches])
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Cardinality estimate with the small-range correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)        # linear counting
+    return float(est)

@@ -1296,6 +1296,77 @@ def q46_curation(sf_dir: str) -> Dataset:
     return partition_apply(feats, ["th"], QCFG.join_num_partitions, finalize)
 
 
+def q47_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct-count per group (count(DISTINCT user_id) per
+    event_type), distributed: per-batch distinct (event_type, user)
+    pairs are the partial, ONE hash shuffle on user_id co-locates all
+    of a user's rows (so the in-partition distinct is globally
+    correct), per-partition counts sum on the driver.  The shuffle
+    carries one 16 B row per distinct pair per batch — the exact
+    baseline q48's sketch replaces when that's too many rows."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    p = ds.map_batches(pairs, batch_format="pandas")
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        return d.groupby("event_type", as_index=False).size().rename(
+            columns={"size": "n_users"})
+
+    parts = partition_apply(
+        p, ["user_id"], QCFG.join_num_partitions, cnt
+    ).to_pandas()
+    out = parts.groupby("event_type", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q48_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct-count per group via a mergeable
+    HyperLogLog sketch (p=12, ~1.6 % σ): each batch folds its users
+    into ONE 4 KB register row per group, a hash-partitioned combine
+    merges by elementwise max, and the estimate reads off the merged
+    registers.  At billions of distincts per group this ships a
+    constant 4 KB per (group, batch) where q47's exact path ships one
+    row per distinct pair.  rows-only (approximate by construction);
+    the error bound vs the exact q47 is pytest-gated
+    (test_sketch.py)."""
+    from event_deduplication_ray.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in df.groupby("event_type"):      # few groups
+            regs = hll_partial(sub["user_id"].to_numpy(np.int64))
+            rows.append({"event_type": et, "regs": regs.tobytes()})
+        return pd.DataFrame(rows, columns=["event_type", "regs"])
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, sub in df.groupby("event_type"):
+            merged = hll_merge(
+                [np.frombuffer(b, np.uint8) for b in sub["regs"]])
+            out.append({"event_type": et,
+                        "n_users_est": int(round(hll_estimate(merged)))})
+        return pd.DataFrame(out, columns=["event_type", "n_users_est"])
+
+    est = partition_apply(
+        parts, ["event_type"], QCFG.join_num_partitions, combine
+    ).to_pandas()
+    est["n_users_est"] = est["n_users_est"].astype("int64")
+    return est.sort_values("event_type").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1339,6 +1410,8 @@ RAY_QUERIES = {
     "q44_quality_outliers": q44_quality_outliers,
     "q45_props_rollup": q45_props_rollup,
     "q46_curation": q46_curation,
+    "q47_distinct_users": q47_distinct_users,
+    "q48_distinct_users_hll": q48_distinct_users_hll,
 }
 
 
@@ -1889,5 +1962,9 @@ ORACLE_SQL = {
         JOIN chk c USING (doc_id)
         JOIN dup p USING (doc_id)
         ORDER BY d.doc_id
+    """,
+    "q47_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }

@@ -59,7 +59,7 @@ SQL_CHECKED = [
     "q38_tfidf_topterms", "q39_repetition_filter",
     "q40_event_asof_anchor", "q41_rolling_user_window",
     "q43_chunk_dedup", "q44_quality_outliers", "q45_props_rollup",
-    "q46_curation",
+    "q46_curation", "q47_distinct_users",
 ]
 
 
@@ -77,7 +77,7 @@ def test_sql_checked_query(name, sf_dir, con):
 ROWS_ONLY = [
     "q20_minhash_clusters", "q21_simhash_pairs", "q22_substring_pairs",
     "q23_doc_fingerprints", "q25_lsh_topk", "q29_media_dup_clusters",
-    "q42_semantic_dedup",
+    "q42_semantic_dedup", "q48_distinct_users_hll",
 ]
 
 
