@@ -1367,6 +1367,52 @@ def q48_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     return est.sort_values("event_type").reset_index(drop=True)
 
 
+def q49_funnel(sf_dir: str) -> Dataset:
+    """Funnel / ordered-sequence detection: for every user with a
+    'view', did a 'purchase' follow AT OR AFTER their first view, and
+    how long did conversion take — the product-analytics shape that
+    needs a user's whole event sequence in one place.  Irrelevant
+    event types are pruned per batch BEFORE the one user_id shuffle
+    (only view/purchase rows move); per partition everything is two
+    vectorized groupby-mins.  secs_to_convert is µs-exact divided by
+    1e6 then rounded to 6 dp (both engines divide the same integer,
+    so the float64s are identical); never-converted users carry NaN =
+    oracle NULL (q39 convention)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(["view", "purchase"])]
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("first_view", pa.string()),
+                            ("converted", pa.int64()),
+                            ("secs_to_convert", pa.float64())])
+
+    def funnel(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        v = df[df["event_type"] == "view"].groupby("user_id")["ts"].min()
+        p = df[df["event_type"] == "purchase"][["user_id", "ts"]]
+        p = p.assign(fv=p["user_id"].map(v))
+        p = p[p["ts"] >= p["fv"]]
+        fp = p.groupby("user_id")["ts"].min()
+        fv_us = v.to_numpy().astype("datetime64[us]").astype(np.int64)
+        fp_al = fp.reindex(v.index)
+        fp_us = fp_al.to_numpy().astype("datetime64[us]").astype(np.float64)
+        conv = fp_al.notna().to_numpy()
+        # NaT casts to int64 min, NOT NaN — mask explicitly
+        secs = np.where(conv, np.round((fp_us - fv_us) / 1e6, 6), np.nan)
+        return pa.Table.from_pandas(pd.DataFrame({
+            "user_id": v.index.to_numpy(np.int64),
+            "first_view": v.dt.strftime("%Y-%m-%d %H:%M:%S.%f").to_numpy(),
+            "converted": conv.astype(np.int64),
+            "secs_to_convert": secs,
+        }), schema=out_schema, preserve_index=False)
+
+    pruned = ev.map_batches(prune, batch_format="pandas")
+    return partition_apply(pruned, ["user_id"], QCFG.join_num_partitions,
+                           funnel, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1412,6 +1458,7 @@ RAY_QUERIES = {
     "q46_curation": q46_curation,
     "q47_distinct_users": q47_distinct_users,
     "q48_distinct_users_hll": q48_distinct_users_hll,
+    "q49_funnel": q49_funnel,
 }
 
 
@@ -1966,5 +2013,25 @@ ORACLE_SQL = {
     "q47_distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # epoch(interval) divides the same integer µs on both engines →
+    # identical float64 before the 6-dp round; NULL = never converted
+    "q49_funnel": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS fv
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS fp
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= v.fv
+            GROUP BY e.user_id
+        )
+        SELECT v.user_id,
+               strftime(v.fv, '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+               CAST(CASE WHEN p.fp IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS converted,
+               round(epoch(p.fp - v.fv), 6) AS secs_to_convert
+        FROM v LEFT JOIN p USING (user_id)
+        ORDER BY v.user_id
     """,
 }

@@ -59,7 +59,7 @@ SQL_CHECKED = [
     "q38_tfidf_topterms", "q39_repetition_filter",
     "q40_event_asof_anchor", "q41_rolling_user_window",
     "q43_chunk_dedup", "q44_quality_outliers", "q45_props_rollup",
-    "q46_curation", "q47_distinct_users",
+    "q46_curation", "q47_distinct_users", "q49_funnel",
 ]
 
 

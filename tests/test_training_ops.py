@@ -280,6 +280,36 @@ def test_curation_planted_gates(ray_session, tmp_path):
         check_dtype=False, atol=1e-6)
 
 
+def test_funnel_boundaries(ray_session, tmp_path):
+    """Funnel edges: a purchase exactly AT the first view converts
+    (>=); a purchase BEFORE the first view does not count; a user
+    with purchases but no view is excluded entirely."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q49_funnel
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    ev = pd.DataFrame({
+        "event_id": range(1, 8),
+        "ts": [t0, t0,                          # u1: view + purchase AT t0
+               t0, t0 - pd.Timedelta("1h"),     # u2: purchase BEFORE view
+               t0, t0 + pd.Timedelta("90s"),    # u3: converts in 90 s
+               t0],                             # u4: purchase, never views
+        "user_id": [1, 1, 2, 2, 3, 3, 4],
+        "event_type": ["view", "purchase", "view", "purchase",
+                       "view", "purchase", "purchase"],
+        "value": [1.0] * 7,
+        "props": [""] * 7,
+    })
+    sf = _write_tbl(tmp_path, "events", ev)
+    got = q49_funnel(sf).to_pandas().set_index("user_id").sort_index()
+    assert got.index.tolist() == [1, 2, 3]      # u4 has no view
+    assert got["converted"].tolist() == [1, 0, 1]
+    assert got.loc[1, "secs_to_convert"] == 0.0
+    assert np.isnan(got.loc[2, "secs_to_convert"])
+    assert got.loc[3, "secs_to_convert"] == 90.0
+
+
 def test_asof_anchor_tie_and_boundary(ray_session, tmp_path):
     """Equal-ts anchors resolve to max event_id; an event AT the
     anchor ts matches it (<=); events before any anchor drop."""
