@@ -340,8 +340,28 @@ def q33_decontaminate(sf_dir: str) -> Dataset:
     every distinct shingle, no sampling), so the DuckDB string-shingle
     oracle must match exactly.  Output: (doc_id, contaminated 0/1)
     for every train doc."""
+    return _decontaminate(sf_dir, use_bloom=False)
+
+
+def _decontaminate(sf_dir: str, use_bloom: bool) -> Dataset:
+    """q33 core.  ``use_bloom=True`` broadcasts the test shingle set
+    as a Bloom filter (functions/bloom.py) instead of the exact
+    sorted array — the path for a test set too large to ship exactly.
+    The per-PROBE fpr is 1e-4 (≈19 bits/key, ~3.4x smaller than the
+    exact 64-bit keys): a doc is falsely flagged if ANY of its ~100
+    shingle probes hits, so the doc-level fp rate is ≈ shingles x
+    probe-fpr — size the probe fpr for the probe volume, not 1 %.
+    False positives only OVER-flag (extra docs dropped, never a
+    contaminated doc kept), so the bloom mode is conservative; its
+    flags are pytest-gated as a superset of the exact mode's
+    (test_bloom_decontaminate_superset)."""
     import ray
 
+    from event_deduplication_ray.functions.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_params,
+    )
     from event_deduplication_ray.stages.banding import substring_fp_table
     from event_deduplication_ray.stages.shuffle import cogroup_apply
     from event_deduplication_ray.stages.signatures import signature_stage
@@ -360,13 +380,20 @@ def q33_decontaminate(sf_dir: str) -> Dataset:
     tdf = fps.map_batches(test_side, batch_format="pyarrow").to_pandas()
     test_set = (np.unique(tdf["fp_key"].to_numpy())
                 if len(tdf) else np.empty(0, np.int64))
-    ref = ray.put(np.ascontiguousarray(test_set))
+    if use_bloom:
+        m_bits, k = bloom_params(len(test_set), fpr=1e-4)
+        ref = ray.put(bloom_build(test_set, m_bits, k))
+    else:
+        k = 0
+        ref = ray.put(np.ascontiguousarray(test_set))
 
     def hits(t: pa.Table) -> pa.Table:
         ts = ray.get(ref)          # zero-copy numpy view from plasma
         did = t["doc_id"].to_numpy()
         fp = t["fp_key"].to_numpy()
-        m = (did % 10 != 0) & np.isin(fp, ts)
+        member = (bloom_contains(ts, fp, k) if use_bloom
+                  else np.isin(fp, ts))
+        m = (did % 10 != 0) & member
         return pa.table({"doc_id": pa.array(np.unique(did[m]), pa.int64())})
 
     hit_parts = fps.map_batches(hits, batch_format="pyarrow")

@@ -38,6 +38,27 @@ def test_merge_is_union():
     assert bloom_contains(merged, np.union1d(a, b), k).all()
 
 
+def test_bloom_decontaminate_superset(ray_session, sf_dir):
+    """Bloom-mode decontamination must flag EVERY doc the exact mode
+    flags (no false negatives → nothing contaminated slips through)
+    and may over-flag only within the filter's false-positive budget."""
+    from event_deduplication_ray.pipelines.queries import (
+        _decontaminate,
+        q33_decontaminate,
+    )
+
+    exact = q33_decontaminate(sf_dir).to_pandas().set_index("doc_id")
+    bloom = _decontaminate(sf_dir, use_bloom=True).to_pandas().set_index(
+        "doc_id")
+    assert set(exact.index) == set(bloom.index)
+    e = exact["contaminated"].sort_index()
+    b = bloom["contaminated"].sort_index()
+    assert (b[e == 1] == 1).all()            # superset: never under-flag
+    # doc-level fp ≈ shingles/doc (~100) x probe fpr (1e-4) ≈ 1 %
+    extra = int(((b == 1) & (e == 0)).sum())
+    assert extra <= max(5, int(0.05 * len(e))), extra
+
+
 def test_empty_filter_rejects_everything():
     m, k = bloom_params(100)
     bf = bloom_build(np.empty(0, np.int64), m, k)
