@@ -1235,14 +1235,20 @@ def q45_props_rollup(sf_dir: str) -> pd.DataFrame:
     (flat object, int value; malformed/missing rows → NULL, excluded
     from sum/avg but counted in n_events on both sides)."""
     ds = _read(sf_dir, "events", ["event_type", "props"])
+    partial_schema = pa.schema([
+        ("event_type", pa.string()), ("n_events", pa.int64()),
+        ("n_k", pa.int64()), ("sum_k", pa.float64()),
+    ])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         k = df["props"].str.extract(
             r'"k"\s*:\s*(-?\d+)', expand=False).astype("float64")
         g = pd.DataFrame({"event_type": df["event_type"], "k": k})
         out = g.groupby("event_type", as_index=False).agg(
             n_events=("k", "size"), n_k=("k", "count"), sum_k=("k", "sum"))
-        return out
+        # explicit schema: empty batches must not emit null-typed cols
+        return pa.Table.from_pandas(out, schema=partial_schema,
+                                    preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pandas")
 
@@ -1368,13 +1374,17 @@ def q48_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     )
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    sketch_schema = pa.schema([("event_type", pa.string()),
+                               ("regs", pa.binary())])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         rows = []
         for et, sub in df.groupby("event_type"):      # few groups
             regs = hll_partial(sub["user_id"].to_numpy(np.int64))
             rows.append({"event_type": et, "regs": regs.tobytes()})
-        return pd.DataFrame(rows, columns=["event_type", "regs"])
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["event_type", "regs"]),
+            schema=sketch_schema, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pandas")
 
