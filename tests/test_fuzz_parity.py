@@ -1,0 +1,79 @@
+"""Differential fuzzing: randomized documents tables run through the
+documents-only operators on BOTH engines (Ray impl vs DuckDB oracle),
+compared the same way the driver compares.  Planted structure per
+seed: exact-dup docs, shared 10-token runs (chunk-boundary material),
+single-token docs, heavy repetition, and 9/10/11-token lengths that
+straddle the q43 chunk width.
+
+Every doc carries >= 1 token: the q39 contract for token-less docs is
+NULL fracs (documented, planted-tested elsewhere) and the driver
+corpus has none, so the fuzz domain matches the oracle contract.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
+          "q39_repetition_filter", "q43_chunk_dedup",
+          "q44_quality_outliers", "q46_curation"]
+
+VOCAB = [f"t{i}" for i in range(40)]
+
+
+def _corpus(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    texts, n = [], int(rng.integers(30, 70))
+    for _ in range(n):
+        ln = int(rng.integers(1, 60))
+        texts.append(" ".join(rng.choice(VOCAB, ln)))
+    # chunk-width straddlers
+    for ln in (9, 10, 11, 1):
+        texts.append(" ".join(rng.choice(VOCAB, ln)))
+    # exact dups + shared 10-token run grafted into two hosts
+    texts.append(texts[0])
+    run = " ".join(rng.choice(VOCAB, 10))
+    texts.append(run + " " + " ".join(rng.choice(VOCAB, 7)))
+    texts.append(" ".join(rng.choice(VOCAB, 13)) + " " + run)
+    texts.append("loop " * int(rng.integers(5, 30)) + "loop")  # repetitive
+    return pd.DataFrame({
+        "doc_id": np.arange(1, len(texts) + 1, dtype=np.int64),
+        "lang": rng.choice(["en", "de", "fr"], len(texts)),
+        "text": texts,
+    })
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]) or \
+                pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+@pytest.mark.parametrize("name", FUZZED)
+def test_fuzz_parity(name, seed, ray_session, tmp_path):
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        RAY_QUERIES,
+    )
+
+    docs = _corpus(seed * 1000 + sum(map(ord, name)) % 997)  # stable seed
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = RAY_QUERIES[name](str(tmp_path))
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = con.execute(ORACLE_SQL[name]).fetchdf()
+    a, b = _canon(got), _canon(want)
+    assert len(a) == len(b), f"{name} seed={seed}: rows {len(a)} vs {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
