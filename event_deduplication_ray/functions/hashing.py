@@ -235,3 +235,24 @@ def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized popcount of XOR for uint64 arrays."""
     x = (a ^ b).view(np.uint64)
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+def sample_hash32(keys: np.ndarray) -> np.ndarray:
+    """SQL-expressible 32-bit key hash for deterministic Bernoulli
+    sampling: fold an int64 key to 32 bits, then the murmur3 fmix32
+    finalizer (two odd-constant multiplies + xorshifts), all mod 2**32.
+
+    Every step is exact integer arithmetic reproducible in ANSI SQL
+    (xor / integer division / HUGEINT multiply mod 4294967296) — see
+    the q51 oracle — so a sample drawn by this engine and one drawn by
+    a SQL warehouse select the SAME rows.  Uniformity is the fmix32
+    avalanche; keys are consumed as unsigned."""
+    x = np.asarray(keys).astype(np.int64).view(U64)
+    m32 = U64(0xFFFFFFFF)
+    v = (x ^ (x >> U64(32))) & m32
+    with np.errstate(over="ignore"):
+        v = (v * U64(2246822507)) & m32
+        v ^= v >> U64(13)
+        v = (v * U64(3266489909)) & m32
+        v ^= v >> U64(16)
+    return v

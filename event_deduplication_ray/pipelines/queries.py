@@ -1450,6 +1450,176 @@ def q49_funnel(sf_dir: str) -> Dataset:
                            funnel, batch_format="pyarrow")
 
 
+def q50_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3-style shipping priority: the big-big fact⋈fact join
+    (orders ⋈ lineitem) as a hash-partitioned cogroup — neither fact
+    is broadcast or collected.  customer IS a dim, so its segment
+    custkeys ship once in the task closure; lineitem pre-aggregates
+    revenue per orderkey inside the split wave (combiner) so only one
+    row per (orderkey, batch) shuffles; top-10 is per-partition
+    top-10 → driver merge of P×10 rows.  Reference analog: the
+    dashboard join aggregates (SURVEY §2.8 Q5)."""
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    cut = pd.Timestamp("1998-01-01")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg = np.unique(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+        ["c_custkey"].to_numpy())
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
+        t = t.filter(pa.array(np.isin(t["o_custkey"].to_numpy(), seg)))
+        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    ofil = orders.map_batches(ofilt, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        ok = t["l_orderkey"].to_numpy()
+        rev = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(uk))
+        np.add.at(s, inv, rev)
+        return pa.table({"l_orderkey": uk, "rev": s})
+
+    li_sh = shuffle_to(li, ["l_orderkey"], QCFG.join_num_partitions,
+                       pre_fn=lpart)
+
+    empty = {"l_orderkey": pd.Series(dtype="int64"),
+             "revenue": pd.Series(dtype="float64"),
+             "o_orderdate": pd.Series(dtype="object"),
+             "o_orderpriority": pd.Series(dtype="object")}
+
+    def join10(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(empty)
+        agg = r.groupby("l_orderkey", as_index=False)["rev"].sum()
+        m = l.merge(agg, left_on="o_orderkey", right_on="l_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        m["revenue"] = m["rev"].round(2)
+        m["o_orderdate"] = m["o_orderdate"].dt.strftime("%Y-%m-%d")
+        m = m.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(10)
+        return m[list(empty)]
+
+    df = cogroup_apply(ofil, li_sh, ["o_orderkey"], ["l_orderkey"],
+                       QCFG.join_num_partitions, join10).to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame(empty)
+    return (df.sort_values(["revenue", "l_orderkey"],
+                           ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def q51_doc_sample(sf_dir: str) -> Dataset:
+    """Deterministic hash-Bernoulli sample (~10 %): keep rows where
+    fmix32(doc_id) < 0.1·2³² — no RNG state, no coordination, stable
+    under re-runs/resume and refreshable per partition, the sampling
+    primitive a 100 TB curation pipeline uses for eval subsets.  The
+    hash is exact-integer SQL-expressible (see the oracle), so the
+    engine and a warehouse select the SAME rows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    thresh = 429496729  # floor(0.1 * 2**32)
+
+    def f(t: pa.Table) -> pa.Table:
+        h = H.sample_hash32(t["doc_id"].to_numpy())
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q52_lang_source_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(lang, source): the leaf (lang, source) level is
+    the only distributed pass (per-batch partial → one combine); the
+    lang subtotals and grand total are derived from the leaf table on
+    the driver — at 100 TB the leaf is #langs × #sources rows, so the
+    rollup levels are free.  NULL marks a rolled-up column (SQL
+    ROLLUP convention)."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    leaf = grouped_aggregate(ds, ["lang", "source"],
+                             [("n_docs", "count", "n_chars"),
+                              ("sum_chars", "sum", "n_chars")])
+    lang = leaf.groupby("lang", as_index=False)[["n_docs", "sum_chars"]].sum()
+    lang["source"] = None
+    total = pd.DataFrame({"lang": [None], "source": [None],
+                          "n_docs": [leaf["n_docs"].sum()],
+                          "sum_chars": [leaf["sum_chars"].sum()]})
+    out = pd.concat([leaf, lang, total], ignore_index=True)[
+        ["lang", "source", "n_docs", "sum_chars"]]
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q53_big_spenders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18-style groupby-HAVING on the big fact, then join back:
+    lineitem pre-aggregates quantity per orderkey per batch
+    (combiner), ONE hash shuffle combines and applies HAVING
+    sum_qty > 170 per partition, and the survivors stream — still
+    partitioned by orderkey — into a cogroup with orders (no driver
+    collect of the qualifying set).  customer is the broadcast dim
+    for c_name.  l_quantity is integral, so the float sums and the
+    HAVING cut are exact on both engines."""
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    name_by_key = cust.set_index("c_custkey")["c_name"]
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qpart(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(uk))
+        np.add.at(s, inv, t["l_quantity"].to_numpy())
+        return pa.table({"l_orderkey": uk, "qty": s})
+
+    li_sh = shuffle_to(li, ["l_orderkey"], QCFG.join_num_partitions,
+                       pre_fn=qpart)
+
+    empty = {"c_name": pd.Series(dtype="object"),
+             "c_custkey": pd.Series(dtype="int64"),
+             "o_orderkey": pd.Series(dtype="int64"),
+             "o_orderdate": pd.Series(dtype="object"),
+             "o_totalprice": pd.Series(dtype="float64"),
+             "sum_qty": pd.Series(dtype="float64")}
+
+    def big(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(empty)
+        agg = r.groupby("l_orderkey", as_index=False)["qty"].sum()
+        agg = agg[agg["qty"] > 170.0]
+        m = l.merge(agg, left_on="o_orderkey", right_on="l_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        m["c_name"] = m["o_custkey"].map(name_by_key)
+        m["c_custkey"] = m["o_custkey"]
+        m["o_orderdate"] = m["o_orderdate"].dt.strftime("%Y-%m-%d")
+        m["sum_qty"] = m["qty"].round(2)
+        return m[list(empty)]
+
+    df = cogroup_apply(orders, li_sh, ["o_orderkey"], ["l_orderkey"],
+                       QCFG.join_num_partitions, big).to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame(empty)
+    return (df.sort_values(["sum_qty", "o_orderkey"],
+                           ascending=[False, True]).reset_index(drop=True))
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1496,6 +1666,10 @@ RAY_QUERIES = {
     "q47_distinct_users": q47_distinct_users,
     "q48_distinct_users_hll": q48_distinct_users_hll,
     "q49_funnel": q49_funnel,
+    "q50_shipping_priority": q50_shipping_priority,
+    "q51_doc_sample": q51_doc_sample,
+    "q52_lang_source_rollup": q52_lang_source_rollup,
+    "q53_big_spenders": q53_big_spenders,
 }
 
 
@@ -2070,5 +2244,57 @@ ORACLE_SQL = {
                round(epoch(p.fp - v.fv), 6) AS secs_to_convert
         FROM v LEFT JOIN p USING (user_id)
         ORDER BY v.user_id
+    """,
+    "q50_shipping_priority": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1998-01-01'
+          AND l_shipdate  > DATE '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    # fmix32 finalizer in exact integer SQL: xor = xor(), >> k = // 2**k,
+    # 32-bit multiply via HUGEINT then % 2**32 (fits INT128, no overflow)
+    "q51_doc_sample": """
+        WITH f0 AS (
+            SELECT doc_id, lang, n_chars,
+                   xor(doc_id, doc_id // 4294967296) % 4294967296 AS v
+            FROM documents
+        ),
+        f1 AS (SELECT *, ((v::HUGEINT * 2246822507) % 4294967296)::BIGINT
+                          AS v1 FROM f0),
+        f2 AS (SELECT *, xor(v1, v1 // 8192)  AS v2 FROM f1),
+        f3 AS (SELECT *, ((v2::HUGEINT * 3266489909) % 4294967296)::BIGINT
+                          AS v3 FROM f2),
+        f4 AS (SELECT *, xor(v3, v3 // 65536) AS h  FROM f3)
+        SELECT doc_id, lang, n_chars FROM f4
+        WHERE h < 429496729
+        ORDER BY doc_id
+    """,
+    "q52_lang_source_rollup": """
+        SELECT lang, source,
+               count(*)              AS n_docs,
+               sum(n_chars)::BIGINT  AS sum_chars
+        FROM documents
+        GROUP BY ROLLUP(lang, source)
+    """,
+    "q53_big_spenders": """
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        HAVING sum(l_quantity) > 170
+        ORDER BY sum_qty DESC, o_orderkey
     """,
 }

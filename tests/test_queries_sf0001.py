@@ -60,6 +60,8 @@ SQL_CHECKED = [
     "q40_event_asof_anchor", "q41_rolling_user_window",
     "q43_chunk_dedup", "q44_quality_outliers", "q45_props_rollup",
     "q46_curation", "q47_distinct_users", "q49_funnel",
+    "q50_shipping_priority", "q51_doc_sample", "q52_lang_source_rollup",
+    "q53_big_spenders",
 ]
 
 
