@@ -1620,6 +1620,90 @@ def q53_big_spenders(sf_dir: str) -> pd.DataFrame:
                            ascending=[False, True]).reset_index(drop=True))
 
 
+def q54_neardup_decontaminate(sf_dir: str) -> Dataset:
+    """Near-dup train/test decontamination: flag every TRAIN doc whose
+    MinHash-estimated Jaccard against ANY TEST doc (test = doc_id %
+    10 == 0, q33's held-out stand-in) reaches ``jaccard_match`` —
+    catches lightly-edited / paraphrased benchmark leaks whose
+    similarity survives at the set level even where q33's exact
+    5-gram overlap is diluted.
+
+    Scale shape: the test side is the genuinely small one (benchmark
+    suites vs a 100 TB corpus), so its band-key → sig8-row index is
+    built once and broadcast via ``ray.put``; the train side STREAMS —
+    per batch, band membership is a searchsorted against the
+    broadcast sorted key array, candidate (train, test) pairs dedupe
+    locally, and the folded-signature Jaccard estimator (the flagship
+    verify scorer, ``hashing.signature_jaccard`` semantics on sig8)
+    decides the flag.  Zero shuffles beyond the signature pass.
+    rows-only (MinHash is hash-seeded); gated by the planted-leak
+    pytest (test_training_ops.py)."""
+    import ray
+
+    from event_deduplication_ray.stages.signatures import signature_stage
+    from event_deduplication_ray.stages.verify import _fsl_matrix
+
+    cfg = QCFG
+    n_bands, n_perms = cfg.lsh_bands, cfg.num_perms
+    sigs = signature_stage(_docs_from_documents(sf_dir), cfg)
+
+    def test_rows(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        return t.filter(pa.array(did % 10 == 0)).select(
+            ["doc_id", "band_keys", "sig8"])
+
+    t_parts = [ray.get(r) for r in
+               sigs.map_batches(test_rows, batch_format="pyarrow")
+               .to_arrow_refs()]
+    t_parts = [p for p in t_parts if p.num_rows]
+    if t_parts:
+        ttab = pa.concat_tables(t_parts)
+        n_test = ttab.num_rows
+        tkeys = _fsl_matrix(ttab["band_keys"], n_bands).reshape(-1)
+        trow = np.repeat(np.arange(n_test, dtype=np.int64), n_bands)
+        order = np.argsort(tkeys, kind="stable")
+        index = (tkeys[order], trow[order],
+                 np.ascontiguousarray(_fsl_matrix(ttab["sig8"], n_perms)))
+    else:
+        index = (np.empty(0, np.int64), np.empty(0, np.int64),
+                 np.empty((0, n_perms), np.uint8))
+    idx_ref = ray.put(index)
+    thresh = cfg.jaccard_match
+
+    def flag_batch(t: pa.Table) -> pa.Table:
+        keys_s, rows_s, tsig = ray.get(idx_ref)
+        did_all = t["doc_id"].to_numpy()
+        tt = t.filter(pa.array(did_all % 10 != 0))
+        did = tt["doc_id"].to_numpy()
+        n = len(did)
+        flags = np.zeros(n, dtype=np.int64)
+        out = lambda: pa.table({"doc_id": pa.array(did, pa.int64()),  # noqa: E731
+                                "contaminated": pa.array(flags)})
+        if n == 0 or len(keys_s) == 0:
+            return out()
+        bk = _fsl_matrix(tt["band_keys"], n_bands).reshape(-1)
+        lo = np.searchsorted(keys_s, bk, side="left")
+        cnt = np.searchsorted(keys_s, bk, side="right") - lo
+        hit = cnt > 0
+        if not hit.any():
+            return out()
+        tr_pos = np.repeat(np.arange(n, dtype=np.int64), n_bands)[hit]
+        starts, counts = lo[hit], cnt[hit]
+        total = int(counts.sum())
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        flat_idx = (np.arange(total, dtype=np.int64)
+                    - np.repeat(offs, counts) + np.repeat(starts, counts))
+        pair = np.repeat(tr_pos, counts) * len(tsig) + rows_s[flat_idx]
+        upair = np.unique(pair)
+        ptr, pte = upair // len(tsig), upair % len(tsig)
+        sig_tr = _fsl_matrix(tt["sig8"], n_perms)[ptr]
+        sim = (sig_tr == tsig[pte]).mean(axis=1)
+        flags[ptr[sim >= thresh]] = 1
+        return out()
+
+    return sigs.map_batches(flag_batch, batch_format="pyarrow")
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1670,6 +1754,7 @@ RAY_QUERIES = {
     "q51_doc_sample": q51_doc_sample,
     "q52_lang_source_rollup": q52_lang_source_rollup,
     "q53_big_spenders": q53_big_spenders,
+    "q54_neardup_decontaminate": q54_neardup_decontaminate,
 }
 
 

@@ -363,3 +363,42 @@ def test_rolling_window_boundary_and_peers(ray_session, tmp_path):
     # one µs later: boundary row 1 falls out of the frame
     assert got.loc[4, "n_7d"] == 3 and got.loc[4, "sum_7d"] == 1110.0
     assert got.loc[5, "n_7d"] == 1 and got.loc[5, "sum_7d"] == 5.0
+
+
+def test_neardup_decontaminate_planted(ray_session, tmp_path):
+    """q54: plant an exact copy and a one-token-edit near-dup of a
+    TEST doc (doc_id % 10 == 0) into the train side → both flagged;
+    an unrelated doc, a heavy rewrite (true Jaccard ≪ 0.75) and an
+    empty doc stay clean.  Every train doc gets exactly one row."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q54_neardup_decontaminate,
+    )
+
+    rng = np.random.default_rng(7)
+    words = [f"tok{i}" for i in range(400)]
+    base = list(rng.choice(words, size=120))
+    near = list(base)
+    near[60] = "EDITED"                     # 1/120 tokens → J ≈ 0.92
+    heavy = list(base)
+    heavy[::2] = rng.choice(words, size=len(heavy[::2]))   # ~50 % rewrite
+    other = list(rng.choice(words, size=120))
+    test2 = list(rng.choice(words, size=120))
+
+    docs = pd.DataFrame({
+        "doc_id": [10, 20, 11, 12, 13, 14, 21],
+        "text": [" ".join(base), " ".join(test2),      # test side
+                 " ".join(near), " ".join(other),
+                 " ".join(base), "", " ".join(heavy)],  # train side
+        "lang": ["en"] * 7,
+    })
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = (q54_neardup_decontaminate(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [11, 12, 13, 14, 21]
+    flags = dict(zip(got["doc_id"], got["contaminated"]))
+    assert flags[11] == 1, "one-token near-dup of a test doc must flag"
+    assert flags[13] == 1, "exact copy of a test doc must flag"
+    assert flags[12] == 0 and flags[21] == 0 and flags[14] == 0
