@@ -1704,6 +1704,233 @@ def q54_neardup_decontaminate(sf_dir: str) -> Dataset:
     return sigs.map_batches(flag_batch, batch_format="pyarrow")
 
 
+def q55_regional_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-style multi-way join: revenue per nation for one
+    region/year where the order's customer and the line's supplier
+    share a nation.  Scale shape: region / nation / customer /
+    supplier are DIMS — their key→nation maps ship once in the task
+    closures; the only big-big exchange is orders ⋈ lineitem, the
+    same hash-partitioned orderkey cogroup as q50.  lineitem
+    pre-aggregates revenue per (orderkey, supp_nation) inside the
+    split wave, the cogroup keeps cust_nation == supp_nation rows,
+    and only #nations-row partials per partition reach the driver.
+    Reference analog: dashboard join aggregates (SURVEY §2.8 Q5)."""
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    in_region = nation[nation["n_regionkey"] == rkey]
+    name_by_nk = in_region.set_index("n_nationkey")["n_name"]
+
+    def _key_to_nation(tab: pa.Table, key: str, nk: str):
+        df = tab.to_pandas()
+        df = df[df[nk].isin(name_by_nk.index)]
+        keys = df[key].to_numpy(np.int64)
+        order = np.argsort(keys)
+        return keys[order], df[nk].to_numpy(np.int64)[order]
+
+    ck, cn = _key_to_nation(
+        pq.read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey")
+    sk, sn = _key_to_nation(
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey")
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                             pc.less(t["o_orderdate"], pa.scalar(hi))))
+        keys = t["o_custkey"].to_numpy()
+        pos = np.searchsorted(ck, keys)
+        pos = np.minimum(pos, max(len(ck) - 1, 0))
+        hit = (len(ck) > 0) & (ck[pos] == keys) if len(ck) else np.zeros(len(keys), bool)
+        t = t.filter(pa.array(hit))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "cust_nation": pa.array(cn[pos[hit]] if len(ck)
+                                                 else np.empty(0, np.int64))})
+
+    ofil = orders.map_batches(ofilt, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        keys = t["l_suppkey"].to_numpy()
+        pos = np.searchsorted(sk, keys)
+        pos = np.minimum(pos, max(len(sk) - 1, 0))
+        hit = (len(sk) > 0) & (sk[pos] == keys) if len(sk) else np.zeros(len(keys), bool)
+        t = t.filter(pa.array(hit))
+        ok = t["l_orderkey"].to_numpy()
+        nk = sn[pos[hit]]
+        rev = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        comb = ok * 32 + nk  # nationkey < 25 fits 5 bits
+        uk, inv = np.unique(comb, return_inverse=True)
+        s = np.zeros(len(uk))
+        np.add.at(s, inv, rev)
+        return pa.table({"l_orderkey": uk // 32, "supp_nation": uk % 32,
+                         "rev": s})
+
+    li_sh = shuffle_to(li, ["l_orderkey"], QCFG.join_num_partitions,
+                       pre_fn=lpart)
+
+    def npart(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"nk": pd.Series(dtype="int64"),
+                                 "rev": pd.Series(dtype="float64")})
+        m = l.merge(r, left_on=["o_orderkey", "cust_nation"],
+                    right_on=["l_orderkey", "supp_nation"])
+        g = m.groupby("cust_nation", as_index=False)["rev"].sum()
+        return g.rename(columns={"cust_nation": "nk"})
+
+    parts = cogroup_apply(ofil, li_sh, ["o_orderkey"], ["l_orderkey"],
+                          QCFG.join_num_partitions, npart).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "revenue": pd.Series(dtype="float64")})
+    tot = parts.groupby("nk", as_index=False)["rev"].sum()
+    tot["n_name"] = tot["nk"].map(name_by_nk)
+    tot["revenue"] = tot["rev"].round(2)
+    return (tot[["n_name", "revenue"]]
+            .sort_values(["revenue", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def q56_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/val/test split assignment —
+    fmix32(doc_id) range → split label, no RNG state, stable under
+    re-runs and refreshable per shard (the split primitive a training
+    corpus uses so every pipeline stage agrees on membership).  The
+    per-(split, lang) counts are a per-batch partial → tiny driver
+    combine; the hash is exact-integer SQL-expressible, so engine and
+    warehouse assign the SAME rows."""
+    T_TRAIN = 3435973836  # floor(0.8 * 2**32)
+    T_VAL = 3865470566    # floor(0.9 * 2**32)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = H.sample_hash32(t["doc_id"].to_numpy())
+        split = np.where(h < T_TRAIN, "train",
+                         np.where(h < T_VAL, "val", "test"))
+        return pa.table({"split": pa.array(split), "lang": t["lang"],
+                         "doc_id": t["doc_id"]})
+
+    out = grouped_aggregate(ds.map_batches(assign, batch_format="pyarrow"),
+                            ["split", "lang"],
+                            [("n_docs", "count", "doc_id")])
+    return (out.sort_values(["split", "lang"]).reset_index(drop=True))
+
+
+def q57_len_token_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-lang Pearson correlation between stored length and token
+    count — the distributed MERGEABLE-moments pattern: each batch
+    emits (lang, n, mean_x, mean_y, M2x, M2y, Cxy) centered partials
+    and the driver folds them with the Chan/Welford pairwise-merge
+    update, so the result is numerically stable (no raw Σx² blowup)
+    and exact regardless of batch order.  The shuffle carries one row
+    per (lang, batch)."""
+    ds = _read(sf_dir, "documents", ["text", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pandas(),
+            "x": t["n_chars"].to_numpy().astype(np.float64),
+            "y": TS.token_counts(t["text"].to_pandas()).astype(np.float64),
+        })
+        rows = []
+        for lang, g in df.groupby("lang"):
+            x, y = g["x"].to_numpy(), g["y"].to_numpy()
+            mx, my = x.mean(), y.mean()
+            rows.append((lang, len(g), mx, my,
+                         ((x - mx) ** 2).sum(), ((y - my) ** 2).sum(),
+                         ((x - mx) * (y - my)).sum()))
+        return pa.table(dict(zip(
+            ["lang", "n", "mean_x", "mean_y", "m2x", "m2y", "cxy"],
+            map(list, zip(*rows)) if rows else [[]] * 7)))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for lang, g in parts.groupby("lang"):
+        n, mx, my, m2x, m2y, cxy = 0.0, 0.0, 0.0, 0.0, 0.0, 0.0
+        for r in g.itertuples(index=False):
+            nn = n + r.n
+            dx, dy = r.mean_x - mx, r.mean_y - my
+            m2x += r.m2x + dx * dx * n * r.n / nn
+            m2y += r.m2y + dy * dy * n * r.n / nn
+            cxy += r.cxy + dx * dy * n * r.n / nn
+            mx += dx * r.n / nn
+            my += dy * r.n / nn
+            n = nn
+        denom = np.sqrt(m2x * m2y)
+        corr = cxy / denom if denom > 0 else np.nan
+        out.append((lang, int(n), round(corr, 6)))
+    return (pd.DataFrame(out, columns=["lang", "n_docs", "corr_len_tokens"])
+            .sort_values("lang").reset_index(drop=True))
+
+
+def q58_first_events(sf_dir: str) -> pd.DataFrame:
+    """Keep-first dedup: the earliest event per (user_id, event_type)
+    with a deterministic event_id tie-break — the 'first occurrence
+    wins' policy of event/log dedup.  Per-batch argmin partial keeps
+    one candidate row per (user, type) per batch, so ONE user_id
+    shuffle carries at most #groups × #batches rows; the partition
+    pass takes the final argmin.  Reference analog: idempotency-key
+    dedup on ingest (SURVEY §2.1 S2)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    keys = ["user_id", "event_type"]
+    order = keys + ["ts", "event_id"]
+
+    def first_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order).groupby(keys, as_index=False).head(1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(first_rows(t.to_pandas()),
+                                    preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = first_rows(df)
+        df["ts"] = df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return df[["user_id", "event_type", "event_id", "ts"]]
+
+    out = partition_apply(ds, ["user_id"], QCFG.join_num_partitions,
+                          final, pre_fn=partial).to_pandas()
+    return out.sort_values(keys).reset_index(drop=True)
+
+
+def q59_normalized_dedup(sf_dir: str) -> Dataset:
+    """C4-style normalized exact dedup: dedup AFTER case-folding,
+    punctuation-strip, and whitespace-collapse — catches trivially
+    reformatted web-text copies that byte-exact dedup (q10) misses.
+    Same scale shape as q10: the normalization + hash + partial group
+    run per batch, so ONE hash shuffle carries only the compact
+    (hash, min_id, count) table.  The ASCII-explicit character class
+    keeps the Python-re and DuckDB-RE2 normalizations identical."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (df["text"].fillna("").str.lower()
+                .str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip())
+        df = df.assign(text_hash=H.hash_strings_u64(norm).astype(np.int64))
+        return df.groupby("text_hash", as_index=False).agg(
+            rep_doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text_hash", as_index=False).agg(
+            rep_doc_id=("rep_doc_id", "min"), n_copies=("n_copies", "sum"))
+        return g[["rep_doc_id", "n_copies"]]
+
+    return partition_apply(parts, ["text_hash"], QCFG.join_num_partitions,
+                           combine)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1755,6 +1982,11 @@ RAY_QUERIES = {
     "q52_lang_source_rollup": q52_lang_source_rollup,
     "q53_big_spenders": q53_big_spenders,
     "q54_neardup_decontaminate": q54_neardup_decontaminate,
+    "q55_regional_revenue": q55_regional_revenue,
+    "q56_split_assign": q56_split_assign,
+    "q57_len_token_corr": q57_len_token_corr,
+    "q58_first_events": q58_first_events,
+    "q59_normalized_dedup": q59_normalized_dedup,
 }
 
 
@@ -2381,5 +2613,65 @@ ORACLE_SQL = {
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         HAVING sum(l_quantity) > 170
         ORDER BY sum_qty DESC, o_orderkey
+    """,
+    "q55_regional_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+                     AND c_nationkey = s_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1997-01-01'
+          AND o_orderdate <  DATE '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    # same fmix32 chain as q51; CASE ranges are floor(0.8|0.9 * 2**32)
+    "q56_split_assign": """
+        WITH f0 AS (
+            SELECT doc_id, lang,
+                   xor(doc_id, doc_id // 4294967296) % 4294967296 AS v
+            FROM documents
+        ),
+        f1 AS (SELECT *, ((v::HUGEINT * 2246822507) % 4294967296)::BIGINT
+                          AS v1 FROM f0),
+        f2 AS (SELECT *, xor(v1, v1 // 8192)  AS v2 FROM f1),
+        f3 AS (SELECT *, ((v2::HUGEINT * 3266489909) % 4294967296)::BIGINT
+                          AS v3 FROM f2),
+        f4 AS (SELECT *, xor(v3, v3 // 65536) AS h  FROM f3)
+        SELECT CASE WHEN h < 3435973836 THEN 'train'
+                    WHEN h < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs
+        FROM f4
+        GROUP BY 1, 2
+        ORDER BY split, lang
+    """,
+    "q57_len_token_corr": """
+        SELECT lang, count(*) AS n_docs,
+               round(corr(n_chars,
+                          len(regexp_extract_all(text, '\\S+'))), 6)
+                   AS corr_len_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "q58_first_events": """
+        SELECT user_id, event_type, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) = 1
+        ORDER BY user_id, event_type
+    """,
+    "q59_normalized_dedup": """
+        SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        ORDER BY rep_doc_id
     """,
 }

@@ -61,7 +61,8 @@ SQL_CHECKED = [
     "q43_chunk_dedup", "q44_quality_outliers", "q45_props_rollup",
     "q46_curation", "q47_distinct_users", "q49_funnel",
     "q50_shipping_priority", "q51_doc_sample", "q52_lang_source_rollup",
-    "q53_big_spenders",
+    "q53_big_spenders", "q55_regional_revenue", "q56_split_assign",
+    "q57_len_token_corr", "q58_first_events", "q59_normalized_dedup",
 ]
 
 

@@ -402,3 +402,45 @@ def test_neardup_decontaminate_planted(ray_session, tmp_path):
     assert flags[11] == 1, "one-token near-dup of a test doc must flag"
     assert flags[13] == 1, "exact copy of a test doc must flag"
     assert flags[12] == 0 and flags[21] == 0 and flags[14] == 0
+
+
+def test_normalized_dedup_planted(ray_session, tmp_path):
+    """The driver corpus has no normalized duplicates, so the q59
+    oracle parity is trivially green — plant reformatted copies here:
+    case/punct/whitespace variants collapse to one group, a real
+    content change does not."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q59_normalized_dedup
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [5, 2, 3, 4, 1],
+        "text": ["Hello, World!", "hello   world", "HELLO-WORLD",
+                 "hello worlds",            # real difference survives
+                 "  hello world  "],
+    }))
+    got = (q59_normalized_dedup(sf).to_pandas()
+           .sort_values("rep_doc_id").reset_index(drop=True))
+    assert got["rep_doc_id"].tolist() == [1, 4]
+    assert dict(zip(got["rep_doc_id"], got["n_copies"])) == {1: 4, 4: 1}
+
+
+def test_first_events_tie_break(ray_session, tmp_path):
+    """Equal-timestamp events must resolve by smallest event_id, and
+    the per-batch partial must not lose the cross-batch minimum (two
+    rows far apart in doc order share a key)."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q58_first_events
+
+    ts = pd.Timestamp("2024-01-05 12:00:00")
+    ev = pd.DataFrame({
+        "event_id": [9, 3, 7, 1],
+        "ts": [ts, ts, ts - pd.Timedelta("1h"), ts + pd.Timedelta("1h")],
+        "user_id": [1, 1, 2, 2],
+        "event_type": ["view", "view", "click", "click"],
+    })
+    sf = _write_tbl(tmp_path, "events", ev)
+    got = q58_first_events(sf)
+    assert got["event_id"].tolist() == [3, 7]
+    assert got["ts"].iloc[0] == "2024-01-05 12:00:00.000000"
