@@ -1931,6 +1931,55 @@ def q59_normalized_dedup(sf_dir: str) -> Dataset:
                            combine)
 
 
+def q60_gap_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Inter-event-gap quantiles per event type: the lag-window +
+    exact-histogram composition.  ONE user_id shuffle orders each
+    user's events and emits per-partition (event_type, gap_s) VALUE
+    COUNTS (gap attributed to the later event; floor seconds computed
+    in exact integer µs so Ray and SQL agree); a second tiny shuffle
+    on event_type combines histograms and reads the quantiles off the
+    cumulative counts (q34's percentile_disc machinery).  The second
+    shuffle carries one row per distinct (type, gap) per partition,
+    never one per event."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        same = np.zeros(len(df), bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = np.zeros(len(df), np.int64)
+        gap[1:] = us[1:] - us[:-1]
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "gap_s": gap // 1_000_000})[same]
+        out = g.groupby(["event_type", "gap_s"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = partition_apply(ds, ["user_id"], QCFG.join_num_partitions, gaps)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "gap_s"], as_index=False)["n"].sum()
+        rows = []
+        for et, sub in g.groupby("event_type"):
+            sub = sub.sort_values("gap_s")
+            vals = sub["gap_s"].to_numpy()
+            cum = np.cumsum(sub["n"].to_numpy())
+            total = int(cum[-1])
+            row = {"event_type": et}
+            for name, num, den in _QUANTILES:
+                k = (num * total + den - 1) // den
+                row[name] = int(vals[np.searchsorted(cum, max(k, 1))])
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    out = partition_apply(parts, ["event_type"], QCFG.join_num_partitions,
+                          combine).to_pandas()
+    for c in ("p50", "p90", "p99"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1987,6 +2036,7 @@ RAY_QUERIES = {
     "q57_len_token_corr": q57_len_token_corr,
     "q58_first_events": q58_first_events,
     "q59_normalized_dedup": q59_normalized_dedup,
+    "q60_gap_quantiles": q60_gap_quantiles,
 }
 
 
@@ -2673,5 +2723,22 @@ ORACLE_SQL = {
         FROM documents
         GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
         ORDER BY rep_doc_id
+    """,
+    "q60_gap_quantiles": """
+        WITH g AS (
+            SELECT event_type,
+                   (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000
+                       AS gap_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            QUALIFY lag(ts) OVER w IS NOT NULL
+        )
+        SELECT event_type,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY gap_s) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY gap_s) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY gap_s) AS p99
+        FROM g
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }
