@@ -1415,10 +1415,15 @@ def q49_funnel(sf_dir: str) -> Dataset:
     1e6 then rounded to 6 dp (both engines divide the same integer,
     so the float64s are identical); never-converted users carry NaN =
     oracle NULL (q39 convention)."""
+    import pyarrow.compute as pc
+
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
-    def prune(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["event_type"].isin(["view", "purchase"])]
+    # Arrow filter, not pandas: a zero-row pandas block with an object
+    # column breaks Ray's block-size estimation (np.vectorize on size-0)
+    def prune(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"],
+                                 value_set=pa.array(["view", "purchase"])))
 
     out_schema = pa.schema([("user_id", pa.int64()),
                             ("first_view", pa.string()),
@@ -1445,7 +1450,7 @@ def q49_funnel(sf_dir: str) -> Dataset:
             "secs_to_convert": secs,
         }), schema=out_schema, preserve_index=False)
 
-    pruned = ev.map_batches(prune, batch_format="pandas")
+    pruned = ev.map_batches(prune, batch_format="pyarrow")
     return partition_apply(pruned, ["user_id"], QCFG.join_num_partitions,
                            funnel, batch_format="pyarrow")
 

@@ -19,7 +19,9 @@ import pytest
 
 FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q39_repetition_filter", "q43_chunk_dedup",
-          "q44_quality_outliers", "q46_curation"]
+          "q44_quality_outliers", "q46_curation",
+          "q56_split_assign", "q57_len_token_corr",
+          "q59_normalized_dedup"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 
@@ -39,10 +41,13 @@ def _corpus(seed: int) -> pd.DataFrame:
     texts.append(run + " " + " ".join(rng.choice(VOCAB, 7)))
     texts.append(" ".join(rng.choice(VOCAB, 13)) + " " + run)
     texts.append("loop " * int(rng.integers(5, 30)) + "loop")  # repetitive
+    # reformatted copy: q59 must collapse case/punct variants
+    texts.append(texts[1].upper().replace(" ", ",  "))
     return pd.DataFrame({
         "doc_id": np.arange(1, len(texts) + 1, dtype=np.int64),
         "lang": rng.choice(["en", "de", "fr"], len(texts)),
         "text": texts,
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
     })
 
 
@@ -73,6 +78,60 @@ def test_fuzz_parity(name, seed, ray_session, tmp_path):
         got = got.to_pandas()
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = con.execute(ORACLE_SQL[name]).fetchdf()
+    a, b = _canon(got), _canon(want)
+    assert len(a) == len(b), f"{name} seed={seed}: rows {len(a)} vs {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
+
+
+# ---------------------------------------------------------------- events
+
+EV_FUZZED = ["q06_user_hourly_windows", "q14_session_windows",
+             "q47_distinct_users", "q49_funnel", "q58_first_events",
+             "q60_gap_quantiles"]
+
+
+def _events(seed: int) -> pd.DataFrame:
+    """Randomized events with planted adversarial structure: exact
+    timestamp ties (same user, same ts, different event_id), gaps of
+    exactly 1800 s (the q14 session boundary is STRICTLY > 30 min)
+    and 1801 s, single-event users, and shuffled physical row order
+    so per-batch partials can't rely on arrival order."""
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-03-01")
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    rows = []
+    for u in range(1, int(rng.integers(5, 11))):
+        t = base + pd.Timedelta(minutes=int(rng.integers(0, 5000)))
+        for _ in range(int(rng.integers(1, 12))):
+            rows.append((u, t, str(rng.choice(types)),
+                         round(float(rng.normal()) * 10, 3)))
+            step = int(rng.choice([0, 1, 7, 1800, 1801, 3600, 86400]))
+            t = t + pd.Timedelta(seconds=step)
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+    df["event_id"] = (rng.permutation(len(df)) + 1).astype(np.int64)
+    df["props"] = '{"k": 1}'
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df = df.sample(frac=1.0, random_state=seed % 2**32).reset_index(drop=True)
+    return df[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+@pytest.mark.parametrize("name", EV_FUZZED)
+def test_fuzz_parity_events(name, seed, ray_session, tmp_path):
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        RAY_QUERIES,
+    )
+
+    ev = _events(seed * 1000 + sum(map(ord, name)) % 997)
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = RAY_QUERIES[name](str(tmp_path))
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM ev")
     want = con.execute(ORACLE_SQL[name]).fetchdf()
     a, b = _canon(got), _canon(want)
     assert len(a) == len(b), f"{name} seed={seed}: rows {len(a)} vs {len(b)}"
