@@ -1985,6 +1985,75 @@ def q60_gap_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q61_view_attribution(sf_dir: str) -> pd.DataFrame:
+    """Range (band) join: attribute each purchase to every view by
+    the same user in the preceding hour — the interval-join shape Ray
+    Data has no native operator for.  Composition: Arrow-prune to the
+    two relevant types, ONE user_id shuffle co-locates each user's
+    rows, and per partition a sorted searchsorted pair enumerates
+    matches vectorized (two binary searches per purchase, flat-index
+    expansion — no per-row loop, no cross join).  Output size is
+    bounded by the window width; the partitioning assumption is that
+    one user's events fit a partition (same as q14/q49).  secs_before
+    divides the exact integer µs difference, so Ray and SQL produce
+    identical float64s.  Returned as pandas with the q26 empty-schema
+    fallback (Ray's to_pandas drops a 0-row Dataset's schema)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    window_us = 3_600_000_000  # 1 hour
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"],
+                                 value_set=pa.array(["view", "purchase"])))
+
+    out_schema = pa.schema([("purchase_id", pa.int64()),
+                            ("view_id", pa.int64()),
+                            ("secs_before", pa.float64())])
+
+    def attrib(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if len(df) == 0:
+            return out_schema.empty_table()
+        # q41's shifted-timeline trick: map each user's µs timeline
+        # onto a disjoint int64 range (margin > window) so ONE pair of
+        # searchsorted calls finds every purchase's view window — no
+        # per-user or per-purchase Python loop
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        codes = pd.factorize(df["user_id"], sort=False)[0].astype(np.int64)
+        span = (ts_us.max() - ts_us.min()) + window_us + 2
+        key = (ts_us - ts_us.min()) + codes * span
+        et = df["event_type"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        is_v, is_p = et == "view", et == "purchase"
+        vo = np.argsort(key[is_v], kind="stable")
+        v_key, v_eid, v_ts = key[is_v][vo], eid[is_v][vo], ts_us[is_v][vo]
+        p_key, p_eid, p_ts = key[is_p], eid[is_p], ts_us[is_p]
+        # v.ts > p.ts - 1h (strict) and v.ts <= p.ts (inclusive)
+        lo = np.searchsorted(v_key, p_key - window_us, side="right")
+        hi = np.searchsorted(v_key, p_key, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        flat = (np.arange(total, dtype=np.int64)
+                - np.repeat(offs, counts) + np.repeat(lo, counts))
+        secs = np.round((np.repeat(p_ts, counts) - v_ts[flat]) / 1e6, 6)
+        return pa.table({"purchase_id": np.repeat(p_eid, counts),
+                         "view_id": v_eid[flat], "secs_before": secs},
+                        schema=out_schema)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    df = partition_apply(pruned, ["user_id"], QCFG.join_num_partitions,
+                         attrib, batch_format="pyarrow").to_pandas()
+    if list(df.columns) != ["purchase_id", "view_id", "secs_before"]:
+        df = pd.DataFrame({"purchase_id": pd.Series(dtype="int64"),
+                           "view_id": pd.Series(dtype="int64"),
+                           "secs_before": pd.Series(dtype="float64")})
+    return df.sort_values(["purchase_id", "view_id"]).reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2042,6 +2111,7 @@ RAY_QUERIES = {
     "q58_first_events": q58_first_events,
     "q59_normalized_dedup": q59_normalized_dedup,
     "q60_gap_quantiles": q60_gap_quantiles,
+    "q61_view_attribution": q61_view_attribution,
 }
 
 
@@ -2745,5 +2815,19 @@ ORACLE_SQL = {
         FROM g
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    # exact integer µs difference / 1e6 → identical float64 on both
+    "q61_view_attribution": """
+        SELECT p.event_id AS purchase_id,
+               v.event_id AS view_id,
+               round((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0, 6)
+                   AS secs_before
+        FROM events p
+        JOIN events v
+          ON p.user_id = v.user_id
+         AND v.ts >  p.ts - INTERVAL 1 HOUR
+         AND v.ts <= p.ts
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        ORDER BY purchase_id, view_id
     """,
 }
