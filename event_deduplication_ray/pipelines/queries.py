@@ -2054,6 +2054,42 @@ def q61_view_attribution(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["purchase_id", "view_id"]).reset_index(drop=True)
 
 
+def q62_event_debounce(sf_dir: str) -> pd.DataFrame:
+    """Windowed debounce dedup (streaming-shaped): drop an event that
+    lands within 5 minutes of the PREVIOUS event of the same
+    (user, type) — log/telemetry de-noising.  Unlike q58's argmin,
+    kept-ness depends on the immediate neighbor, so no per-batch
+    partial is possible: ONE user_id shuffle moves the (already
+    narrow) rows, then a vectorized lag-diff per partition.  Exact
+    integer µs comparison keeps Ray and the SQL lag window
+    bit-identical, including equal-timestamp ties (diff 0 → dropped,
+    event_id orders the peers)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    gap_us = 300_000_000  # 5 minutes
+
+    def debounce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        keep = np.ones(len(df), dtype=bool)
+        same = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        keep[1:] = ~same | (us[1:] - us[:-1] > gap_us)
+        out = df[keep].copy()
+        out["ts"] = out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return out[["user_id", "event_type", "event_id", "ts"]]
+
+    out = partition_apply(ds, ["user_id"], QCFG.join_num_partitions,
+                          debounce).to_pandas()
+    if len(out.columns) == 0:
+        out = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                            "event_type": pd.Series(dtype="object"),
+                            "event_id": pd.Series(dtype="int64"),
+                            "ts": pd.Series(dtype="object")})
+    return (out.sort_values(["user_id", "event_type", "event_id"])
+            .reset_index(drop=True))
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2112,6 +2148,7 @@ RAY_QUERIES = {
     "q59_normalized_dedup": q59_normalized_dedup,
     "q60_gap_quantiles": q60_gap_quantiles,
     "q61_view_attribution": q61_view_attribution,
+    "q62_event_debounce": q62_event_debounce,
 }
 
 
@@ -2829,5 +2866,15 @@ ORACLE_SQL = {
          AND v.ts <= p.ts
         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         ORDER BY purchase_id, view_id
+    """,
+    "q62_event_debounce": """
+        SELECT user_id, event_type, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)
+        QUALIFY lag(ts) OVER w IS NULL
+             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+        ORDER BY user_id, event_type, event_id
     """,
 }

@@ -63,7 +63,7 @@ SQL_CHECKED = [
     "q50_shipping_priority", "q51_doc_sample", "q52_lang_source_rollup",
     "q53_big_spenders", "q55_regional_revenue", "q56_split_assign",
     "q57_len_token_corr", "q58_first_events", "q59_normalized_dedup",
-    "q60_gap_quantiles", "q61_view_attribution",
+    "q60_gap_quantiles", "q61_view_attribution", "q62_event_debounce",
 ]
 
 
