@@ -2090,6 +2090,258 @@ def q62_event_debounce(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q63_line_filter(sf_dir: str) -> Dataset:
+    """C4-style line-level cleaning stats: split each doc into lines,
+    keep a line iff it has >= 4 tokens, contains no '{' (code smell),
+    and either ends in terminal punctuation or is a long (>= 20
+    token) paragraph — the classic boilerplate-line gate.  Fully
+    vectorized explode (np.repeat doc ids, pandas str kernels per
+    line), no per-row Python; at 100 TB this is a pure map stage —
+    nothing shuffles.  Lines are trimmed of SPACES only so the
+    Python and DuckDB trim() semantics match byte-for-byte."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df["text"].fillna("").str.split("\n")
+        n_lines = lines.str.len().to_numpy(np.int64)
+        doc_id = np.repeat(df["doc_id"].to_numpy(np.int64), n_lines)
+        flat = pd.Series(
+            np.concatenate([np.asarray(v, dtype=object) for v in lines])
+            if len(lines) else np.array([], dtype=object)
+        ).str.strip(" ")
+        n_tok = flat.str.count(r"\S+").to_numpy(np.int64)
+        keep = (
+            (n_tok >= 4)
+            & ~flat.str.contains("{", regex=False).to_numpy()
+            & (flat.str.contains(r'[.!?"]$', regex=True).to_numpy()
+               | (n_tok >= 20))
+        )
+        kept_chars = np.where(keep, flat.str.len().to_numpy(np.int64), 0)
+        per_line = pd.DataFrame({"doc_id": doc_id,
+                                 "keep": keep.astype(np.int64),
+                                 "kept_chars": kept_chars})
+        g = per_line.groupby("doc_id", as_index=False).agg(
+            n_kept=("keep", "sum"), kept_chars=("kept_chars", "sum"))
+        per_doc = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                                "n_lines": n_lines})
+        g = per_doc.merge(g, on="doc_id", how="left")
+        for c in ("n_kept", "kept_chars"):
+            g[c] = g[c].fillna(0).astype(np.int64)
+        return g[["doc_id", "n_lines", "n_kept", "kept_chars"]]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q64_bigram_lm(sf_dir: str) -> pd.DataFrame:
+    """Corpus bigram-LM quality score (CCNet-style perplexity proxy):
+    pass 1 counts unigrams + bigrams (per-batch value_counts partials
+    → hash-partitioned combine, so the shuffle carries one row per
+    DISTINCT ngram per batch); pass 2 broadcasts the model once
+    (ray.put; natural-language vocab is bounded — at open-web scale
+    prune to top-K ngrams or swap the lookup for a cogroup join) and
+    scores each doc as the mean add-one-smoothed log-probability
+    mean_i ln((c(w_{i-1} w_i)+1) / (c(w_{i-1})+V)).  Tokenization is
+    lower + whitespace, identical to the DuckDB oracle's
+    regexp_extract_all(lower(text), '\\S+')."""
+    import ray
+
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigram_frame(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        n = len(flat)
+        if n < 2:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "w1": pd.Series(dtype="object"),
+                                 "w2": pd.Series(dtype="object")})
+        start_ok = np.ones(n, dtype=bool)
+        ends = np.cumsum(lens)
+        start_ok[ends[lens > 0] - 1] = False
+        idx = np.flatnonzero(start_ok[:-1])
+        doc_of = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        return pd.DataFrame({"doc_id": doc_of[idx],
+                             "w1": flat[idx], "w2": flat[idx + 1]})
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = tokenize_offsets(df["text"].str.lower())
+        uni = pd.Series(flat).value_counts()
+        bg = bigram_frame(df)
+        bc = bg.groupby(["w1", "w2"], as_index=False).size()
+        u = pd.DataFrame({"w1": uni.index.to_numpy(dtype=object),
+                          "w2": "", "n": uni.to_numpy(np.int64),
+                          "kind": "u"})
+        b = pd.DataFrame({"w1": bc["w1"], "w2": bc["w2"],
+                          "n": bc["size"].astype(np.int64), "kind": "b"})
+        return pd.concat([u, b], ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["kind", "w1", "w2"], as_index=False)["n"].sum()
+
+    counts = partition_apply(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        ["w1"], QCFG.join_num_partitions, combine,
+    ).to_pandas()
+    uni = counts[counts["kind"] == "u"].set_index("w1")["n"]
+    big = counts[counts["kind"] == "b"].set_index(["w1", "w2"])["n"]
+    v = int(len(uni))
+    model_ref = ray.put((uni, big, v))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        u, b, vv = ray.get(model_ref)
+        bg = bigram_frame(df)
+        if not len(bg):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_bigrams": pd.Series(dtype="int64"),
+                                 "lm_score": pd.Series(dtype="float64")})
+        cb = b.reindex(pd.MultiIndex.from_arrays(
+            [bg["w1"], bg["w2"]])).to_numpy(np.float64)
+        cu = u.reindex(bg["w1"]).to_numpy(np.float64)
+        bg["lnp"] = np.log((cb + 1.0) / (cu + vv))
+        g = bg.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("lnp", "size"), lm_score=("lnp", "mean"))
+        g["n_bigrams"] = g["n_bigrams"].astype(np.int64)
+        g["lm_score"] = g["lm_score"].round(6)
+        return g
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q65_quantile_gate(sf_dir: str) -> pd.DataFrame:
+    """Percentile-threshold quality gate: per-lang exact p10 of token
+    count, then how many docs pass (tokens >= p10) — the 'drop the
+    shortest decile per language' mixture-control step.  Token counts
+    are small bounded ints, so the q34 exact-histogram pattern
+    applies: per-batch (lang, n_tok) value counts shuffle (one row
+    per distinct count per batch), threshold AND the kept-count both
+    read off the same cumulative histogram — no second pass over the
+    data.  p10 matches DuckDB percentile_disc's exact-decimal
+    ceil(p*n) via (n + 9) // 10."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "lang": df["lang"],
+            "n_tok": TS.token_counts(df["text"]),
+        })
+        out = g.groupby(["lang", "n_tok"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_tok"], as_index=False)["n"].sum()
+        rows = []
+        for lang, sub in g.groupby("lang"):
+            sub = sub.sort_values("n_tok")
+            vals = sub["n_tok"].to_numpy()
+            cnts = sub["n"].to_numpy()
+            cum = np.cumsum(cnts)
+            total = int(cum[-1])
+            k = max((total + 9) // 10, 1)          # ceil(0.1 * n), exact
+            ti = int(np.searchsorted(cum, k))
+            thr = int(vals[ti])
+            n_kept = int(cnts[ti:].sum())           # tokens >= thr
+            rows.append((lang, thr, total, n_kept))
+        return pd.DataFrame(rows, columns=["lang", "p10_tokens",
+                                           "n_docs", "n_kept"])
+
+    out = partition_apply(
+        parts, ["lang"], QCFG.join_num_partitions, combine
+    ).to_pandas()
+    for c in ("p10_tokens", "n_docs", "n_kept"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q66_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Greedy sequence packing (pretraining batch prep): within each
+    lang, docs in doc_id order are packed into contiguous bins of at
+    most 512 tokens; a doc that would overflow starts the next pack
+    (an oversized single doc gets its own pack).  Token counts ride a
+    narrow per-batch map, ONE lang shuffle moves (doc_id, lang,
+    n_tok), and the per-partition packer is O(n_packs · log n) —
+    cumsum + searchsorted per pack boundary, no per-doc Python loop.
+    Greedy reset-cumsum is inherently sequential, so this is
+    rows-only (pytest invariants: budget respected, order preserved,
+    packing maximal)."""
+    budget = 512
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def narrow(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "lang": df["lang"],
+            "n_tok": TS.token_counts(df["text"]),
+        })
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        pack_id = np.zeros(len(df), dtype=np.int64)
+        for _, idx in df.groupby("lang", sort=False).indices.items():
+            tok = df["n_tok"].to_numpy()[idx]
+            cum = np.cumsum(tok)
+            s, pid = 0, 0
+            while s < len(idx):
+                base = cum[s - 1] if s else 0
+                # furthest j with cum[j] - base <= budget; always >= s
+                j = int(np.searchsorted(cum, base + budget, side="right"))
+                j = max(j, s + 1)
+                pack_id[idx[s:j]] = pid
+                s, pid = j, pid + 1
+        out = df[["doc_id", "lang", "n_tok"]].copy()
+        out["pack_id"] = pack_id
+        return out
+
+    out = partition_apply(ds.map_batches(narrow, batch_format="pandas"),
+                          ["lang"], QCFG.join_num_partitions, pack).to_pandas()
+    if len(out.columns) == 0:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "lang": pd.Series(dtype="object"),
+                            "n_tok": pd.Series(dtype="int64"),
+                            "pack_id": pd.Series(dtype="int64")})
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def q67_head_dedup(sf_dir: str) -> Dataset:
+    """Head-fingerprint dedup with source-priority keep: group docs by
+    their first-8-token prefix (boilerplate-header duplicates) and
+    keep ONE doc per group — lowest source priority (numeric suffix
+    of 'srcN') then lowest doc_id — the multi-source curation policy
+    of 'prefer the cleaner feed when both carry the page'.  Same
+    compact shape as q10: the prefix hashes per batch, a per-batch
+    argmin partial keeps one candidate + count, and ONE hash shuffle
+    carries (hash, best_prio, best_doc, best_source, n) rows only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        head = (df["text"].fillna("").str.lower()
+                .str.findall(r"\S+").str[:8].str.join(" "))
+        prio = df["source"].str[3:].astype(np.int64)
+        g = pd.DataFrame({
+            "key": H.hash_strings_u64(head).astype(np.int64),
+            "prio": prio,
+            "doc_id": df["doc_id"].astype(np.int64),
+            "source": df["source"],
+        })
+        g = g.sort_values(["key", "prio", "doc_id"])
+        best = g.groupby("key", as_index=False).first()
+        best["n_group"] = g.groupby("key").size().to_numpy(np.int64)
+        return best
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["key", "prio", "doc_id"])
+        best = df.groupby("key", as_index=False).first()
+        best["n_group"] = df.groupby("key")["n_group"].sum().to_numpy(np.int64)
+        return best[["doc_id", "source", "n_group"]]
+
+    return partition_apply(parts, ["key"], QCFG.join_num_partitions, combine)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2149,6 +2401,11 @@ RAY_QUERIES = {
     "q60_gap_quantiles": q60_gap_quantiles,
     "q61_view_attribution": q61_view_attribution,
     "q62_event_debounce": q62_event_debounce,
+    "q63_line_filter": q63_line_filter,
+    "q64_bigram_lm": q64_bigram_lm,
+    "q65_quantile_gate": q65_quantile_gate,
+    "q66_pack_sequences": q66_pack_sequences,
+    "q67_head_dedup": q67_head_dedup,
 }
 
 
@@ -2876,5 +3133,93 @@ ORACLE_SQL = {
         QUALIFY lag(ts) OVER w IS NULL
              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
         ORDER BY user_id, event_type, event_id
+    """,
+    # trim() strips spaces only (matches pandas .str.strip(' '))
+    "q63_line_filter": """
+        SELECT doc_id,
+               len(lines)::BIGINT AS n_lines,
+               len(kept)::BIGINT  AS n_kept,
+               coalesce(list_sum(list_transform(kept, x -> len(x))), 0)::BIGINT
+                   AS kept_chars
+        FROM (
+          SELECT doc_id, lines,
+                 list_filter(lines,
+                   x -> len(regexp_extract_all(x, '\\S+')) >= 4
+                    AND NOT contains(x, '{')
+                    AND (regexp_matches(x, '[.!?"]$')
+                         OR len(regexp_extract_all(x, '\\S+')) >= 20)) AS kept
+          FROM (SELECT doc_id,
+                       list_transform(string_split(coalesce(text, ''), chr(10)),
+                                      x -> trim(x)) AS lines
+                FROM documents)
+        )
+        ORDER BY doc_id
+    """,
+    "q64_bigram_lm": """
+        WITH arrs AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a
+          FROM documents
+        ),
+        uni AS (SELECT tok, count(*)::BIGINT AS c
+                FROM (SELECT unnest(a) AS tok FROM arrs) GROUP BY tok),
+        v AS (SELECT count(*)::BIGINT AS vv FROM uni),
+        bge AS (
+          SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(a)),
+                              i -> struct_pack(w1 := a[i], w2 := a[i+1]))) AS bg
+                FROM arrs WHERE len(a) >= 2)
+        ),
+        bc AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bge GROUP BY w1, w2)
+        SELECT bge.doc_id,
+               count(*)::BIGINT AS n_bigrams,
+               round(avg(ln((bc.cb + 1.0) / (uni.c + v.vv))), 6) AS lm_score
+        FROM bge
+        JOIN bc USING (w1, w2)
+        JOIN uni ON uni.tok = bge.w1
+        CROSS JOIN v
+        GROUP BY bge.doc_id
+        ORDER BY bge.doc_id
+    """,
+    "q65_quantile_gate": """
+        WITH t AS (
+          SELECT lang,
+                 len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT
+                     AS n_tok
+          FROM documents
+        ),
+        q AS (
+          SELECT lang,
+                 percentile_disc(0.1) WITHIN GROUP (ORDER BY n_tok)::BIGINT
+                     AS p10_tokens
+          FROM t GROUP BY lang
+        )
+        SELECT t.lang,
+               q.p10_tokens,
+               count(*)::BIGINT AS n_docs,
+               count(*) FILTER (t.n_tok >= q.p10_tokens)::BIGINT AS n_kept
+        FROM t JOIN q USING (lang)
+        GROUP BY t.lang, q.p10_tokens
+        ORDER BY lang
+    """,
+    # q66_pack_sequences: greedy reset-cumsum packing is sequential
+    # per group — not window-expressible; rows-only (invariant-gated).
+    "q67_head_dedup": """
+        SELECT doc_id, source, n_group
+        FROM (
+          SELECT doc_id, source,
+                 count(*) OVER (PARTITION BY key)::BIGINT AS n_group,
+                 row_number() OVER (
+                   PARTITION BY key
+                   ORDER BY CAST(substr(source, 4) AS BIGINT), doc_id) AS rn
+          FROM (SELECT doc_id, source,
+                       array_to_string(list_slice(
+                         regexp_extract_all(lower(coalesce(text, '')), '\\S+'),
+                         1, 8), ' ') AS key
+                FROM documents)
+        )
+        WHERE rn = 1
+        ORDER BY doc_id
     """,
 }

@@ -64,6 +64,8 @@ SQL_CHECKED = [
     "q53_big_spenders", "q55_regional_revenue", "q56_split_assign",
     "q57_len_token_corr", "q58_first_events", "q59_normalized_dedup",
     "q60_gap_quantiles", "q61_view_attribution", "q62_event_debounce",
+    "q63_line_filter", "q64_bigram_lm", "q65_quantile_gate",
+    "q67_head_dedup",
 ]
 
 

@@ -444,3 +444,119 @@ def test_first_events_tie_break(ray_session, tmp_path):
     got = q58_first_events(sf)
     assert got["event_id"].tolist() == [3, 7]
     assert got["ts"].iloc[0] == "2024-01-05 12:00:00.000000"
+
+
+def test_line_filter_planted(ray_session, tmp_path):
+    """Line-gate semantics on hand-built docs: short lines, code-smell
+    '{' lines and punctuation-less short paragraphs drop; terminal
+    punctuation or a >=20-token paragraph keeps; trailing spaces are
+    trimmed before the end-punctuation check."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q63_line_filter
+
+    long_para = " ".join(["tok"] * 20)                       # kept (>=20)
+    doc1 = "\n".join([
+        "This line ends with a period.",                     # kept
+        "short line",                                        # 2 toks: drop
+        "code block { return 0; }",                          # '{': drop
+        "four tokens no punctuation",                        # drop
+        long_para,                                           # kept
+        'He said "stop right there!"   ',                    # kept (trim)
+    ])
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2], "text": [doc1, ""],
+    }))
+    got = q63_line_filter(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["n_lines"].tolist() == [6, 1]
+    assert got["n_kept"].tolist() == [3, 0]
+    assert got["kept_chars"].iloc[0] == (
+        len("This line ends with a period.") + len(long_para)
+        + len('He said "stop right there!"'))
+    assert got["kept_chars"].iloc[1] == 0
+
+
+def test_bigram_lm_planted(ray_session, tmp_path):
+    """Hand-computed add-one bigram LM: corpus 'a b' + 'a b c' + 'x'
+    → V=4, c(a)=2, c(b)=2, c(a b)=2, c(b c)=1; doc1 score
+    ln(3/6); doc2 avg(ln(3/6), ln(2/6)); the 1-token doc is excluded
+    (no bigrams)."""
+    import math
+
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q64_bigram_lm
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3], "text": ["a b", "a b c", "x"],
+    }))
+    got = q64_bigram_lm(sf)
+    assert got["doc_id"].tolist() == [1, 2]
+    assert got["n_bigrams"].tolist() == [1, 2]
+    assert got["lm_score"].iloc[0] == round(math.log(3 / 6), 6)
+    assert got["lm_score"].iloc[1] == round(
+        (math.log(3 / 6) + math.log(2 / 6)) / 2, 6)
+
+
+def test_pack_sequences_invariants(ray_session, tmp_path):
+    """Greedy packing invariants on a mixed corpus: every pack within
+    budget unless it is a single oversized doc; doc order preserved
+    inside each lang (pack ids non-decreasing with doc_id); packing
+    is maximal (the first doc of pack k+1 would not have fit in pack
+    k); oversized docs isolated."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q66_pack_sequences
+
+    rng = np.random.default_rng(7)
+    n = 300
+    toks = rng.integers(1, 200, size=n)
+    toks[10] = 900                                 # oversized singleton
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.where(np.arange(n) % 3 == 0, "en", "de"),
+        "text": [" ".join(["w"] * int(t)) for t in toks],
+    })
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q66_pack_sequences(sf)
+    assert len(got) == n
+    budget = 512
+    for lang, g in got.groupby("lang"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        # order preserved: pack ids non-decreasing in doc order
+        assert (g["pack_id"].diff().fillna(0) >= 0).all()
+        sizes = g.groupby("pack_id")["n_tok"].sum()
+        counts = g.groupby("pack_id")["n_tok"].size()
+        over = sizes[sizes > budget]
+        assert (counts.loc[over.index] == 1).all()   # only singletons overflow
+        # maximality: first doc of each later pack would overflow previous
+        firsts = g.groupby("pack_id").head(1).set_index("pack_id")["n_tok"]
+        for pid in sizes.index[1:]:
+            assert sizes.loc[pid - 1] + firsts.loc[pid] > budget
+    assert (got.loc[got["doc_id"] == 10, "n_tok"] == 900).all()
+    solo = got[got["doc_id"] == 10]
+    same_pack = got[(got["lang"] == solo["lang"].iloc[0])
+                    & (got["pack_id"] == solo["pack_id"].iloc[0])]
+    assert len(same_pack) == 1
+
+
+def test_head_dedup_priority_keep(ray_session, tmp_path):
+    """Two docs sharing an 8-token head must resolve to the LOWER
+    source number (src2 beats src10 numerically), doc_id breaking
+    ties; distinct heads stay separate."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q67_head_dedup
+
+    head = "alpha beta gamma delta epsilon zeta eta theta"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [5, 3, 9],
+        "source": ["src10", "src2", "src1"],
+        "text": [head + " tail one", head + " tail two", "different " + head],
+    }))
+    got = q67_head_dedup(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [3, 9]
+    assert got.loc[got["doc_id"] == 3, "n_group"].iloc[0] == 2
+    assert got.loc[got["doc_id"] == 3, "source"].iloc[0] == "src2"
