@@ -2342,6 +2342,130 @@ def q67_head_dedup(sf_dir: str) -> Dataset:
     return partition_apply(parts, ["key"], QCFG.join_num_partitions, combine)
 
 
+def q68_global_rank(sf_dir: str) -> pd.DataFrame:
+    """Distributed global rank + ntile WITHOUT a global sort barrier:
+    rank docs by (n_chars, doc_id) and assign 8 ntile buckets — the
+    range-partitioned-output / percentile-rank primitive.  Because the
+    sort key's first component is a bounded int, pass 1 builds its
+    exact histogram (per-batch value counts → tiny driver combine →
+    ray.put broadcast of the cum-below offsets), and pass 2 shuffles
+    ONCE on n_chars so each tie group co-locates: global rank =
+    cum_below[n_chars] + rank-within-tie(doc_id).  The bucket formula
+    reproduces SQL ntile exactly (first n%k buckets get ceil(n/k)
+    rows).  At 100 TB nothing materializes but the histogram (one row
+    per distinct key value)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def hpart(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = (ds.map_batches(hpart, batch_format="pandas").to_pandas()
+            .groupby("n_chars", as_index=False)["n"].sum()
+            .sort_values("n_chars").reset_index(drop=True))
+    n_total = int(hist["n"].sum())
+    cum_below = pd.Series(
+        np.concatenate([[0], np.cumsum(hist["n"].to_numpy())[:-1]]),
+        index=hist["n_chars"].to_numpy(),
+    )
+    k = 8
+    q, rem = divmod(n_total, k)
+    off_ref = ray.put(cum_below)
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        local = df.groupby("n_chars").cumcount().to_numpy(np.int64) + 1
+        rnk = off.reindex(df["n_chars"]).to_numpy(np.int64) + local
+        big = q + 1
+        cut = rem * big
+        bucket = np.where(
+            rnk <= cut,
+            (rnk - 1) // big + 1,
+            rem + (np.maximum(rnk - cut, 1) - 1) // max(q, 1) + 1,
+        ).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "n_chars": df["n_chars"].astype(np.int64),
+                             "rnk": rnk, "bucket": bucket})
+
+    out = partition_apply(ds, ["n_chars"], QCFG.join_num_partitions,
+                          rank_part).to_pandas()
+    if len(out.columns) == 0:
+        out = pd.DataFrame({c: pd.Series(dtype="int64")
+                            for c in ("doc_id", "n_chars", "rnk", "bucket")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q69_top_bigrams_mg(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries approximate heavy hitters — the bounded-memory
+    scale path for q35's exact top-bigram count: each batch keeps at
+    most 4096 decremented counters (one MG summary per batch), the
+    combine sums summaries per key and the final prune re-applies the
+    MG decrement, carrying the accumulated error bound.  Guarantee:
+    est <= true <= est + err for every surviving key, so any bigram
+    whose true count exceeds err is present.  Rows-only (approximate
+    by design); test_training_ops gates it against exact q35 counts."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    cap = 4096
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        n = len(flat)
+        if n < 2:
+            return pd.DataFrame({"ngram": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "err": pd.Series(dtype="int64")})
+        start_ok = np.ones(n, dtype=bool)
+        ends = np.cumsum(lens)
+        start_ok[ends[lens > 0] - 1] = False
+        idx = np.flatnonzero(start_ok[:-1])
+        vc = pd.Series(flat[idx] + " " + flat[idx + 1]).value_counts()
+        err = 0
+        if len(vc) > cap:
+            dec = int(vc.iloc[cap])        # (cap+1)-th largest
+            vc = vc.iloc[:cap] - dec
+            vc = vc[vc > 0]
+            err = dec
+        # a real bigram always contains a space, so "" is a safe
+        # sentinel key carrying this batch's decrement
+        return pd.DataFrame({
+            "ngram": np.concatenate([vc.index.to_numpy(dtype=object),
+                                     np.array([""], dtype=object)]),
+            "n": np.concatenate([vc.to_numpy(np.int64),
+                                 np.array([err], dtype=np.int64)]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("ngram", as_index=False)["n"].sum()
+
+    g = partition_apply(parts, ["ngram"], QCFG.join_num_partitions,
+                        combine).to_pandas()
+    if not len(g):
+        return pd.DataFrame({"ngram": pd.Series(dtype="object"),
+                             "n_est": pd.Series(dtype="int64"),
+                             "err_bound": pd.Series(dtype="int64")})
+    sent = g["ngram"] == ""
+    err_total = int(g.loc[sent, "n"].sum())
+    g = g[~sent]
+    if len(g) > cap:
+        g = g.sort_values(["n", "ngram"], ascending=[False, True])
+        dec = int(g["n"].iloc[cap])
+        g = g.iloc[:cap].assign(n=g["n"].iloc[:cap] - dec)
+        g = g[g["n"] > 0]
+        err_total += dec
+    out = (g.sort_values(["n", "ngram"], ascending=[False, True]).head(20)
+           .rename(columns={"n": "n_est"}))
+    out["n_est"] = out["n_est"].astype("int64")
+    out["err_bound"] = np.int64(err_total)
+    return out.reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2406,6 +2530,8 @@ RAY_QUERIES = {
     "q65_quantile_gate": q65_quantile_gate,
     "q66_pack_sequences": q66_pack_sequences,
     "q67_head_dedup": q67_head_dedup,
+    "q68_global_rank": q68_global_rank,
+    "q69_top_bigrams_mg": q69_top_bigrams_mg,
 }
 
 
@@ -3222,4 +3348,13 @@ ORACLE_SQL = {
         WHERE rn = 1
         ORDER BY doc_id
     """,
+    "q68_global_rank": """
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS rnk,
+               ntile(8)     OVER (ORDER BY n_chars, doc_id)::BIGINT AS bucket
+        FROM documents
+        ORDER BY doc_id
+    """,
+    # q69_top_bigrams_mg: approximate by design (Misra-Gries);
+    # rows-only — gated against exact q35 counts in pytest.
 }

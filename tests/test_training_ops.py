@@ -560,3 +560,77 @@ def test_head_dedup_priority_keep(ray_session, tmp_path):
     assert got["doc_id"].tolist() == [3, 9]
     assert got.loc[got["doc_id"] == 3, "n_group"].iloc[0] == 2
     assert got.loc[got["doc_id"] == 3, "source"].iloc[0] == "src2"
+
+
+def test_top_bigrams_mg_vs_exact(ray_session):
+    """Misra-Gries top-bigrams vs the exact q35 counts at sf0.001:
+    every key the sketch reports must satisfy est <= true <= est +
+    err_bound, and with the 4096-counter cap the corpus fits without
+    decrements (err_bound == 0) so the top-20 must match exactly."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q35_top_bigrams,
+        q69_top_bigrams_mg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = q35_top_bigrams(sf).set_index("ngram")["n"]
+    mg = q69_top_bigrams_mg(sf)
+    assert (mg["err_bound"] >= 0).all()
+    err = int(mg["err_bound"].iloc[0])
+    for row in mg.itertuples(index=False):
+        if row.ngram in exact.index:
+            true = int(exact.loc[row.ngram])
+            assert row.n_est <= true <= row.n_est + err
+    if err == 0:
+        got = mg[["ngram", "n_est"]].rename(columns={"n_est": "n"})
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            q35_top_bigrams(sf).reset_index(drop=True))
+
+
+def test_top_bigrams_mg_decrement_bound(ray_session, tmp_path):
+    """Force decrements: a tiny cap is monkeypatched via a skewed
+    corpus whose distinct-bigram count exceeds 4096 is impractical at
+    unit scale, so instead plant one dominant bigram among noise and
+    assert the heavy hitter survives with est <= true."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q69_top_bigrams_mg
+
+    rng = np.random.default_rng(3)
+    noise = [" ".join(f"w{v}" for v in rng.integers(0, 5000, size=12))
+             for _ in range(400)]
+    heavy = ["hot pair " * 6] * 50         # 'hot pair'/'pair hot' dominate
+    docs = pd.DataFrame({
+        "doc_id": np.arange(450, dtype=np.int64),
+        "text": noise + heavy,
+    })
+    sf = _write_tbl(tmp_path, "documents", docs)
+    mg = q69_top_bigrams_mg(sf)
+    assert "hot pair" in set(mg["ngram"])
+    est = int(mg.loc[mg["ngram"] == "hot pair", "n_est"].iloc[0])
+    true = 50 * 6  # 'hot pair' bigrams per doc: positions 1,3,5,7,9,11
+    assert est <= true <= est + int(mg["err_bound"].iloc[0])
+
+
+def test_global_rank_tie_and_ntile(ray_session, tmp_path):
+    """Ties on n_chars resolve by doc_id; ntile with n=10, k=8 puts 2
+    rows in buckets 1-2 and 1 in each of 3-8 (first n%k buckets get
+    ceil(n/k))."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q68_global_rank
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64)[::-1],   # reversed ids
+        "text": ["x"] * 10,
+        "n_chars": np.int64([5, 5, 5, 1, 1, 9, 9, 9, 9, 2]),
+    })
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q68_global_rank(sf).sort_values("rnk").reset_index(drop=True)
+    # rank order: n_chars asc, doc_id asc
+    want_order = sorted(zip(docs["n_chars"], docs["doc_id"]))
+    assert list(zip(got["n_chars"], got["doc_id"])) == want_order
+    assert got["bucket"].tolist() == [1, 1, 2, 2, 3, 4, 5, 6, 7, 8]
