@@ -2466,6 +2466,133 @@ def q69_top_bigrams_mg(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q70_rolling_distinct(sf_dir: str) -> pd.DataFrame:
+    """7-day rolling distinct users (WAU): for every OBSERVED day,
+    the count of distinct users active in [day-6, day].  Rolling
+    DISTINCT doesn't decompose like a sum, so the scale trick is
+    bounded expansion: per-batch distinct (day, user) pairs explode
+    to the ≤ 7 observed window days they contribute to (the tiny
+    sorted day vocabulary is broadcast once), then ONE
+    (window_day, user) hash shuffle dedupes pairs globally and counts
+    per day — the shuffle carries at most 7 rows per distinct
+    (day, user), never one per event."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "day": df["ts"].dt.strftime("%Y-%m-%d"),
+            "user_id": df["user_id"].astype(np.int64),
+        })
+        return out.drop_duplicates()
+
+    pairs = ds.map_batches(day_pairs, batch_format="pandas")
+    days = np.sort(pairs.select_columns(["day"]).to_pandas()["day"].unique())
+    days_ref = ray.put(days)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        dv = ray.get(days_ref)
+        if not len(df):
+            return pd.DataFrame({"day": pd.Series(dtype="object"),
+                                 "user_id": pd.Series(dtype="int64")})
+        d64 = df["day"].to_numpy().astype("datetime64[D]")
+        dv64 = dv.astype("datetime64[D]")
+        lo = np.searchsorted(dv64, d64, side="left")
+        hi = np.searchsorted(dv64, d64 + np.timedelta64(6, "D"),
+                             side="right")
+        reps = hi - lo
+        idx = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) \
+            if reps.sum() else np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            "day": dv[idx],
+            "user_id": np.repeat(df["user_id"].to_numpy(np.int64), reps),
+        })
+
+    exploded = pairs.map_batches(expand, batch_format="pandas")
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        g = d.groupby("day", as_index=False).size()
+        return g.rename(columns={"size": "wau"})
+
+    parts = partition_apply(exploded, ["day", "user_id"],
+                            QCFG.join_num_partitions, count_part).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"day": pd.Series(dtype="object"),
+                             "wau": pd.Series(dtype="int64")})
+    out = parts.groupby("day", as_index=False)["wau"].sum()
+    out["wau"] = out["wau"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q71_vocab(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary build: token → frequency → dense global id
+    ordered by (freq desc, token asc), min-count 5 — the id-assignment
+    step of tokenizer/vocab construction.  Token count partials
+    shuffle once on the token hash (one row per distinct token per
+    batch); the global rank reuses q68's no-sort-barrier shape: the
+    FREQUENCY histogram (tiny — one row per distinct freq) broadcasts
+    cum-below offsets, a second shuffle on freq co-locates each tie
+    group, and token_id = offset + rank-within-freq(token)."""
+    import ray
+
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["text"])
+    min_count = 5
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = tokenize_offsets(df["text"].str.lower())
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "freq": vc.to_numpy(np.int64)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["freq"].sum()
+        return g[g["freq"] >= min_count]
+
+    counts = partition_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["token"], QCFG.join_num_partitions, combine,
+    )
+
+    def freq_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("freq", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = (counts.map_batches(freq_hist, batch_format="pandas").to_pandas()
+            .groupby("freq", as_index=False)["n"].sum()
+            .sort_values("freq", ascending=False).reset_index(drop=True))
+    if not len(hist):
+        return pd.DataFrame({"token": pd.Series(dtype="object"),
+                             "freq": pd.Series(dtype="int64"),
+                             "token_id": pd.Series(dtype="int64")})
+    cum_below = pd.Series(
+        np.concatenate([[0], np.cumsum(hist["n"].to_numpy())[:-1]]),
+        index=hist["freq"].to_numpy(),
+    )
+    off_ref = ray.put(cum_below)
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.sort_values(["freq", "token"],
+                            ascending=[False, True]).reset_index(drop=True)
+        local = df.groupby("freq", sort=False).cumcount().to_numpy(np.int64) + 1
+        df["token_id"] = off.reindex(df["freq"]).to_numpy(np.int64) + local
+        return df[["token", "freq", "token_id"]]
+
+    out = partition_apply(counts, ["freq"], QCFG.join_num_partitions,
+                          rank_part).to_pandas()
+    if len(out.columns) == 0:
+        out = pd.DataFrame({"token": pd.Series(dtype="object"),
+                            "freq": pd.Series(dtype="int64"),
+                            "token_id": pd.Series(dtype="int64")})
+    for c in ("freq", "token_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("token_id").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2532,6 +2659,8 @@ RAY_QUERIES = {
     "q67_head_dedup": q67_head_dedup,
     "q68_global_rank": q68_global_rank,
     "q69_top_bigrams_mg": q69_top_bigrams_mg,
+    "q70_rolling_distinct": q70_rolling_distinct,
+    "q71_vocab": q71_vocab,
 }
 
 
@@ -3357,4 +3486,32 @@ ORACLE_SQL = {
     """,
     # q69_top_bigrams_mg: approximate by design (Misra-Gries);
     # rows-only — gated against exact q35 counts in pytest.
+    "q70_rolling_distinct": """
+        WITH du AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+                    FROM events),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS wau
+        FROM days d
+        JOIN du u
+          ON u.day <= d.day
+         AND u.day >= strftime(CAST(d.day AS DATE) - INTERVAL 6 DAY,
+                               '%Y-%m-%d')
+        GROUP BY d.day
+        ORDER BY d.day
+    """,
+    "q71_vocab": """
+        WITH c AS (
+          SELECT tok AS token, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '\\S+')) AS tok
+                FROM documents)
+          GROUP BY tok
+          HAVING count(*) >= 5
+        )
+        SELECT token, freq,
+               row_number() OVER (ORDER BY freq DESC, token)::BIGINT
+                   AS token_id
+        FROM c
+        ORDER BY token_id
+    """,
 }

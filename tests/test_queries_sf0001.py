@@ -65,7 +65,8 @@ SQL_CHECKED = [
     "q57_len_token_corr", "q58_first_events", "q59_normalized_dedup",
     "q60_gap_quantiles", "q61_view_attribution", "q62_event_debounce",
     "q63_line_filter", "q64_bigram_lm", "q65_quantile_gate",
-    "q67_head_dedup", "q68_global_rank",
+    "q67_head_dedup", "q68_global_rank", "q70_rolling_distinct",
+    "q71_vocab",
 ]
 
 

@@ -634,3 +634,47 @@ def test_global_rank_tie_and_ntile(ray_session, tmp_path):
     want_order = sorted(zip(docs["n_chars"], docs["doc_id"]))
     assert list(zip(got["n_chars"], got["doc_id"])) == want_order
     assert got["bucket"].tolist() == [1, 1, 2, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_rolling_distinct_window_boundaries(ray_session, tmp_path):
+    """Sparse-day corpus: a user active on day 1 counts toward an
+    observed day exactly 6 days later but not 7; unobserved days in
+    between produce NO rows; same-user repeats within the window
+    count once."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q70_rolling_distinct
+
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime([
+            "2024-03-01 10:00", "2024-03-01 11:00",   # u1 twice on day 1
+            "2024-03-07 09:00",                        # u2, exactly +6
+            "2024-03-08 09:00",                        # u3, +7 from day 1
+        ]),
+        "user_id": np.int64([1, 1, 2, 3]),
+    })
+    sf = _write_tbl(tmp_path, "events", ev)
+    got = q70_rolling_distinct(sf)
+    assert got["day"].tolist() == ["2024-03-01", "2024-03-07", "2024-03-08"]
+    # 03-07 window [03-01..03-07] holds u1+u2; 03-08 window drops u1
+    assert got["wau"].tolist() == [1, 2, 2]
+
+
+def test_vocab_rank_and_cutoff(ray_session, tmp_path):
+    """min-count 5 drops rare tokens; ids are dense by (freq desc,
+    token asc) with ties broken lexicographically."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q71_vocab
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["b b b b b a a a a a c c c c c rare",
+                 "a a a b b b z z z z z"],
+    })
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q71_vocab(sf)
+    # freqs: a=8, b=8, c=5, z=5, rare=1 (dropped)
+    assert got["token"].tolist() == ["a", "b", "c", "z"]
+    assert got["freq"].tolist() == [8, 8, 5, 5]
+    assert got["token_id"].tolist() == [1, 2, 3, 4]
