@@ -21,7 +21,9 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q39_repetition_filter", "q43_chunk_dedup",
           "q44_quality_outliers", "q46_curation",
           "q56_split_assign", "q57_len_token_corr",
-          "q59_normalized_dedup"]
+          "q59_normalized_dedup", "q63_line_filter", "q64_bigram_lm",
+          "q65_quantile_gate", "q67_head_dedup", "q68_global_rank",
+          "q71_vocab"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 
@@ -43,9 +45,22 @@ def _corpus(seed: int) -> pd.DataFrame:
     texts.append("loop " * int(rng.integers(5, 30)) + "loop")  # repetitive
     # reformatted copy: q59 must collapse case/punct variants
     texts.append(texts[1].upper().replace(" ", ",  "))
+    # multi-line doc (q63 line gate): short line, punctuated line,
+    # code-smell line, long paragraph — with stray spaces to trim
+    texts.append("\n".join([
+        "tiny one",
+        "  This planted line ends with a period.  ",
+        "code { " + " ".join(rng.choice(VOCAB, 6)),
+        " ".join(rng.choice(VOCAB, 25)),
+    ]))
+    # shared 8-token head in two docs (q67 head-dedup groups)
+    head = " ".join(rng.choice(VOCAB, 8))
+    texts.append(head + " " + " ".join(rng.choice(VOCAB, 5)))
+    texts.append(head + " " + " ".join(rng.choice(VOCAB, 9)))
     return pd.DataFrame({
         "doc_id": np.arange(1, len(texts) + 1, dtype=np.int64),
         "lang": rng.choice(["en", "de", "fr"], len(texts)),
+        "source": rng.choice([f"src{i}" for i in range(12)], len(texts)),
         "text": texts,
         "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
     })
