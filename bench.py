@@ -131,7 +131,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q33_decontaminate", "q34_length_quantiles", "q35_top_bigrams",
         "q38_tfidf_topterms", "q46_curation", "q48_distinct_users_hll",
         "q50_shipping_priority", "q54_neardup_decontaminate",
-        "q55_regional_revenue",
+        "q55_regional_revenue", "q64_bigram_lm", "q68_global_rank",
+        "q70_rolling_distinct", "q71_vocab",
     ]
     out: dict[str, float] = {}
     for name in names:
