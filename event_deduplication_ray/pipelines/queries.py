@@ -2593,6 +2593,44 @@ def q71_vocab(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("token_id").reset_index(drop=True)
 
 
+def q72_chunk_windows(sf_dir: str) -> Dataset:
+    """Context-window chunking for training prep: split each doc into
+    overlapping 64-token windows at stride 48 (a doc of n tokens
+    yields 1 window if n <= 64 else ceil((n-64)/48)+1; empty docs
+    yield one empty window).  A pure flat_map-shaped stage — nothing
+    shuffles; window boundaries, ids and lengths are all computed
+    vectorized over the flat token array (np.repeat/arange), with the
+    only per-window Python being the final token join (string
+    materialization, same cost class as writing the output)."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    win, stride = 64, 48
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]]) \
+            if len(lens) else np.array([], dtype=np.int64)
+        nc = np.where(lens <= win, 1,
+                      (lens - win + stride - 1) // stride + 1).astype(np.int64)
+        total = int(nc.sum())
+        cum_nc = np.concatenate([[0], np.cumsum(nc)[:-1]]) \
+            if len(nc) else np.array([], dtype=np.int64)
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(cum_nc, nc)
+        rel_start = chunk_idx * stride
+        n_tok = np.minimum(win, np.repeat(lens, nc) - rel_start)
+        s = np.repeat(doc_start, nc) + rel_start
+        e = s + n_tok
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), nc),
+            "chunk_idx": chunk_idx,
+            "n_tok": n_tok.astype(np.int64),
+            "chunk_text": [" ".join(flat[a:b]) for a, b in zip(s, e)],
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2661,6 +2699,7 @@ RAY_QUERIES = {
     "q69_top_bigrams_mg": q69_top_bigrams_mg,
     "q70_rolling_distinct": q70_rolling_distinct,
     "q71_vocab": q71_vocab,
+    "q72_chunk_windows": q72_chunk_windows,
 }
 
 
@@ -3513,5 +3552,26 @@ ORACLE_SQL = {
                    AS token_id
         FROM c
         ORDER BY token_id
+    """,
+    "q72_chunk_windows": """
+        WITH arrs AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, a,
+                 unnest(range(0, CASE WHEN len(a) <= 64 THEN 1
+                        ELSE CAST(ceil((len(a) - 64) / 48.0) AS BIGINT) + 1
+                        END)) AS chunk_idx
+          FROM arrs
+        )
+        SELECT doc_id, chunk_idx,
+               least(64, len(a) - chunk_idx * 48)::BIGINT AS n_tok,
+               array_to_string(list_slice(a, chunk_idx * 48 + 1,
+                                          chunk_idx * 48 + 64), ' ')
+                   AS chunk_text
+        FROM w
+        ORDER BY doc_id, chunk_idx
     """,
 }

@@ -23,7 +23,7 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q56_split_assign", "q57_len_token_corr",
           "q59_normalized_dedup", "q63_line_filter", "q64_bigram_lm",
           "q65_quantile_gate", "q67_head_dedup", "q68_global_rank",
-          "q71_vocab"]
+          "q71_vocab", "q72_chunk_windows"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 
@@ -53,6 +53,9 @@ def _corpus(seed: int) -> pd.DataFrame:
         "code { " + " ".join(rng.choice(VOCAB, 6)),
         " ".join(rng.choice(VOCAB, 25)),
     ]))
+    # long docs straddling the q72 64-token window / 48 stride
+    for ln in (64, 65, 112, 113, int(rng.integers(120, 200))):
+        texts.append(" ".join(rng.choice(VOCAB, ln)))
     # shared 8-token head in two docs (q67 head-dedup groups)
     head = " ".join(rng.choice(VOCAB, 8))
     texts.append(head + " " + " ".join(rng.choice(VOCAB, 5)))

@@ -678,3 +678,33 @@ def test_vocab_rank_and_cutoff(ray_session, tmp_path):
     assert got["token"].tolist() == ["a", "b", "c", "z"]
     assert got["freq"].tolist() == [8, 8, 5, 5]
     assert got["token_id"].tolist() == [1, 2, 3, 4]
+
+
+def test_chunk_windows_boundaries(ray_session, tmp_path):
+    """Window math at the edges: n=64 → one full window; n=65 → two
+    (second holds 17 tokens: 65-48); n=113 → three; n=0 → one empty
+    window; overlap region repeats tokens 49..64."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q72_chunk_windows
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [words(64, "a"), words(65, "b"), words(113, "c"), ""],
+    }))
+    got = q72_chunk_windows(sf).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+    per = got.groupby("doc_id")["chunk_idx"].size()
+    assert per.loc[1] == 1 and per.loc[2] == 2
+    assert per.loc[3] == 3 and per.loc[4] == 1
+    assert got.loc[(got.doc_id == 2) & (got.chunk_idx == 1),
+                   "n_tok"].iloc[0] == 17
+    # overlap: second window of doc 2 starts at token 48 (0-based)
+    t = got.loc[(got.doc_id == 2) & (got.chunk_idx == 1),
+                "chunk_text"].iloc[0]
+    assert t.startswith("b48 ") and t.endswith("b64")
+    assert got.loc[got.doc_id == 4, "n_tok"].iloc[0] == 0
+    assert got.loc[got.doc_id == 4, "chunk_text"].iloc[0] == ""
