@@ -2593,6 +2593,36 @@ def q71_vocab(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("token_id").reset_index(drop=True)
 
 
+def q73_mixed_media_dedup(sf_dir: str) -> pd.DataFrame:
+    """Mixed image+audio near-dup dedup through ONE fingerprint stage
+    (per-row kind dispatch: block-mean phash for frames, energy-delta
+    afp64 for clips) and the shared Hamming-bucket → CC machinery.
+    Rows-only (codec-bound, like q29); the kind-separation and planted
+    -group invariants are pytest-gated in test_multimodal.py."""
+    import pyarrow as pa_  # local alias, mirrors q29's corpus sizing
+
+    import ray.data as rd_
+
+    from event_deduplication_ray.stages.multimodal import (
+        make_fake_audio_table,
+        make_fake_media_table,
+        media_dup_clusters,
+    )
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    groups = int(max(2, min(32, n_docs // 50)))
+    img = make_fake_media_table(n_groups=groups, members=3,
+                                singletons=int(min(n_docs, 200)), seed=42)
+    aud = make_fake_audio_table(n_groups=groups, members=3,
+                                singletons=int(min(n_docs, 200)), seed=7)
+    aud = aud.set_column(0, "media_id",
+                         pa_.array(aud["media_id"].to_numpy() + 5_000_000))
+    t = pa_.concat_tables([img, aud])
+    out = media_dup_clusters(rd_.from_arrow(t), QCFG, decoder="fake",
+                             radius=3).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q72_chunk_windows(sf_dir: str) -> Dataset:
     """Context-window chunking for training prep: split each doc into
     overlapping 64-token windows at stride 48 (a doc of n tokens
@@ -2700,6 +2730,7 @@ RAY_QUERIES = {
     "q70_rolling_distinct": q70_rolling_distinct,
     "q71_vocab": q71_vocab,
     "q72_chunk_windows": q72_chunk_windows,
+    "q73_mixed_media_dedup": q73_mixed_media_dedup,
 }
 
 

@@ -55,6 +55,20 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
 
 
+def make_fake_audio_payload(media_id: int, n_samples: int = 4096) -> bytes:
+    """Fake audio clip: ``b"FAKA" + uint32 n_samples + int16 PCM``."""
+    rng = np.random.default_rng(media_id)
+    pcm = rng.integers(-(2 ** 14), 2 ** 14, size=n_samples, dtype=np.int16)
+    return b"FAKA" + int(n_samples).to_bytes(4, "little") + pcm.tobytes()
+
+
+def _fake_decode_audio(payload: bytes) -> np.ndarray:
+    if payload[:4] != b"FAKA":
+        raise ValueError("not a fake audio payload")
+    n = int.from_bytes(payload[4:8], "little")
+    return np.frombuffer(payload[8 : 8 + 2 * n], dtype=np.int16)
+
+
 class MediaDecodeStage:
     """Actor-pool stage: binary payload → (width, height, mean_px).
 
@@ -187,8 +201,29 @@ def phash64(img: np.ndarray, grid: int = 8) -> np.uint64:
     return fp
 
 
+def afp64(pcm: np.ndarray, windows: int = 65) -> np.uint64:
+    """Chromaprint-style 64-bit audio fingerprint: the clip splits
+    into ``windows`` equal spans, bit i = energy(span i+1) >
+    energy(span i).  Sign-of-delta is invariant to amplitude scaling
+    (volume normalization) and robust to a few corrupted samples —
+    near-identical clips land a small Hamming distance apart."""
+    if pcm.size < windows:
+        pcm = np.pad(pcm.astype(np.float64), (0, windows - pcm.size))
+    n = (pcm.size // windows) * windows
+    e = (pcm[:n].astype(np.float64) ** 2).reshape(windows, -1).mean(axis=1)
+    bits = e[1:] > e[:-1]
+    fp = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            fp |= np.uint64(1) << np.uint64(i)
+    return fp
+
+
 class MediaFingerprintStage:
-    """Actor-pool stage: payload → (media_id, phash uint64).
+    """Actor-pool stage: payload → (media_id, phash uint64),
+    dispatching per row on ``kind``: images hash via block-mean
+    ``phash64``, audio via energy-delta ``afp64`` — one fingerprint
+    stage serves a mixed-media table.
 
     Deterministic, one fingerprint per item; the binary column is
     dropped immediately (project early, 8 bytes ride the shuffle)."""
@@ -204,11 +239,16 @@ class MediaFingerprintStage:
                 "not present in this environment; wire it here"
             )
         col = batch["payload"]
+        kinds = batch["kind"].to_pylist() if "kind" in batch.column_names \
+            else ["image"] * len(col)
         fps = np.empty(len(col), dtype=np.uint64)
         for i in range(len(col)):
             # slice the Arrow binary scalar lazily (no to_pylist of
             # the whole batch)
-            fps[i] = phash64(_fake_decode(col[i].as_py()), self.grid)
+            if kinds[i] == "audio":
+                fps[i] = afp64(_fake_decode_audio(col[i].as_py()))
+            else:
+                fps[i] = phash64(_fake_decode(col[i].as_py()), self.grid)
         return pa.table({
             "media_id": batch["media_id"],
             "phash": pa.array(fps, pa.uint64()),
@@ -268,6 +308,47 @@ def media_dup_clusters(media: "Dataset", cfg=None, decoder: str = "fake",
         return t.rename_columns(["media_id", "cluster_id"])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def make_fake_audio_table(
+    n_groups: int = 4, members: int = 3, singletons: int = 8,
+    seed: int = 7, n_samples: int = 4096,
+) -> pa.Table:
+    """Deterministic audio corpus with planted near-dup groups: group
+    members share one base clip with m corrupted (zeroed) samples —
+    a handful of window energies move slightly, so afp64 Hamming
+    stays small; singletons are independent random clips."""
+    ids, payloads, kinds = [], [], []
+    for g in range(n_groups):
+        rng = np.random.default_rng(seed + g)
+        base = rng.integers(-(2 ** 14), 2 ** 14, size=n_samples,
+                            dtype=np.int16)
+        for m in range(members):
+            pcm = base.copy()
+            if m:
+                pr = np.random.default_rng(seed * 1000 + g * 100 + m)
+                pos = pr.integers(0, n_samples, size=m)
+                pcm[pos] = 0
+            ids.append(g * 1000 + m)
+            payloads.append(b"FAKA" + n_samples.to_bytes(4, "little")
+                            + pcm.tobytes())
+            kinds.append("audio")
+    srng = np.random.default_rng(seed + 555)
+    for i in range(singletons):
+        pcm = srng.integers(-(2 ** 14), 2 ** 14, size=n_samples,
+                            dtype=np.int16)
+        ids.append(1_000_000 + i)
+        payloads.append(b"FAKA" + n_samples.to_bytes(4, "little")
+                        + pcm.tobytes())
+        kinds.append("audio")
+    return pa.table({
+        "media_id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "url": pa.array([f"https://media.example/a{i}" for i in ids]),
+        "kind": pa.array(kinds),
+        "payload": pa.array(payloads, pa.binary()),
+        "n_bytes": pa.array(np.asarray([len(p) for p in payloads],
+                                       np.int64)),
+    })
 
 
 def make_fake_media_table(

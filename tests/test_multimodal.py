@@ -106,3 +106,75 @@ def test_media_dup_clusters_duplicate_free():
     ).to_pandas()
     assert len(out) == 12
     assert out["cluster_id"].nunique() == 12
+
+
+def test_afp64_scale_invariant_and_robust():
+    """Energy-delta sign bits are invariant to amplitude scaling and
+    move only a few bits under light sample corruption; independent
+    clips land far apart."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-(2 ** 14), 2 ** 14, size=4096, dtype=np.int16)
+    fp = MM.afp64(pcm)
+    assert MM.afp64(pcm // 2) == fp                       # volume halved
+    tweaked = pcm.copy()
+    tweaked[rng.integers(0, 4096, size=3)] = 0
+    ham = bin(int(fp) ^ int(MM.afp64(tweaked))).count("1")
+    assert ham <= 3
+    other = np.random.default_rng(99).integers(
+        -(2 ** 14), 2 ** 14, size=4096, dtype=np.int16)
+    far = bin(int(fp) ^ int(MM.afp64(other))).count("1")
+    assert far > 10
+
+
+def test_audio_dup_clusters_planted_groups():
+    """The audio path rides the SAME dedup machinery: planted
+    near-identical clips cluster; singleton clips stay apart."""
+    import ray.data as rd
+
+    from event_deduplication_ray.config import DedupConfig
+
+    t = MM.make_fake_audio_table(n_groups=4, members=3, singletons=8)
+    out = MM.media_dup_clusters(
+        rd.from_arrow(t), DedupConfig(join_num_partitions=4),
+        decoder="fake", radius=3,
+    ).to_pandas()
+    assert len(out) == 4 * 3 + 8
+    lab = out.set_index("media_id")["cluster_id"]
+    for g in range(4):
+        ids = [g * 1000 + m for m in range(3)]
+        assert lab[ids].nunique() == 1, f"group {g} shattered"
+    singles = lab[[1_000_000 + i for i in range(8)]]
+    assert singles.nunique() == 8
+
+
+def test_mixed_media_kinds_never_co_cluster():
+    """One mixed image+audio table through one fingerprint stage:
+    each kind's planted group clusters internally and no cluster
+    spans kinds (Hamming verify rejects cross-kind collisions)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from event_deduplication_ray.config import DedupConfig
+
+    img = MM.make_fake_media_table(n_groups=2, members=3, singletons=2)
+    aud = MM.make_fake_audio_table(n_groups=2, members=3, singletons=2)
+    # shift audio ids into a disjoint range
+    aud = aud.set_column(0, "media_id",
+                         pa.array(aud["media_id"].to_numpy() + 5_000_000))
+    t = pa.concat_tables([img, aud])
+    out = MM.media_dup_clusters(
+        rd.from_arrow(t), DedupConfig(join_num_partitions=4),
+        decoder="fake", radius=3,
+    ).to_pandas()
+    assert len(out) == len(t)
+    kinds = {int(i): k for i, k in zip(t["media_id"].to_pylist(),
+                                       t["kind"].to_pylist())}
+    out["kind"] = out["media_id"].map(kinds)
+    for _, grp in out.groupby("cluster_id"):
+        assert grp["kind"].nunique() == 1
+    lab = out.set_index("media_id")["cluster_id"]
+    for g in range(2):
+        assert lab[[g * 1000 + m for m in range(3)]].nunique() == 1
+        assert lab[[5_000_000 + g * 1000 + m for m in range(3)]].nunique() == 1
