@@ -170,7 +170,15 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
         return substring_match_pairs(sigs, cfg, pre_fn=make_substring_explode(cfg))
 
     branches: dict[str, object] = {}
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    # Branches run SEQUENTIALLY by default: each branch's shuffle is
+    # wide enough to fill the cluster on its own, so serializing
+    # bounds peak shuffle memory (and, on allocator-contended hosts,
+    # measurably wins: interleaved A/B at 500 k docs / 32 cpus showed
+    # 18.8 s serial vs 23.5 s overlapped, identical clusters).
+    # EDR_SERIAL_BRANCHES=0 overlaps them in driver threads — useful
+    # for small corpora whose branch waves underfill the machine.
+    workers = 3 if os.environ.get("EDR_SERIAL_BRANCHES") == "0" else 1
+    with ThreadPoolExecutor(max_workers=workers) as pool:
         futs = {}
         if cfg.use_minhash:
             futs["minhash"] = pool.submit(minhash_branch)
