@@ -2661,6 +2661,173 @@ def q72_chunk_windows(sf_dir: str) -> Dataset:
     return ds.map_batches(f, batch_format="pandas")
 
 
+def q74_order_count_histogram(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13-style customer order-count histogram: how many
+    customers placed exactly k orders, including k=0.  The textbook
+    formulation is a LEFT OUTER join customer⟕orders; at 100 TB the
+    outer join is unnecessary because orders.o_custkey is a foreign
+    key into customer (q15's anti-join returns 0 rows on these
+    tables), so the k=0 bin is |customer| − |custkeys with ≥1 order|
+    — O(1) driver arithmetic on a metadata count.  Shape: per-batch
+    partial counts per custkey → ONE custkey shuffle that sums the
+    partials AND emits its partition's histogram, so the second
+    "group by count" never shuffles row-level data — only P tiny
+    (c_count, custdist) frames reach the driver."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        per_cust = df.groupby("o_custkey")["n"].sum()
+        h = per_cust.value_counts()
+        return pd.DataFrame({"c_count": h.index.astype("int64"),
+                             "custdist": h.to_numpy(np.int64)})
+
+    pre = orders.map_batches(partial, batch_format="pandas")
+    parts = partition_apply(pre, ["o_custkey"], QCFG.join_num_partitions,
+                            hist).to_pandas()
+    out = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = int(n_customers) - int(out["custdist"].sum())
+    if zero > 0:
+        out = pd.concat(
+            [out, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True)
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return (out.sort_values(["custdist", "c_count"], ascending=[False, False])
+            .reset_index(drop=True))
+
+
+def q75_priority_shipments(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12-style conditional aggregation over the fact⋈fact
+    join: per ship month, how many lineitems belong to HIGH-priority
+    (1-URGENT/2-HIGH) orders vs lower ones.  lineitem pre-aggregates
+    (orderkey, month, n) inside the split wave, so only one row per
+    (orderkey, month, batch) shuffles; orders ships as a narrow
+    (orderkey, is_high) projection through q50's hash-cogroup; the
+    month-level combine is a driver concat of P partial frames, each
+    at most |months| rows."""
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def oproj(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({"o_orderkey": t["o_orderkey"], "is_high": hi})
+
+    oproj_ds = orders.map_batches(oproj, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["ship_month"] = df["l_shipdate"].dt.strftime("%Y-%m")
+        g = (df.groupby(["l_orderkey", "ship_month"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_sh = shuffle_to(li, ["l_orderkey"], QCFG.join_num_partitions,
+                       pre_fn=lpart)
+
+    empty = {"ship_month": pd.Series(dtype="object"),
+             "high_line_count": pd.Series(dtype="int64"),
+             "low_line_count": pd.Series(dtype="int64")}
+
+    def joinagg(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(empty)
+        m = r.merge(l, left_on="l_orderkey", right_on="o_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        hi = m["is_high"].to_numpy(bool)
+        n = m["n"].to_numpy(np.int64)
+        m = pd.DataFrame({"ship_month": m["ship_month"],
+                          "high_line_count": np.where(hi, n, 0),
+                          "low_line_count": np.where(hi, 0, n)})
+        return m.groupby("ship_month", as_index=False).sum()
+
+    df = cogroup_apply(oproj_ds, li_sh, ["o_orderkey"], ["l_orderkey"],
+                       QCFG.join_num_partitions, joinagg).to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame(empty)
+    out = df.groupby("ship_month", as_index=False).sum()
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out.sort_values("ship_month").reset_index(drop=True)
+
+
+def q76_user_running_total(sf_dir: str) -> pd.DataFrame:
+    """Running-total window (SUM OVER ... ROWS UNBOUNDED PRECEDING +
+    row_number) — the cumulative-window shape q60/q62's lag machinery
+    doesn't cover.  ONE user_id shuffle co-locates each user's
+    events; the partition body is a segmented cumsum over the
+    lexsorted frame (group-offset subtraction — no per-user loop).
+    value is floored to exact integer cents BEFORE accumulating so
+    Ray's np.cumsum and DuckDB's windowed SUM see identical int64
+    streams; float running sums are order-sensitive and would drift
+    between engines at round(6)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        cents = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(df)))
+        cs = np.cumsum(cents)
+        offsets = np.repeat(cs[starts] - cents[starts], sizes)
+        seq = np.arange(len(df), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        return pd.DataFrame({"user_id": uid,
+                             "event_id": df["event_id"].to_numpy(np.int64),
+                             "seq": seq,
+                             "cum_cents": cs - offsets})
+
+    out = partition_apply(ds, ["user_id"], QCFG.join_num_partitions,
+                          cum).to_pandas()
+    if len(out.columns) == 0:
+        out = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                            "event_id": pd.Series(dtype="int64"),
+                            "seq": pd.Series(dtype="int64"),
+                            "cum_cents": pd.Series(dtype="int64")})
+    return out.sort_values(["user_id", "seq"]).reset_index(drop=True)
+
+
+# GPT-2-style pre-tokenizer restricted to ASCII classes, trailing-space
+# lookahead dropped: lookaheads aren't RE2-compatible, and Python re and
+# DuckDB's RE2 must run the EXACT same pattern for oracle parity.
+# Whitespace is the explicit ASCII class (Python \s is unicode-wide,
+# RE2's is not — the explicit class removes the divergence).
+BPE_TOKEN_RX = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                r"| ?[^A-Za-z0-9 \t\n\r\f\v]+|[ \t\n\r\f\v]+")
+
+
+def q77_bpe_token_counts(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish regex token counter alongside q08's whitespace counter
+    (the two tokenization granularities a training-data pipeline
+    budgets with).  Pure map stage — pandas str.count ≡ len(findall)
+    ≡ DuckDB len(regexp_extract_all) on the shared ASCII pattern;
+    nothing shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_bpe_tokens": t.str.count(BPE_TOKEN_RX).astype("int64"),
+        })
+
+    return (ds.map_batches(f, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2731,6 +2898,10 @@ RAY_QUERIES = {
     "q71_vocab": q71_vocab,
     "q72_chunk_windows": q72_chunk_windows,
     "q73_mixed_media_dedup": q73_mixed_media_dedup,
+    "q74_order_count_histogram": q74_order_count_histogram,
+    "q75_priority_shipments": q75_priority_shipments,
+    "q76_user_running_total": q76_user_running_total,
+    "q77_bpe_token_counts": q77_bpe_token_counts,
 }
 
 
@@ -3604,5 +3775,43 @@ ORACLE_SQL = {
                    AS chunk_text
         FROM w
         ORDER BY doc_id, chunk_idx
+    """,
+    "q74_order_count_histogram": """
+        SELECT c_count, count(*)::BIGINT AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        ) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q75_priority_shipments": """
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY ship_month
+        ORDER BY ship_month
+    """,
+    "q76_user_running_total": """
+        SELECT user_id, event_id,
+               CAST(row_number() OVER w AS BIGINT) AS seq,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, seq
+    """,
+    "q77_bpe_token_counts": """
+        SELECT doc_id,
+               len(regexp_extract_all(coalesce(text, ''),
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f\\v]+|[ \\t\\n\\r\\f\\v]+'))::BIGINT
+                   AS n_bpe_tokens
+        FROM documents
+        ORDER BY doc_id
     """,
 }

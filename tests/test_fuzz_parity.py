@@ -23,7 +23,7 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q56_split_assign", "q57_len_token_corr",
           "q59_normalized_dedup", "q63_line_filter", "q64_bigram_lm",
           "q65_quantile_gate", "q67_head_dedup", "q68_global_rank",
-          "q71_vocab", "q72_chunk_windows"]
+          "q71_vocab", "q72_chunk_windows", "q77_bpe_token_counts"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 
@@ -107,7 +107,7 @@ def test_fuzz_parity(name, seed, ray_session, tmp_path):
 EV_FUZZED = ["q06_user_hourly_windows", "q14_session_windows",
              "q47_distinct_users", "q49_funnel", "q58_first_events",
              "q60_gap_quantiles", "q61_view_attribution",
-             "q62_event_debounce"]
+             "q62_event_debounce", "q76_user_running_total"]
 
 
 def _events(seed: int) -> pd.DataFrame:

@@ -66,7 +66,9 @@ SQL_CHECKED = [
     "q60_gap_quantiles", "q61_view_attribution", "q62_event_debounce",
     "q63_line_filter", "q64_bigram_lm", "q65_quantile_gate",
     "q67_head_dedup", "q68_global_rank", "q70_rolling_distinct",
-    "q71_vocab", "q72_chunk_windows",
+    "q71_vocab", "q72_chunk_windows", "q74_order_count_histogram",
+    "q75_priority_shipments", "q76_user_running_total",
+    "q77_bpe_token_counts",
 ]
 
 

@@ -708,3 +708,93 @@ def test_chunk_windows_boundaries(ray_session, tmp_path):
     assert t.startswith("b48 ") and t.endswith("b64")
     assert got.loc[got.doc_id == 4, "n_tok"].iloc[0] == 0
     assert got.loc[got.doc_id == 4, "chunk_text"].iloc[0] == ""
+
+
+def test_order_count_histogram_zero_bin(ray_session, tmp_path):
+    """The k=0 bin must appear when a customer has no orders — the
+    driver corpus has none (q15 is empty there), so the arithmetic
+    zero-bin path only runs here.  cust 1 → 3 orders, cust 2 → 1,
+    cust 3 → 0."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q74_order_count_histogram,
+    )
+
+    _write_tbl(tmp_path, "customer", pd.DataFrame({
+        "c_custkey": [1, 2, 3]}))
+    sf = _write_tbl(tmp_path, "orders", pd.DataFrame({
+        "o_orderkey": [10, 11, 12, 13],
+        "o_custkey": [1, 1, 1, 2]}))
+    got = q74_order_count_histogram(sf)
+    assert list(zip(got["c_count"], got["custdist"])) == [
+        (3, 1), (1, 1), (0, 1)]
+
+
+def test_priority_shipments_planted(ray_session, tmp_path):
+    """Conditional-agg split: order 1 is 1-URGENT (high), order 2 is
+    5-LOW; lineitems land in two ship months.  2024-01 sees 2 high +
+    1 low lines, 2024-02 sees 1 high + 0 low."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q75_priority_shipments,
+    )
+
+    _write_tbl(tmp_path, "orders", pd.DataFrame({
+        "o_orderkey": [1, 2],
+        "o_orderpriority": ["1-URGENT", "5-LOW"]}))
+    sf = _write_tbl(tmp_path, "lineitem", pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 1],
+        "l_shipdate": pd.to_datetime([
+            "2024-01-03", "2024-01-20", "2024-01-21", "2024-02-02",
+        ]).astype("datetime64[us]")}))
+    got = q75_priority_shipments(sf)
+    assert got.values.tolist() == [["2024-01", 2, 1], ["2024-02", 1, 0]]
+
+
+def test_user_running_total_planted(ray_session, tmp_path):
+    """Running-total semantics pinned by hand: cents are FLOORED per
+    event before accumulating (1.005 → 100, not 101; -0.011 → -2),
+    equal timestamps order by event_id, and seq restarts per user."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q76_user_running_total,
+    )
+
+    ts = pd.Timestamp("2024-05-01 08:00:00")
+    sf = _write_tbl(tmp_path, "events", pd.DataFrame({
+        "event_id": [5, 2, 9, 1],
+        "ts": pd.Series([ts, ts, ts + pd.Timedelta("1h"), ts]
+                        ).astype("datetime64[us]"),
+        "user_id": [1, 1, 1, 2],
+        "value": [1.005, 2.999, 10.0, -0.011]}))
+    got = q76_user_running_total(sf)
+    # user 1: event 2 (ts tie, smaller id) → 299; event 5 → +100;
+    # event 9 (later ts) → +1000
+    assert got[got.user_id == 1]["event_id"].tolist() == [2, 5, 9]
+    assert got[got.user_id == 1]["cum_cents"].tolist() == [299, 399, 1399]
+    assert got[got.user_id == 1]["seq"].tolist() == [1, 2, 3]
+    assert got[got.user_id == 2]["cum_cents"].tolist() == [-2]
+    assert got[got.user_id == 2]["seq"].tolist() == [1]
+
+
+def test_bpe_token_counts_planted(ray_session, tmp_path):
+    """Each alternation branch of the BPE-ish pattern exercised by
+    hand-counted strings: contractions split ('s/'t), leading-space
+    fusion, digit runs, punctuation runs, bare whitespace runs, and
+    the double-space case where the whitespace branch must absorb the
+    run the letter branch can't."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q77_bpe_token_counts,
+    )
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["it's 2 cats!!  ok", "hello world", "a1b", "",
+                 "a\tb\nc", "don't stop-me now's"]}))
+    got = q77_bpe_token_counts(sf)
+    assert got["n_bpe_tokens"].tolist() == [7, 2, 3, 0, 5, 7]
