@@ -2828,6 +2828,140 @@ def q77_bpe_token_counts(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def q78_line_dedup_rewrite(sf_dir: str) -> Dataset:
+    """Corpus-level duplicate-LINE removal with document rewrite —
+    the C4/CCNet 'drop repeated spans across the corpus, keep the
+    first occurrence' transform as a REWRITING operator (q43 only
+    flags).  A line participates iff it has >= 5 tokens (short lines
+    — bullets, headers — always stay); keep = smallest
+    (doc_id, line_idx) among equal lines, including within-doc
+    repeats; every other occurrence is dropped and the doc is
+    reassembled from its surviving lines.
+
+    Scale shape: pass 1 explodes (line, doc_id, line_idx) for LONG
+    lines only and hash-partitions by the line string, so equal
+    lines co-locate and each partition emits only its LOSERS — the
+    drop set is the genuinely small side (two int64s per dropped
+    line).  Pass 2 re-reads the pruned docs and cogroups them with
+    the drop set by doc_id; only affected docs are re-split, the
+    rest pass through untouched.  Text bodies cross the wire twice
+    (line explode, doc cogroup) and never sit on the driver."""
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df["text"].fillna("").str.split("\n")
+        nl = lines.str.len().to_numpy(np.int64)
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), nl)
+        flat = pd.Series(
+            np.concatenate([np.asarray(v, dtype=object) for v in lines])
+            if len(lines) else np.array([], dtype=object))
+        starts = np.concatenate([[0], np.cumsum(nl)[:-1]]) \
+            if len(nl) else np.array([], dtype=np.int64)
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, nl)
+        long = flat.str.count(r"\S+").to_numpy(np.int64) >= 5
+        return pd.DataFrame({"line": flat[long].reset_index(drop=True),
+                             "doc_id": doc[long], "line_idx": idx[long]})
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["line", "doc_id", "line_idx"], kind="stable")
+        first = ~df["line"].duplicated()
+        return df.loc[~first, ["doc_id", "line_idx"]]
+
+    drops = partition_apply(ds.map_batches(explode, batch_format="pandas"),
+                            ["line"], QCFG.join_num_partitions, losers)
+    drops_sh = shuffle_to(drops, ["doc_id"], QCFG.join_num_partitions)
+
+    empty = {"doc_id": pd.Series(dtype="int64"),
+             "clean_text": pd.Series(dtype="object"),
+             "n_dropped": pd.Series(dtype="int64")}
+
+    def rewrite(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(empty)
+        out = pd.DataFrame({"doc_id": l["doc_id"].to_numpy(np.int64),
+                            "clean_text": l["text"].fillna(""),
+                            "n_dropped": np.zeros(len(l), np.int64)})
+        if len(r) == 0:
+            return out
+        hit = out["doc_id"].isin(r["doc_id"].unique()).to_numpy()
+        aff = l[hit]
+        lines = aff["text"].fillna("").str.split("\n")
+        nl = lines.str.len().to_numpy(np.int64)
+        flat_doc = np.repeat(aff["doc_id"].to_numpy(np.int64), nl)
+        flat = pd.Series(
+            np.concatenate([np.asarray(v, dtype=object) for v in lines]))
+        starts = np.concatenate([[0], np.cumsum(nl)[:-1]])
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, nl)
+        e = pd.DataFrame({"doc_id": flat_doc, "line_idx": idx, "line": flat})
+        m = e.merge(r.assign(_drop=1), on=["doc_id", "line_idx"], how="left")
+        kept = m[m["_drop"].isna()]
+        joined = kept.groupby("doc_id")["line"].agg("\n".join)
+        ndrop = m[m["_drop"].notna()].groupby("doc_id").size()
+        out.loc[hit, "clean_text"] = (
+            out.loc[hit, "doc_id"].map(joined).fillna("").to_numpy())
+        out.loc[hit, "n_dropped"] = (
+            out.loc[hit, "doc_id"].map(ndrop).fillna(0).to_numpy(np.int64))
+        return out
+
+    return cogroup_apply(ds, drops_sh, ["doc_id"], ["doc_id"],
+                         QCFG.join_num_partitions, rewrite)
+
+
+def q79_oov_rate(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer-coverage audit: fraction of each doc's tokens that
+    fall outside the corpus vocabulary (tokens with global freq >= 5,
+    q71's cutoff).  Pass 1 is q71's count-partial combine, but only
+    the qualifying token strings return to the driver (the vocab is
+    the genuinely small side) and broadcast once via ``ray.put``;
+    pass 2 streams docs, explodes tokens and counts membership
+    vectorized.  The rate ships as integer parts-per-million computed
+    in exact int64 arithmetic — a float division would be
+    tie-sensitive at round(6) between numpy and DuckDB."""
+    import ray
+
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = tokenize_offsets(df["text"].str.lower())
+        if len(flat) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"token": vc.index, "n": vc.to_numpy(np.int64)})
+
+    def vocab_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["n"].sum()
+        return g[g["n"] >= 5][["token"]]
+
+    vocab = partition_apply(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        ["token"], QCFG.join_num_partitions, vocab_part).to_pandas()
+    vocab_ref = ray.put(frozenset(vocab["token"].tolist()))
+
+    def rate(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vocab_ref)
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        inv = pd.Series(flat).isin(v).to_numpy() if len(flat) \
+            else np.array([], dtype=bool)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        c = np.concatenate([[0], np.cumsum(~inv)]).astype(np.int64)
+        n_oov = c[ends] - c[starts]
+        n_tok = lens.astype(np.int64)
+        ppm = np.where(n_tok > 0, (n_oov * 1_000_000) // np.maximum(n_tok, 1),
+                       0).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "n_tok": n_tok, "n_oov": n_oov,
+                             "oov_ppm": ppm})
+
+    out = ds.map_batches(rate, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2902,6 +3036,8 @@ RAY_QUERIES = {
     "q75_priority_shipments": q75_priority_shipments,
     "q76_user_running_total": q76_user_running_total,
     "q77_bpe_token_counts": q77_bpe_token_counts,
+    "q78_line_dedup_rewrite": q78_line_dedup_rewrite,
+    "q79_oov_rate": q79_oov_rate,
 }
 
 
@@ -3813,5 +3949,57 @@ ORACLE_SQL = {
                    AS n_bpe_tokens
         FROM documents
         ORDER BY doc_id
+    """,
+    "q78_line_dedup_rewrite": """
+        WITH l AS (
+          SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+          FROM documents
+        ),
+        e AS (
+          SELECT doc_id, CAST(t.i AS BIGINT) AS line_idx,
+                 ls[CAST(t.i AS BIGINT) + 1] AS line
+          FROM l, UNNEST(range(0, len(ls))) AS t(i)
+        ),
+        d AS (
+          SELECT doc_id, line_idx, line,
+                 CASE WHEN len(regexp_extract_all(line, '\\S+')) >= 5
+                      THEN row_number() OVER (PARTITION BY line
+                                              ORDER BY doc_id, line_idx)
+                      ELSE 1 END AS rn
+          FROM e
+        ),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY line_idx) AS clean_text,
+                 count(*)::BIGINT AS n_kept
+          FROM d WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT l.doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               (len(l.ls) - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+        FROM l LEFT JOIN agg a USING (doc_id)
+        ORDER BY l.doc_id
+    """,
+    "q79_oov_rate": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\\S+')) AS t
+          FROM documents
+        ),
+        v AS (SELECT t FROM tok GROUP BY t HAVING count(*) >= 5),
+        per AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tok,
+                 sum(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1
+                     END)::BIGINT AS n_oov
+          FROM tok GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_tok, 0)::BIGINT AS n_tok,
+               coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+               coalesce((p.n_oov * 1000000) // NULLIF(p.n_tok, 0),
+                        0)::BIGINT AS oov_ppm
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id
     """,
 }

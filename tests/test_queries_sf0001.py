@@ -68,7 +68,7 @@ SQL_CHECKED = [
     "q67_head_dedup", "q68_global_rank", "q70_rolling_distinct",
     "q71_vocab", "q72_chunk_windows", "q74_order_count_histogram",
     "q75_priority_shipments", "q76_user_running_total",
-    "q77_bpe_token_counts",
+    "q77_bpe_token_counts", "q78_line_dedup_rewrite", "q79_oov_rate",
 ]
 
 

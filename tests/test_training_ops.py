@@ -798,3 +798,56 @@ def test_bpe_token_counts_planted(ray_session, tmp_path):
                  "a\tb\nc", "don't stop-me now's"]}))
     got = q77_bpe_token_counts(sf)
     assert got["n_bpe_tokens"].tolist() == [7, 2, 3, 0, 5, 7]
+
+
+def test_line_dedup_rewrite_planted(ray_session, tmp_path):
+    """Rewrite semantics pinned by hand: a >=5-token line repeated
+    across docs keeps only its first (doc_id, line_idx) occurrence —
+    including a within-doc repeat — short dup lines always stay, and
+    a doc made entirely of dropped lines rewrites to ''."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q78_line_dedup_rewrite,
+    )
+
+    boiler = "this exact boilerplate line repeats everywhere verbatim"
+    short = "tiny line"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"{boiler}\nunique alpha words here today\n{boiler}",
+            f"{short}\n{boiler}\nanother unique beta sentence here",
+            boiler,
+            f"{short}\n{short}",
+        ]}))
+    got = (q78_line_dedup_rewrite(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 1 keeps the FIRST boiler occurrence, drops its own repeat
+    assert got.loc[0, "clean_text"] == f"{boiler}\nunique alpha words here today"
+    assert got.loc[0, "n_dropped"] == 1
+    # doc 2 loses boiler but keeps the short line
+    assert got.loc[1, "clean_text"] == f"{short}\nanother unique beta sentence here"
+    assert got.loc[1, "n_dropped"] == 1
+    # doc 3 was only the boiler → rewrites to empty
+    assert got.loc[2, "clean_text"] == "" and got.loc[2, "n_dropped"] == 1
+    # short dup lines are never deduped
+    assert got.loc[3, "clean_text"] == f"{short}\n{short}"
+    assert got.loc[3, "n_dropped"] == 0
+
+
+def test_oov_rate_planted(ray_session, tmp_path):
+    """Vocab cutoff and ppm arithmetic by hand: 'a' occurs 7 times
+    (in-vocab), 'z' and 'b' once (OOV); ppm is exact int64 floor
+    division."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q79_oov_rate
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a", "a a a a z", "b"]}))
+    got = q79_oov_rate(sf)
+    assert got["n_tok"].tolist() == [3, 5, 1]
+    assert got["n_oov"].tolist() == [0, 1, 1]
+    assert got["oov_ppm"].tolist() == [0, 200000, 1000000]
