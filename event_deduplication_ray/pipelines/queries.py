@@ -2909,6 +2909,29 @@ def q78_line_dedup_rewrite(sf_dir: str) -> Dataset:
                          QCFG.join_num_partitions, rewrite)
 
 
+def q80_video_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Video near-dup dedup: frame-sample (every 2nd frame, <= 8 per
+    clip) → per-frame phash → the shared Hamming-bucket pair
+    machinery at frame granularity → media pairs voting with
+    >= 2 shared near-identical frames → CC.  Rows-only (codec-bound,
+    like q29/q73); sampler determinism, length tolerance and the
+    shared-frame vote are pytest-gated in test_multimodal.py."""
+    import ray.data as rd_
+
+    from event_deduplication_ray.stages.multimodal import (
+        make_fake_video_table,
+        video_dup_clusters,
+    )
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    groups = int(max(2, min(24, n_docs // 50)))
+    t = make_fake_video_table(n_groups=groups, members=3,
+                              singletons=int(min(n_docs, 100)), seed=19)
+    out = video_dup_clusters(rd_.from_arrow(t), QCFG, decoder="fake",
+                             radius=3).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q79_oov_rate(sf_dir: str) -> pd.DataFrame:
     """Tokenizer-coverage audit: fraction of each doc's tokens that
     fall outside the corpus vocabulary (tokens with global freq >= 5,
@@ -3038,6 +3061,7 @@ RAY_QUERIES = {
     "q77_bpe_token_counts": q77_bpe_token_counts,
     "q78_line_dedup_rewrite": q78_line_dedup_rewrite,
     "q79_oov_rate": q79_oov_rate,
+    "q80_video_dup_clusters": q80_video_dup_clusters,
 }
 
 

@@ -219,6 +219,92 @@ def afp64(pcm: np.ndarray, windows: int = 65) -> np.uint64:
     return fp
 
 
+def make_fake_video_payload(media_id: int, width: int, height: int,
+                            n_frames: int) -> bytes:
+    """Fake video clip: ``b"FAKV" + uint16 w + uint16 h + uint16
+    n_frames + frames`` (n_frames · h · w grayscale bytes)."""
+    rng = np.random.default_rng(media_id)
+    raw = rng.integers(0, 256, size=n_frames * width * height,
+                       dtype=np.uint8).tobytes()
+    return (b"FAKV" + int(width).to_bytes(2, "little")
+            + int(height).to_bytes(2, "little")
+            + int(n_frames).to_bytes(2, "little") + raw)
+
+
+def _fake_decode_video(payload: bytes) -> np.ndarray:
+    """→ (n_frames, h, w) uint8 array."""
+    if payload[:4] != b"FAKV":
+        raise ValueError("not a fake video payload")
+    w = int.from_bytes(payload[4:6], "little")
+    h = int.from_bytes(payload[6:8], "little")
+    n = int.from_bytes(payload[8:10], "little")
+    return np.frombuffer(payload[10:10 + n * w * h],
+                         dtype=np.uint8).reshape(n, h, w)
+
+
+class MediaFrameSampleStage:
+    """Actor-pool stage: video payload → one row per SAMPLED frame
+    (media_id, frame_idx, width, height, phash) — the frame-sample
+    plumbing step of a video pipeline.  Sampling is deterministic:
+    every ``stride``-th frame, at most ``max_frames`` per clip (frame
+    0 always included), so re-runs and the oracle-side test see the
+    same frames.  Non-video rows pass through with zero output rows;
+    the binary column is dropped immediately (8-byte fingerprints ride
+    every downstream shuffle).  Small ``batch_size`` — video payloads
+    dominate worker memory."""
+
+    def __init__(self, decoder: str = "stub", stride: int = 2,
+                 max_frames: int = 8, grid: int = 8):
+        self.decoder = decoder
+        self.stride = max(int(stride), 1)
+        self.max_frames = max(int(max_frames), 1)
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "stub":
+            raise NotImplementedError(
+                "video decoding requires a codec library (ffmpeg/ "
+                "decord) not present in this environment; wire it here"
+            )
+        col = batch["payload"]
+        kinds = batch["kind"].to_pylist() if "kind" in batch.column_names \
+            else ["video"] * len(col)
+        mids = batch["media_id"].to_numpy()
+        out_mid, out_idx, out_w, out_h, out_fp = [], [], [], [], []
+        for i in range(len(col)):
+            if kinds[i] != "video":
+                continue
+            frames = _fake_decode_video(col[i].as_py())
+            n, h, w = frames.shape
+            take = np.arange(0, n, self.stride)[: self.max_frames]
+            for j in take:
+                out_mid.append(mids[i])
+                out_idx.append(int(j))
+                out_w.append(w)
+                out_h.append(h)
+                out_fp.append(phash64(frames[j], self.grid))
+        return pa.table({
+            "media_id": pa.array(np.asarray(out_mid, np.int64)),
+            "frame_idx": pa.array(np.asarray(out_idx, np.int64)),
+            "width": pa.array(np.asarray(out_w, np.int64)),
+            "height": pa.array(np.asarray(out_h, np.int64)),
+            "phash": pa.array(np.asarray(out_fp, np.uint64), pa.uint64()),
+        })
+
+
+def frame_samples(
+    media: "Dataset", decoder: str = "stub", stride: int = 2,
+    max_frames: int = 8, concurrency: int = 2, batch_size: int = 16,
+) -> "Dataset":
+    return media.map_batches(
+        MediaFrameSampleStage,
+        fn_constructor_args=(decoder, stride, max_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class MediaFingerprintStage:
     """Actor-pool stage: payload → (media_id, phash uint64),
     dispatching per row on ``kind``: images hash via block-mean
@@ -308,6 +394,132 @@ def media_dup_clusters(media: "Dataset", cfg=None, decoder: str = "fake",
         return t.rename_columns(["media_id", "cluster_id"])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def video_dup_clusters(media: "Dataset", cfg=None, decoder: str = "fake",
+                       radius: int = 3, min_shared_frames: int = 2,
+                       stride: int = 2, max_frames: int = 8) -> "Dataset":
+    """Video near-dup clusters: frame-sample → per-frame phash →
+    pigeonhole Hamming buckets → frame-level matched pairs → media
+    pairs that share >= min_shared_frames near-identical sampled
+    frames → connected components.
+
+    Machinery reuse: frame rows enter the SAME capped simhash banding
+    the text tier uses, with doc_id salted as media_id·2¹⁶+frame_idx
+    so pair dedup stays frame-level (assumes media_id < 2⁴⁷ and
+    frame_idx < 2¹⁶ — both hold for sampled indices); un-salting is
+    a shift.  The >= min_shared_frames vote makes a single
+    coincidental frame collision insufficient to merge two videos.
+    Partitioning assumption: identical to the simhash text tier."""
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.stages.banding import pigeonhole_band_keys
+    from event_deduplication_ray.stages.cluster import (
+        assignments_with_singletons,
+        connected_components,
+    )
+    from event_deduplication_ray.stages.pairs import simhash_match_pairs
+    from event_deduplication_ray.stages.shuffle import partition_apply
+
+    cfg = (cfg or DedupConfig()).with_overrides(hamming_radius=radius)
+    n_chunks = radius + 1
+
+    frames = frame_samples(media, decoder=decoder, stride=stride,
+                           max_frames=max_frames)
+
+    def explode(t: pa.Table) -> pa.Table:
+        fp = t["phash"].to_numpy().astype(np.uint64)
+        salted = (t["media_id"].to_numpy().astype(np.int64) << np.int64(16)) \
+            | t["frame_idx"].to_numpy().astype(np.int64)
+        return pa.table({
+            "band_key": pa.array(pigeonhole_band_keys(fp, n_chunks, 64)),
+            "doc_id": pa.array(np.tile(salted, n_chunks)),
+            "simhash": pa.array(np.tile(fp, n_chunks)),
+        })
+
+    band = frames.map_batches(explode, batch_format="pyarrow")
+    frame_pairs = simhash_match_pairs(band, cfg, tier="vframe")
+
+    def to_media_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        va = df["id_a"].to_numpy(np.int64) >> np.int64(16)
+        vb = df["id_b"].to_numpy(np.int64) >> np.int64(16)
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        keep = lo != hi
+        out = pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+        return out.groupby(["id_a", "id_b"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], as_index=False)["n"].sum()
+        return g[g["n"] >= min_shared_frames][["id_a", "id_b"]]
+
+    pre = frame_pairs.map_batches(to_media_pairs, batch_format="pandas")
+    edges = partition_apply(pre, ["id_a", "id_b"],
+                            cfg.join_num_partitions, vote)
+
+    labels = connected_components(edges, cfg)
+    import pyarrow.compute as pc
+
+    def vids(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["kind"], "video")
+        return pa.table({"doc_id": t.filter(m)["media_id"]})
+
+    ids = media.map_batches(vids, batch_format="pyarrow")
+    out = assignments_with_singletons(ids, labels, cfg)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["media_id", "cluster_id"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def make_fake_video_table(
+    n_groups: int = 4, members: int = 3, singletons: int = 6,
+    seed: int = 19, width: int = 32, height: int = 32,
+    n_frames: int = 12,
+) -> pa.Table:
+    """Deterministic video corpus with planted near-dup groups: group
+    members share one base clip; member m flips m pixels in EVERY
+    frame (per-frame phash Hamming stays <= m) and appends m extra
+    random frames (length variation the sampler must tolerate).
+    Singletons are independent random clips.  Ground truth:
+    media_id = g·1000+m for members, 10⁶+i for singletons."""
+    ids, payloads = [], []
+    for g in range(n_groups):
+        rng = np.random.default_rng(seed + g)
+        base = rng.integers(0, 256, size=(n_frames, height, width),
+                            dtype=np.uint8)
+        for m in range(members):
+            clip = base.copy()
+            if m:
+                pr = np.random.default_rng(seed * 1000 + g * 100 + m)
+                for _ in range(m):
+                    y, x = pr.integers(0, height), pr.integers(0, width)
+                    clip[:, y, x] = 255 - clip[:, y, x]
+                extra = pr.integers(0, 256, size=(m, height, width),
+                                    dtype=np.uint8)
+                clip = np.concatenate([clip, extra])
+            ids.append(g * 1000 + m)
+            payloads.append(b"FAKV" + width.to_bytes(2, "little")
+                            + height.to_bytes(2, "little")
+                            + int(clip.shape[0]).to_bytes(2, "little")
+                            + clip.tobytes())
+    srng = np.random.default_rng(seed + 333)
+    for i in range(singletons):
+        clip = srng.integers(0, 256, size=(n_frames, height, width),
+                             dtype=np.uint8)
+        ids.append(1_000_000 + i)
+        payloads.append(b"FAKV" + width.to_bytes(2, "little")
+                        + height.to_bytes(2, "little")
+                        + int(n_frames).to_bytes(2, "little")
+                        + clip.tobytes())
+    return pa.table({
+        "media_id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "url": pa.array([f"https://media.example/v{i}" for i in ids]),
+        "kind": pa.array(["video"] * len(ids)),
+        "payload": pa.array(payloads, pa.binary()),
+        "n_bytes": pa.array(np.asarray([len(p) for p in payloads],
+                                       np.int64)),
+    })
 
 
 def make_fake_audio_table(

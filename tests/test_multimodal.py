@@ -178,3 +178,98 @@ def test_mixed_media_kinds_never_co_cluster():
     for g in range(2):
         assert lab[[g * 1000 + m for m in range(3)]].nunique() == 1
         assert lab[[5_000_000 + g * 1000 + m for m in range(3)]].nunique() == 1
+
+
+def test_frame_sampler_deterministic_and_bounded():
+    """Frame sampling: every 2nd frame capped at max_frames, frame 0
+    always present, identical output across runs, and non-video rows
+    contribute zero rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    vid = MM.make_fake_video_table(n_groups=1, members=1, singletons=0,
+                                   n_frames=12)
+    img = MM.make_fake_media_table(n_groups=1, members=1, singletons=0)
+    t = pa.concat_tables([vid, img], promote_options="default")
+    ds = rd.from_arrow(t)
+    a = MM.frame_samples(ds, decoder="fake", stride=2, max_frames=4,
+                         concurrency=1).to_pandas()
+    b = MM.frame_samples(ds, decoder="fake", stride=2, max_frames=4,
+                         concurrency=1).to_pandas()
+    # only the video row (media_id 0) produced frames
+    assert set(a["media_id"]) == {0}
+    assert sorted(a["frame_idx"]) == [0, 2, 4, 6]
+    assert (a["width"] == 32).all() and (a["height"] == 32).all()
+    pd_sorted = lambda df: df.sort_values(["media_id", "frame_idx"]) \
+        .reset_index(drop=True)
+    assert pd_sorted(a).equals(pd_sorted(b))
+
+
+def test_frame_sampler_stub_raises():
+    import pytest as _pytest
+    import ray.data as rd
+
+    t = MM.make_fake_video_table(n_groups=1, members=1, singletons=0)
+    with _pytest.raises(Exception):
+        MM.frame_samples(rd.from_arrow(t), decoder="stub",
+                         concurrency=1).to_pandas()
+
+
+def test_video_dup_clusters_planted_groups():
+    """Planted video near-dup groups (members differ by flipped
+    pixels AND extra trailing frames) cluster; singletons stay
+    apart."""
+    import ray.data as rd
+
+    from event_deduplication_ray.config import DedupConfig
+
+    t = MM.make_fake_video_table(n_groups=3, members=3, singletons=6)
+    out = MM.video_dup_clusters(
+        rd.from_arrow(t), DedupConfig(join_num_partitions=4),
+        decoder="fake", radius=3,
+    ).to_pandas()
+    assert len(out) == 3 * 3 + 6
+    lab = out.set_index("media_id")["cluster_id"]
+    for g in range(3):
+        ids = [g * 1000 + m for m in range(3)]
+        assert lab[ids].nunique() == 1, f"group {g} shattered"
+    group_labels = {lab[g * 1000] for g in range(3)}
+    assert len(group_labels) == 3
+    singles = lab[[1_000_000 + i for i in range(6)]]
+    assert singles.nunique() == 6
+    assert not (set(singles) & group_labels)
+
+
+def test_video_single_shared_frame_does_not_merge():
+    """The >= 2 shared-frame vote: two videos that share exactly ONE
+    sampled frame (the rest independent) must stay separate clusters."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from event_deduplication_ray.config import DedupConfig
+
+    rng = np.random.default_rng(5)
+    shared = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+
+    def clip(seed, put_shared_at):
+        r = np.random.default_rng(seed)
+        frames = r.integers(0, 256, size=(8, 32, 32), dtype=np.uint8)
+        frames[put_shared_at] = shared
+        return (b"FAKV" + (32).to_bytes(2, "little")
+                + (32).to_bytes(2, "little")
+                + (8).to_bytes(2, "little") + frames.tobytes())
+
+    payloads = [clip(100, 0), clip(200, 2)]
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "url": pa.array(["u1", "u2"]),
+        "kind": pa.array(["video", "video"]),
+        "payload": pa.array(payloads, pa.binary()),
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+    out = MM.video_dup_clusters(
+        rd.from_arrow(t), DedupConfig(join_num_partitions=2),
+        decoder="fake", radius=3,
+    ).to_pandas()
+    assert out["cluster_id"].nunique() == 2
