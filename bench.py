@@ -132,7 +132,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q38_tfidf_topterms", "q46_curation", "q48_distinct_users_hll",
         "q50_shipping_priority", "q54_neardup_decontaminate",
         "q55_regional_revenue", "q64_bigram_lm", "q68_global_rank",
-        "q70_rolling_distinct", "q71_vocab",
+        "q70_rolling_distinct", "q71_vocab", "q74_order_count_histogram",
+        "q76_user_running_total", "q78_line_dedup_rewrite", "q79_oov_rate",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -78,3 +78,56 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)        # linear counting
     return float(est)
+
+
+# ------------------------------------------------------------------
+# Count-Min sketch — mergeable approximate frequency table.
+#
+# Complements Misra-Gries (queries.q69): MG surfaces WHICH keys are
+# heavy with a one-sided underestimate, CMS answers "how often does
+# key k occur" for ANY k with a one-sided OVERestimate
+# (true <= est <= true + eps*N w.h.p., eps = e/width).  Both partials
+# merge by simple elementwise ops, so a reduce tree of any shape —
+# per-batch → per-partition → driver — gives the exact same sketch as
+# a single pass; no per-key shuffle ever happens.
+
+CMS_D_DEFAULT = 4
+CMS_W_DEFAULT = 8192
+
+
+def _cms_rows(keys_u64: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, n) int64 column indices — row r uses splitmix(key ^ mix(r+1))."""
+    out = np.empty((d, len(keys_u64)), dtype=np.int64)
+    for r in range(d):
+        seed = _splitmix64(np.asarray([r + 1], dtype=U64))[0]
+        out[r] = (_splitmix64(keys_u64 ^ seed) % U64(w)).astype(np.int64)
+    return out
+
+
+def cms_partial(keys_u64: np.ndarray, counts: np.ndarray,
+                d: int = CMS_D_DEFAULT, w: int = CMS_W_DEFAULT) -> np.ndarray:
+    """Fold (key, count) pairs into a fresh (d, w) int64 matrix."""
+    M = np.zeros((d, w), dtype=np.int64)
+    if len(keys_u64) == 0:
+        return M
+    idx = _cms_rows(np.asarray(keys_u64, dtype=U64), d, w)
+    c = np.asarray(counts, dtype=np.int64)
+    for r in range(d):
+        np.add.at(M[r], idx[r], c)
+    return M
+
+
+def cms_merge(sketches: "list[np.ndarray]") -> np.ndarray:
+    """Elementwise sum — the sketch of the concatenated streams."""
+    return np.sum([np.asarray(s, dtype=np.int64) for s in sketches], axis=0)
+
+
+def cms_query(M: np.ndarray, keys_u64: np.ndarray) -> np.ndarray:
+    """Point estimates (int64): min over rows — never below the true
+    count, above it by at most eps*N with prob 1-2^-d."""
+    if len(keys_u64) == 0:
+        return np.zeros(0, dtype=np.int64)
+    d, w = M.shape
+    idx = _cms_rows(np.asarray(keys_u64, dtype=U64), d, w)
+    ests = np.stack([M[r][idx[r]] for r in range(d)])
+    return ests.min(axis=0).astype(np.int64)

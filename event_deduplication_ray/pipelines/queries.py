@@ -2932,6 +2932,69 @@ def q80_video_dup_clusters(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q81_top_bigrams_cms(sf_dir: str) -> pd.DataFrame:
+    """Sketch-ONLY heavy hitters: Misra-Gries surfaces WHICH bigrams
+    are heavy (q69, one-sided underestimate), a Count-Min sketch
+    answers HOW OFTEN with a one-sided overestimate — composed, the
+    true count is bracketed n_mg <= true <= n_cms without any per-key
+    shuffle anywhere (both sketches merge by elementwise ops through
+    a reduce tree: per-batch partial → per-part sum → driver merge of
+    P fixed-size matrices).  The scale story vs exact q35: shuffle
+    bytes are O(P · d · w) regardless of corpus size.  Rows-only
+    (approximate by design); test_training_ops gates the bracket and
+    the CMS error bound against exact counts."""
+    from event_deduplication_ray.functions.hashing import (
+        hash_strings_u64,
+        tokenize_offsets,
+    )
+    from event_deduplication_ray.functions.sketch import (
+        cms_merge,
+        cms_partial,
+        cms_query,
+    )
+
+    mg = q69_top_bigrams_mg(sf_dir)
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def cms_pass(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        n = len(flat)
+        if n < 2:
+            M = cms_partial(np.zeros(0, np.uint64), np.zeros(0, np.int64))
+        else:
+            start_ok = np.ones(n, dtype=bool)
+            ends = np.cumsum(lens)
+            start_ok[ends[lens > 0] - 1] = False
+            idx = np.flatnonzero(start_ok[:-1])
+            vc = pd.Series(flat[idx] + " " + flat[idx + 1]).value_counts()
+            keys = hash_strings_u64(vc.index.to_numpy(dtype=object))
+            M = cms_partial(keys, vc.to_numpy(np.int64))
+        part = int(M.sum()) % 8
+        return pd.DataFrame({"part": np.array([part], np.int64),
+                             "cms": [M.tobytes()]})
+
+    def sum_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"part": pd.Series(dtype="int64"),
+                                 "cms": pd.Series(dtype="object")})
+        mats = [np.frombuffer(b, np.int64).reshape(4, -1)
+                for b in df["cms"]]
+        return pd.DataFrame({"part": np.array([df["part"].iloc[0]], np.int64),
+                             "cms": [cms_merge(mats).tobytes()]})
+
+    parts = partition_apply(
+        ds.map_batches(cms_pass, batch_format="pandas"),
+        ["part"], 8, sum_part).to_pandas()
+    M = cms_merge([np.frombuffer(b, np.int64).reshape(4, -1)
+                   for b in parts["cms"]])
+
+    out = mg.copy()
+    keys = hash_strings_u64(out["ngram"].to_numpy(dtype=object)) \
+        if len(out) else np.zeros(0, np.uint64)
+    out["n_cms"] = cms_query(M, keys)
+    return out.reset_index(drop=True)
+
+
 def q79_oov_rate(sf_dir: str) -> pd.DataFrame:
     """Tokenizer-coverage audit: fraction of each doc's tokens that
     fall outside the corpus vocabulary (tokens with global freq >= 5,
@@ -3062,6 +3125,7 @@ RAY_QUERIES = {
     "q78_line_dedup_rewrite": q78_line_dedup_rewrite,
     "q79_oov_rate": q79_oov_rate,
     "q80_video_dup_clusters": q80_video_dup_clusters,
+    "q81_top_bigrams_cms": q81_top_bigrams_cms,
 }
 
 

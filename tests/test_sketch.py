@@ -55,3 +55,45 @@ def test_q48_within_error_of_exact_q47(ray_session, sf_dir):
     for et in exact.index:
         n, e = int(exact[et]), int(est[et])
         assert abs(e - n) / max(n, 1) < 0.05, (et, n, e)
+
+
+def test_cms_merge_equals_single_pass():
+    """partial(a) + partial(b) must equal partial(a ++ b) register
+    for register — the property that makes any reduce-tree shape
+    produce the same sketch."""
+    import numpy as np
+
+    from event_deduplication_ray.functions.sketch import (
+        cms_merge, cms_partial,
+    )
+
+    rng = np.random.default_rng(3)
+    ka = rng.integers(0, 2**63, 500).astype(np.uint64)
+    kb = rng.integers(0, 2**63, 700).astype(np.uint64)
+    ca = rng.integers(1, 50, 500).astype(np.int64)
+    cb = rng.integers(1, 50, 700).astype(np.int64)
+    merged = cms_merge([cms_partial(ka, ca), cms_partial(kb, cb)])
+    single = cms_partial(np.concatenate([ka, kb]), np.concatenate([ca, cb]))
+    assert (merged == single).all()
+
+
+def test_cms_overestimates_within_bound():
+    """true <= est for EVERY key (hard guarantee) and est <= true +
+    eps*N for a zipf-ish planted distribution (holds deterministically
+    for this fixed hash; eps = e/w)."""
+    import numpy as np
+
+    from event_deduplication_ray.functions.sketch import (
+        CMS_W_DEFAULT, cms_partial, cms_query,
+    )
+
+    rng = np.random.default_rng(11)
+    n_keys = 20_000
+    keys = rng.integers(0, 2**63, n_keys).astype(np.uint64)
+    counts = np.maximum((10_000 / np.arange(1, n_keys + 1)), 1).astype(np.int64)
+    M = cms_partial(keys, counts)
+    est = cms_query(M, keys)
+    assert (est >= counts).all()
+    N = int(counts.sum())
+    eps = np.e / CMS_W_DEFAULT
+    assert (est <= counts + eps * N).all()

@@ -851,3 +851,25 @@ def test_oov_rate_planted(ray_session, tmp_path):
     assert got["n_tok"].tolist() == [3, 5, 1]
     assert got["n_oov"].tolist() == [0, 1, 1]
     assert got["oov_ppm"].tolist() == [0, 200000, 1000000]
+
+
+def test_top_bigrams_cms_brackets_exact(ray_session):
+    """MG + CMS composition: for every reported bigram the TRUE count
+    (exact q35) must satisfy n_est (MG, underestimate) <= true <=
+    n_cms (CMS, overestimate)."""
+    from event_deduplication_ray.pipelines.queries import (
+        q35_top_bigrams, q81_top_bigrams_cms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = q35_top_bigrams(sf).set_index("ngram")["n"]
+    got = q81_top_bigrams_cms(sf)
+    assert len(got) > 0
+    for _, row in got.iterrows():
+        true = int(exact.get(row["ngram"], 0)) or None
+        if true is None:
+            # MG may surface a key below q35's top-k cutoff; the
+            # bracket still must hold against the CMS overestimate
+            assert row["n_est"] <= row["n_cms"]
+            continue
+        assert row["n_est"] <= true <= row["n_cms"], row["ngram"]
