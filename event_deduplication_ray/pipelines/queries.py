@@ -2932,6 +2932,100 @@ def q80_video_dup_clusters(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q82_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, 'Data
+    Selection with Importance Resampling'): log w(x) =
+    log p_target(x) − log p_raw(x) under two add-one-smoothed bigram
+    LMs — target = the English subset (the 'high-quality/in-domain'
+    side), raw = the whole corpus.  Docs whose phrasing looks more
+    target-like than corpus-average score > 0 and would be kept by
+    importance resampling.
+
+    Scale shape: ONE counting pass emits per-batch value_counts
+    partials TAGGED with the model they feed (raw rows once, target
+    rows once more for the en subset) → one hash combine; both models
+    broadcast together via ``ray.put``; the scoring pass is q64's
+    vectorized reindex, done twice per batch.  Exact-string feature
+    space (no feature hashing) keeps the DuckDB oracle equivalent;
+    at open-web scale swap the broadcast for DSIR's 10^4-bucket
+    hashed features.  Requires a non-empty target subset."""
+    import ray
+
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def bigram_frame(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        n = len(flat)
+        if n < 2:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "w1": pd.Series(dtype="object"),
+                                 "w2": pd.Series(dtype="object")})
+        start_ok = np.ones(n, dtype=bool)
+        ends = np.cumsum(lens)
+        start_ok[ends[lens > 0] - 1] = False
+        idx = np.flatnonzero(start_ok[:-1])
+        doc_of = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        return pd.DataFrame({"doc_id": doc_of[idx],
+                             "w1": flat[idx], "w2": flat[idx + 1]})
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for model, sub in (("r", df), ("t", df[df["lang"] == "en"])):
+            flat, _ = tokenize_offsets(sub["text"].str.lower())
+            uni = pd.Series(flat).value_counts()
+            bc = bigram_frame(sub).groupby(["w1", "w2"], as_index=False).size()
+            frames.append(pd.DataFrame({
+                "w1": uni.index.to_numpy(dtype=object), "w2": "",
+                "n": uni.to_numpy(np.int64), "kind": "u", "model": model}))
+            frames.append(pd.DataFrame({
+                "w1": bc["w1"], "w2": bc["w2"],
+                "n": bc["size"].astype(np.int64), "kind": "b",
+                "model": model}))
+        return pd.concat(frames, ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["model", "kind", "w1", "w2"],
+                          as_index=False)["n"].sum()
+
+    counts = partition_apply(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        ["w1"], QCFG.join_num_partitions, combine,
+    ).to_pandas()
+
+    def model_of(tag: str):
+        c = counts[counts["model"] == tag]
+        uni = c[c["kind"] == "u"].set_index("w1")["n"]
+        big = c[c["kind"] == "b"].set_index(["w1", "w2"])["n"]
+        return uni, big, max(int(len(uni)), 1)
+
+    model_ref = ray.put((model_of("r"), model_of("t")))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        (ur, br, vr), (ut, bt, vt) = ray.get(model_ref)
+        bg = bigram_frame(df)
+        if not len(bg):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_bigrams": pd.Series(dtype="int64"),
+                                 "dsir_logratio": pd.Series(dtype="float64")})
+        mi = pd.MultiIndex.from_arrays([bg["w1"], bg["w2"]])
+        cbr = br.reindex(mi).fillna(0).to_numpy(np.float64)
+        cur = ur.reindex(bg["w1"]).fillna(0).to_numpy(np.float64)
+        cbt = bt.reindex(mi).fillna(0).to_numpy(np.float64)
+        cut = ut.reindex(bg["w1"]).fillna(0).to_numpy(np.float64)
+        bg["lr"] = (np.log((cbt + 1.0) / (cut + vt))
+                    - np.log((cbr + 1.0) / (cur + vr)))
+        g = bg.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("lr", "size"), dsir_logratio=("lr", "sum"))
+        g["n_bigrams"] = g["n_bigrams"].astype(np.int64)
+        g["dsir_logratio"] = g["dsir_logratio"].round(6)
+        return g
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q81_top_bigrams_cms(sf_dir: str) -> pd.DataFrame:
     """Sketch-ONLY heavy hitters: Misra-Gries surfaces WHICH bigrams
     are heavy (q69, one-sided underestimate), a Count-Min sketch
@@ -3126,6 +3220,7 @@ RAY_QUERIES = {
     "q79_oov_rate": q79_oov_rate,
     "q80_video_dup_clusters": q80_video_dup_clusters,
     "q81_top_bigrams_cms": q81_top_bigrams_cms,
+    "q82_dsir_weights": q82_dsir_weights,
 }
 
 
@@ -4089,5 +4184,44 @@ ORACLE_SQL = {
                         0)::BIGINT AS oov_ppm
         FROM documents d LEFT JOIN per p USING (doc_id)
         ORDER BY d.doc_id
+    """,
+    "q82_dsir_weights": """
+        WITH arrs AS (
+          SELECT doc_id, lang,
+                 regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a
+          FROM documents
+        ),
+        uni_r AS (SELECT tok, count(*)::BIGINT AS c
+                  FROM (SELECT unnest(a) AS tok FROM arrs) GROUP BY tok),
+        v_r AS (SELECT greatest(count(*), 1)::BIGINT AS vv FROM uni_r),
+        uni_t AS (SELECT tok, count(*)::BIGINT AS c
+                  FROM (SELECT unnest(a) AS tok FROM arrs
+                        WHERE lang = 'en') GROUP BY tok),
+        v_t AS (SELECT greatest(count(*), 1)::BIGINT AS vv FROM uni_t),
+        bge AS (
+          SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2
+          FROM (SELECT doc_id, lang,
+                       unnest(list_transform(range(1, len(a)),
+                              i -> struct_pack(w1 := a[i], w2 := a[i+1]))) AS bg
+                FROM arrs WHERE len(a) >= 2)
+        ),
+        bc_r AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bge
+                 GROUP BY w1, w2),
+        bc_t AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bge
+                 WHERE lang = 'en' GROUP BY w1, w2)
+        SELECT bge.doc_id,
+               count(*)::BIGINT AS n_bigrams,
+               round(sum(ln((coalesce(bt.cb, 0) + 1.0)
+                            / (coalesce(ut.c, 0) + v_t.vv))
+                         - ln((br.cb + 1.0) / (ur.c + v_r.vv))), 6)
+                   AS dsir_logratio
+        FROM bge
+        JOIN bc_r br ON br.w1 = bge.w1 AND br.w2 = bge.w2
+        JOIN uni_r ur ON ur.tok = bge.w1
+        LEFT JOIN bc_t bt ON bt.w1 = bge.w1 AND bt.w2 = bge.w2
+        LEFT JOIN uni_t ut ON ut.tok = bge.w1
+        CROSS JOIN v_r CROSS JOIN v_t
+        GROUP BY bge.doc_id
+        ORDER BY bge.doc_id
     """,
 }

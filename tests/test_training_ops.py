@@ -873,3 +873,26 @@ def test_top_bigrams_cms_brackets_exact(ray_session):
             assert row["n_est"] <= row["n_cms"]
             continue
         assert row["n_est"] <= true <= row["n_cms"], row["ngram"]
+
+
+def test_dsir_weights_planted(ray_session, tmp_path):
+    """Directionality pinned by hand: a doc phrased like the English
+    target subset must out-score a doc phrased like the off-target
+    rest, and a target-set member scores positive on its own
+    phrasing."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q82_dsir_weights
+
+    en = "the quick brown fox jumps over the lazy dog again today"
+    de = "der schnelle braune fuchs springt heute wieder darüber hinweg"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "lang": ["en", "en", "en", "de", "de", "de"],
+        "text": [en, en, "the quick brown fox jumps", de, de,
+                 "der schnelle braune fuchs springt"]}))
+    got = q82_dsir_weights(str(tmp_path)).set_index("doc_id")
+    # en-phrased probe (doc 3) beats the de-phrased probe (doc 6)
+    assert got.loc[3, "dsir_logratio"] > got.loc[6, "dsir_logratio"]
+    # target members score above off-target members
+    assert got.loc[1, "dsir_logratio"] > got.loc[4, "dsir_logratio"]
