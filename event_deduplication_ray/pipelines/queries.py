@@ -2932,6 +2932,95 @@ def q80_video_dup_clusters(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q83_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-event-type quantiles over a DOUBLE column without a
+    sort shuffle — q34's histogram machinery lifted to monetary
+    values: the values carry at most a few decimals (driver corpus =
+    exact cents, fuzz corpus = 3 decimals), so round(value·10⁶) is a
+    lossless int64 key, the histogram is exact, and micros/10⁶
+    reproduces the original double bit-for-bit (both engines round
+    the same decimal to the same float64).  Per-batch (type, micros)
+    value-count partials → ONE event_type shuffle combines histograms
+    and reads p50/p90/p99 off the cumulative counts with the
+    DuckDB-proven exact-ceil formula.  The shuffle carries one row
+    per distinct (type, value) per batch, never one per event."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "cents": cents}).groupby(
+            ["event_type", "cents"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "cents"], as_index=False)["n"].sum()
+        rows = []
+        for et, sub in g.groupby("event_type"):
+            sub = sub.sort_values("cents")
+            vals = sub["cents"].to_numpy()
+            cum = np.cumsum(sub["n"].to_numpy())
+            total = int(cum[-1])
+            row = {"event_type": et}
+            for name, num, den in _QUANTILES:
+                k = (num * total + den - 1) // den
+                row[name] = vals[np.searchsorted(cum, max(k, 1))] / 1e6
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    out = partition_apply(parts, ["event_type"], QCFG.join_num_partitions,
+                          combine).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q84_customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """Row-level LEFT OUTER join (q74 keeps only the histogram; this
+    keeps every left row): customer ⟕ per-custkey order counts, zero
+    for order-less customers.  orders pre-aggregates per custkey in
+    the split wave so only (custkey, n) partials shuffle; customer
+    rows cogroup against them and fill the misses — the outer join
+    never materializes a wide table or broadcasts the fact side."""
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def opart(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    o_sh = shuffle_to(orders, ["o_custkey"], QCFG.join_num_partitions,
+                      pre_fn=opart)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    empty = {"c_custkey": pd.Series(dtype="int64"),
+             "c_name": pd.Series(dtype="object"),
+             "n_orders": pd.Series(dtype="int64")}
+
+    def join(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(empty)
+        if len(r):
+            agg = r.groupby("o_custkey", as_index=False)["n"].sum()
+            m = l.merge(agg, left_on="c_custkey", right_on="o_custkey",
+                        how="left")
+            n = m["n"].fillna(0).to_numpy(np.int64)
+        else:
+            n = np.zeros(len(l), np.int64)
+        return pd.DataFrame({"c_custkey": l["c_custkey"].to_numpy(np.int64),
+                             "c_name": l["c_name"].to_numpy(object),
+                             "n_orders": n})
+
+    df = cogroup_apply(cust, o_sh, ["c_custkey"], ["o_custkey"],
+                       QCFG.join_num_partitions, join).to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame(empty)
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
 def q82_dsir_weights(sf_dir: str) -> pd.DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, 'Data
     Selection with Importance Resampling'): log w(x) =
@@ -3221,6 +3310,8 @@ RAY_QUERIES = {
     "q80_video_dup_clusters": q80_video_dup_clusters,
     "q81_top_bigrams_cms": q81_top_bigrams_cms,
     "q82_dsir_weights": q82_dsir_weights,
+    "q83_value_quantiles": q83_value_quantiles,
+    "q84_customer_order_counts": q84_customer_order_counts,
 }
 
 
@@ -4223,5 +4314,21 @@ ORACLE_SQL = {
         CROSS JOIN v_r CROSS JOIN v_t
         GROUP BY bge.doc_id
         ORDER BY bge.doc_id
+    """,
+    "q83_value_quantiles": """
+        SELECT event_type,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q84_customer_order_counts": """
+        SELECT c.c_custkey, c.c_name,
+               count(o.o_orderkey)::BIGINT AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY c.c_custkey
     """,
 }

@@ -108,7 +108,8 @@ def test_fuzz_parity(name, seed, ray_session, tmp_path):
 EV_FUZZED = ["q06_user_hourly_windows", "q14_session_windows",
              "q47_distinct_users", "q49_funnel", "q58_first_events",
              "q60_gap_quantiles", "q61_view_attribution",
-             "q62_event_debounce", "q76_user_running_total"]
+             "q62_event_debounce", "q76_user_running_total",
+             "q83_value_quantiles"]
 
 
 def _events(seed: int) -> pd.DataFrame:

@@ -69,7 +69,7 @@ SQL_CHECKED = [
     "q71_vocab", "q72_chunk_windows", "q74_order_count_histogram",
     "q75_priority_shipments", "q76_user_running_total",
     "q77_bpe_token_counts", "q78_line_dedup_rewrite", "q79_oov_rate",
-    "q82_dsir_weights",
+    "q82_dsir_weights", "q83_value_quantiles", "q84_customer_order_counts",
 ]
 
 

@@ -896,3 +896,44 @@ def test_dsir_weights_planted(ray_session, tmp_path):
     assert got.loc[3, "dsir_logratio"] > got.loc[6, "dsir_logratio"]
     # target members score above off-target members
     assert got.loc[1, "dsir_logratio"] > got.loc[4, "dsir_logratio"]
+
+
+def test_value_quantiles_planted(ray_session, tmp_path):
+    """Cents-histogram exactness on a hand-built distribution,
+    including a float-hostile cent (6.55*100 = 655.0000000000001 must
+    round, not floor) and the p99 read-off at small n."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q83_value_quantiles
+
+    vals = [6.55] * 5 + [1.0] * 4 + [100.25]
+    ts = pd.Timestamp("2024-01-01")
+    sf = _write_tbl(tmp_path, "events", pd.DataFrame({
+        "event_id": range(1, 11),
+        "ts": pd.Series([ts] * 10).astype("datetime64[us]"),
+        "user_id": [1] * 10,
+        "event_type": ["view"] * 10,
+        "value": vals}))
+    got = q83_value_quantiles(str(tmp_path))
+    assert got.loc[0, "p50"] == 6.55     # ceil(0.5*10)=5th of sorted
+    assert got.loc[0, "p90"] == 6.55     # 9th
+    assert got.loc[0, "p99"] == 100.25   # ceil(9.9)=10th
+
+
+def test_customer_order_counts_left_join(ray_session, tmp_path):
+    """Row-level outer-join semantics: order-less customers appear
+    with n_orders = 0, counts aggregate across split orders."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q84_customer_order_counts,
+    )
+
+    _write_tbl(tmp_path, "customer", pd.DataFrame({
+        "c_custkey": [1, 2, 3],
+        "c_name": ["a", "b", "c"]}))
+    sf = _write_tbl(tmp_path, "orders", pd.DataFrame({
+        "o_orderkey": [10, 11, 12],
+        "o_custkey": [1, 1, 3]}))
+    got = q84_customer_order_counts(sf)
+    assert got["n_orders"].tolist() == [2, 0, 1]
