@@ -3021,6 +3021,117 @@ def q84_customer_order_counts(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("c_custkey").reset_index(drop=True)
 
 
+def q85_promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14-style ratio aggregate over the part⋈lineitem join:
+    per ship month, the share of discounted revenue coming from PROMO
+    parts.  lineitem pre-aggregates (partkey, month, revenue) in the
+    split wave; part ships as a narrow (partkey, is_promo) projection
+    through the hash-cogroup (q75's machinery on the other fact
+    pair); per-partition (month, promo_rev, total_rev) partials are
+    summed on the driver and the DIVISION happens exactly once there
+    — a ratio of sums must never be computed per partition.  Revenue
+    accumulates in EXACT int64 (cents(price) · pct(1−discount),
+    both lossless for the 2-decimal inputs): float sums of this
+    magnitude drift across summation orders right past a round(2)
+    half-cent boundary — observed at sf0.001 before this fix."""
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def pproj(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "is_promo": pc.equal(t["p_type"], "PROMO")})
+
+    p_ds = part.map_batches(pproj, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["ship_month"] = df["l_shipdate"].dt.strftime("%Y-%m")
+        cents = np.round(df["l_extendedprice"].to_numpy(np.float64)
+                         * 100).astype(np.int64)
+        pct = np.round((1.0 - df["l_discount"].to_numpy(np.float64))
+                       * 100).astype(np.int64)
+        df["rev"] = cents * pct          # exact, unit = 1e-4 dollars
+        g = df.groupby(["l_partkey", "ship_month"], as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_sh = shuffle_to(li, ["l_partkey"], QCFG.join_num_partitions,
+                       pre_fn=lpart)
+
+    empty = {"ship_month": pd.Series(dtype="object"),
+             "promo_u": pd.Series(dtype="int64"),
+             "total_u": pd.Series(dtype="int64")}
+
+    def joinagg(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(empty)
+        m = r.merge(l, left_on="l_partkey", right_on="p_partkey")
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        promo = np.where(m["is_promo"].to_numpy(bool),
+                         m["rev"].to_numpy(np.int64), 0)
+        g = pd.DataFrame({"ship_month": m["ship_month"],
+                          "promo_u": promo,
+                          "total_u": m["rev"].to_numpy(np.int64)})
+        return g.groupby("ship_month", as_index=False).sum()
+
+    df = cogroup_apply(p_ds, li_sh, ["p_partkey"], ["l_partkey"],
+                       QCFG.join_num_partitions, joinagg).to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame(empty)
+    out = df.groupby("ship_month", as_index=False).sum()
+    out["promo_rev"] = out["promo_u"].to_numpy(np.int64) / 1e4
+    out["total_rev"] = out["total_u"].to_numpy(np.int64) / 1e4
+    out["promo_share"] = (out["promo_u"].to_numpy(np.int64)
+                          / out["total_u"].to_numpy(np.int64)).round(6)
+    return (out[["ship_month", "promo_rev", "total_rev", "promo_share"]]
+            .sort_values("ship_month").reset_index(drop=True))
+
+
+def q86_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Distributed grouped top-k (k=3 orders per market segment by
+    totalprice): each batch keeps its LOCAL top-k per segment (a
+    partial that never grows past k·|segments| rows), one tiny
+    segment shuffle re-selects the global top-k — q02's global top-k
+    lifted to per-group, no sort barrier, no window shuffle of the
+    fact table.  Ties break on o_orderkey asc, matching the oracle's
+    row_number ORDER BY."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_by_key = cust.set_index("c_custkey")["c_mktsegment"]
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    k = 3
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["c_mktsegment"] = df["o_custkey"].map(seg_by_key)
+        df = df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        out = df.groupby("c_mktsegment").head(k)
+        return out[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    parts = orders.map_batches(local_topk, batch_format="pandas")
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        out = df.groupby("c_mktsegment").head(k).copy()
+        out["rk"] = out.groupby("c_mktsegment").cumcount() + 1
+        out["rk"] = out["rk"].astype("int64")
+        return out
+
+    out = partition_apply(parts, ["c_mktsegment"], QCFG.join_num_partitions,
+                          global_topk).to_pandas()
+    return (out.sort_values(["c_mktsegment", "rk"])
+            .reset_index(drop=True))
+
+
 def q82_dsir_weights(sf_dir: str) -> pd.DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, 'Data
     Selection with Importance Resampling'): log w(x) =
@@ -3312,6 +3423,8 @@ RAY_QUERIES = {
     "q82_dsir_weights": q82_dsir_weights,
     "q83_value_quantiles": q83_value_quantiles,
     "q84_customer_order_counts": q84_customer_order_counts,
+    "q85_promo_revenue_share": q85_promo_revenue_share,
+    "q86_top_orders_per_segment": q86_top_orders_per_segment,
 }
 
 
@@ -4330,5 +4443,40 @@ ORACLE_SQL = {
         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_custkey, c.c_name
         ORDER BY c.c_custkey
+    """,
+    "q85_promo_revenue_share": """
+        WITH j AS (
+          SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev_u,
+                 (p_type = 'PROMO') AS is_promo
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        m AS (
+          SELECT ship_month,
+                 CAST(sum(CASE WHEN is_promo THEN rev_u ELSE 0 END)
+                      AS BIGINT) AS promo_u,
+                 CAST(sum(rev_u) AS BIGINT) AS total_u
+          FROM j GROUP BY ship_month
+        )
+        SELECT ship_month,
+               promo_u / 10000.0 AS promo_rev,
+               total_u / 10000.0 AS total_rev,
+               round(promo_u * 1.0 / total_u, 6) AS promo_share
+        FROM m
+        ORDER BY ship_month
+    """,
+    "q86_top_orders_per_segment": """
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY c.c_mktsegment
+                                    ORDER BY o.o_totalprice DESC,
+                                             o.o_orderkey) AS rk
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        WHERE rk <= 3
+        ORDER BY c_mktsegment, rk
     """,
 }

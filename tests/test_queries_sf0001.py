@@ -70,6 +70,7 @@ SQL_CHECKED = [
     "q75_priority_shipments", "q76_user_running_total",
     "q77_bpe_token_counts", "q78_line_dedup_rewrite", "q79_oov_rate",
     "q82_dsir_weights", "q83_value_quantiles", "q84_customer_order_counts",
+    "q85_promo_revenue_share", "q86_top_orders_per_segment",
 ]
 
 

@@ -937,3 +937,56 @@ def test_customer_order_counts_left_join(ray_session, tmp_path):
         "o_custkey": [1, 1, 3]}))
     got = q84_customer_order_counts(sf)
     assert got["n_orders"].tolist() == [2, 0, 1]
+
+
+def test_promo_share_planted(ray_session, tmp_path):
+    """Ratio-of-sums semantics by hand: one PROMO and one STANDARD
+    part in one month → share = promo revenue / total, computed in
+    exact integer units (10.00 * 0.90 discount handled)."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q85_promo_revenue_share,
+    )
+
+    _write_tbl(tmp_path, "part", pd.DataFrame({
+        "p_partkey": [1, 2],
+        "p_type": ["PROMO", "STANDARD"]}))
+    sf = _write_tbl(tmp_path, "lineitem", pd.DataFrame({
+        "l_partkey": [1, 2, 1],
+        "l_shipdate": pd.to_datetime(
+            ["2024-01-05", "2024-01-09", "2024-02-01"]
+        ).astype("datetime64[us]"),
+        "l_extendedprice": [10.0, 30.0, 5.0],
+        "l_discount": [0.10, 0.0, 0.0]}))
+    got = q85_promo_revenue_share(sf)
+    jan = got[got.ship_month == "2024-01"].iloc[0]
+    assert jan["promo_rev"] == 9.0 and jan["total_rev"] == 39.0
+    assert jan["promo_share"] == round(9.0 / 39.0, 6)
+    feb = got[got.ship_month == "2024-02"].iloc[0]
+    assert feb["promo_share"] == 1.0
+
+
+def test_top_orders_per_segment_partial_safe(ray_session, tmp_path):
+    """Grouped top-k: the global winner must survive even when a
+    batch-local top-k would have evicted it (two heavy orders in one
+    segment placed far apart in row order), ties break on orderkey."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q86_top_orders_per_segment,
+    )
+
+    _write_tbl(tmp_path, "customer", pd.DataFrame({
+        "c_custkey": [1, 2],
+        "c_mktsegment": ["A", "B"]}))
+    sf = _write_tbl(tmp_path, "orders", pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4, 5, 6],
+        "o_custkey": [1, 1, 1, 1, 2, 2],
+        "o_totalprice": [50.0, 10.0, 20.0, 50.0, 7.0, 7.0]}))
+    got = q86_top_orders_per_segment(sf)
+    a = got[got.c_mktsegment == "A"]
+    assert a["o_orderkey"].tolist() == [1, 4, 3]  # 50-tie → key asc, then 20
+    assert a["rk"].tolist() == [1, 2, 3]
+    b = got[got.c_mktsegment == "B"]
+    assert b["o_orderkey"].tolist() == [5, 6]     # k=3 but only 2 orders
