@@ -3132,6 +3132,76 @@ def q86_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q87_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Retention-cohort matrix: users cohorted by their FIRST active
+    calendar day; cell (cohort_day, day_offset) counts users from
+    that cohort active offset days later.  ONE user_id shuffle
+    co-locates each user's events; the partition body computes
+    distinct (user, day), the per-user min day and integer day
+    offsets fully vectorized (epoch-day arithmetic — no tz/precision
+    ambiguity), emitting one row per (user, cohort, offset); a second
+    tiny shuffle on (cohort_day, day_offset) sums the partials.  The
+    second shuffle carries one row per distinct cell per partition,
+    never one per event."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy("datetime64[us]")
+               .astype("datetime64[D]").astype(np.int64))
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "day": day}).drop_duplicates()
+        first = d.groupby("user_id")["day"].transform("min")
+        cohort = pd.to_datetime(
+            first.to_numpy(np.int64).astype("datetime64[D]"))
+        out = pd.DataFrame({
+            "cohort_day": cohort.strftime("%Y-%m-%d"),
+            "day_offset": (d["day"].to_numpy(np.int64)
+                           - first.to_numpy(np.int64))})
+        g = out.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = partition_apply(ds, ["user_id"], QCFG.join_num_partitions, cells)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cohort_day", "day_offset"], as_index=False)["n"].sum()
+        return g.rename(columns={"n": "n_users"})
+
+    out = partition_apply(parts, ["cohort_day", "day_offset"],
+                          QCFG.join_num_partitions, combine).to_pandas()
+    out["day_offset"] = out["day_offset"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True))
+
+
+def q88_event_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Pairwise co-occurrence (market-basket shape): for every
+    unordered event-type pair, how many users did BOTH.  ONE user_id
+    shuffle; the partition body dedups (user, type) and self-merges
+    on user — the per-user set is bounded by the type vocabulary, so
+    the 'self-join' explodes at most |types|² rows per user; per-pair
+    partials then sum on the driver (the pair vocabulary is tiny).
+    The classic SQL is a self-join no row-level engine should run at
+    corpus scale; partitioning by user makes it linear."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        g = (m.groupby(["event_type_x", "event_type_y"], as_index=False)
+             .size().rename(columns={"size": "n", "event_type_x": "type_a",
+                                     "event_type_y": "type_b"}))
+        return g
+
+    parts = partition_apply(ds, ["user_id"], QCFG.join_num_partitions,
+                            pairs).to_pandas()
+    out = parts.groupby(["type_a", "type_b"], as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_users"})
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
 def q82_dsir_weights(sf_dir: str) -> pd.DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, 'Data
     Selection with Importance Resampling'): log w(x) =
@@ -3425,6 +3495,8 @@ RAY_QUERIES = {
     "q84_customer_order_counts": q84_customer_order_counts,
     "q85_promo_revenue_share": q85_promo_revenue_share,
     "q86_top_orders_per_segment": q86_top_orders_per_segment,
+    "q87_retention_cohorts": q87_retention_cohorts,
+    "q88_event_type_cooccurrence": q88_event_type_cooccurrence,
 }
 
 
@@ -4478,5 +4550,25 @@ ORACLE_SQL = {
         )
         WHERE rk <= 3
         ORDER BY c_mktsegment, rk
+    """,
+    "q87_retention_cohorts": """
+        WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                   FROM events),
+        c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+        SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+               date_diff('day', c.cohort, d.day)::BIGINT AS day_offset,
+               count(*)::BIGINT AS n_users
+        FROM d JOIN c USING (user_id)
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
+    """,
+    "q88_event_type_cooccurrence": """
+        WITH s AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*)::BIGINT AS n_users
+        FROM s a JOIN s b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+        ORDER BY type_a, type_b
     """,
 }

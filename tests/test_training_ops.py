@@ -990,3 +990,48 @@ def test_top_orders_per_segment_partial_safe(ray_session, tmp_path):
     assert a["rk"].tolist() == [1, 2, 3]
     b = got[got.c_mktsegment == "B"]
     assert b["o_orderkey"].tolist() == [5, 6]     # k=3 but only 2 orders
+
+
+def test_retention_cohorts_planted(ray_session, tmp_path):
+    """Cohort arithmetic by hand: user 1 first active day D, returns
+    D+2; user 2 first active D (same cohort); user 3 cohorts at D+1;
+    midnight-boundary event (23:59 vs 00:01) lands on the next day."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q87_retention_cohorts,
+    )
+
+    sf = _write_tbl(tmp_path, "events", pd.DataFrame({
+        "event_id": range(1, 6),
+        "ts": pd.to_datetime([
+            "2024-03-01 10:00", "2024-03-03 09:00",   # user 1: D, D+2
+            "2024-03-01 23:59",                       # user 2: D
+            "2024-03-02 00:01", "2024-03-02 12:00",   # user 3: D+1 twice
+        ]).astype("datetime64[us]"),
+        "user_id": [1, 1, 2, 3, 3]}))
+    got = q87_retention_cohorts(sf)
+    rows = {(r.cohort_day, r.day_offset): r.n_users
+            for r in got.itertuples()}
+    assert rows == {("2024-03-01", 0): 2, ("2024-03-01", 2): 1,
+                    ("2024-03-02", 0): 1}
+
+
+def test_event_cooccurrence_planted(ray_session, tmp_path):
+    """Unordered-pair semantics: duplicate events don't double-count
+    a user, pairs are canonical (a < b), users with one type emit
+    nothing."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q88_event_type_cooccurrence,
+    )
+
+    ts = pd.Timestamp("2024-01-01")
+    sf = _write_tbl(tmp_path, "events", pd.DataFrame({
+        "event_id": range(1, 7),
+        "ts": pd.Series([ts] * 6).astype("datetime64[us]"),
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "event_type": ["view", "view", "click", "click", "view", "error"]}))
+    got = q88_event_type_cooccurrence(sf)
+    assert got.values.tolist() == [["click", "view", 2]]
