@@ -3202,6 +3202,63 @@ def q88_event_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
 
 
+def q89_token_and_search(sf_dir: str) -> pd.DataFrame:
+    """Corpus curation search: find every doc containing ALL query
+    terms (AND semantics) — the query here is the corpus's two most
+    frequent tokens, derived deterministically so the operator is
+    self-contained and oracle-checkable.  Phase 1 is q71's count
+    partials → hash combine → per-partition top-2 → driver pick
+    (freq desc, token asc tie-break).  Phase 2 broadcasts the tiny
+    query set in the task closure and streams the corpus ONCE: a doc
+    qualifies iff its token set covers the query set, tested
+    vectorized (isin over the exploded tokens + per-doc distinct-hit
+    count) — no inverted-index shuffle is needed for AND queries
+    because containment is decidable per doc.  A persisted posting
+    list (token-partitioned Parquet, the SRP-index pattern) is the
+    swap-in when queries outnumber corpus scans."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = tokenize_offsets(df["text"].str.lower())
+        if len(flat) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"token": vc.index, "n": vc.to_numpy(np.int64)})
+
+    def top2_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["n"].sum()
+        return g.sort_values(["n", "token"],
+                             ascending=[False, True]).head(2)
+
+    cand = partition_apply(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        ["token"], QCFG.join_num_partitions, top2_part).to_pandas()
+    query = (cand.sort_values(["n", "token"], ascending=[False, True])
+             .head(2)["token"].tolist())
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        q = pd.Index(query)
+        code = q.get_indexer(flat) if len(flat) else np.zeros(0, np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        n_hit = np.zeros(len(df), np.int64)
+        for qi in range(len(query)):
+            c = np.concatenate([[0], np.cumsum(code == qi)]).astype(np.int64)
+            n_hit += (c[ends] - c[starts]) > 0
+        keep = n_hit == len(query)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[keep]})
+
+    out = ds.map_batches(hits, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q82_dsir_weights(sf_dir: str) -> pd.DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, 'Data
     Selection with Importance Resampling'): log w(x) =
@@ -3497,6 +3554,7 @@ RAY_QUERIES = {
     "q86_top_orders_per_segment": q86_top_orders_per_segment,
     "q87_retention_cohorts": q87_retention_cohorts,
     "q88_event_type_cooccurrence": q88_event_type_cooccurrence,
+    "q89_token_and_search": q89_token_and_search,
 }
 
 
@@ -4570,5 +4628,23 @@ ORACLE_SQL = {
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY type_a, type_b
         ORDER BY type_a, type_b
+    """,
+    "q89_token_and_search": """
+        WITH tok AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a
+          FROM documents
+        ),
+        freq AS (
+          SELECT t AS token, count(*)::BIGINT AS n
+          FROM (SELECT unnest(a) AS t FROM tok) GROUP BY t
+        ),
+        q AS (SELECT token FROM freq
+              ORDER BY n DESC, token LIMIT 2)
+        SELECT doc_id FROM tok
+        WHERE NOT EXISTS (
+          SELECT 1 FROM q WHERE NOT list_contains(tok.a, q.token)
+        )
+        ORDER BY doc_id
     """,
 }

@@ -24,7 +24,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q59_normalized_dedup", "q63_line_filter", "q64_bigram_lm",
           "q65_quantile_gate", "q67_head_dedup", "q68_global_rank",
           "q71_vocab", "q72_chunk_windows", "q77_bpe_token_counts",
-          "q78_line_dedup_rewrite", "q79_oov_rate", "q82_dsir_weights"]
+          "q78_line_dedup_rewrite", "q79_oov_rate", "q82_dsir_weights",
+          "q89_token_and_search"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 

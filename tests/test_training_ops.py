@@ -1035,3 +1035,21 @@ def test_event_cooccurrence_planted(ray_session, tmp_path):
         "event_type": ["view", "view", "click", "click", "view", "error"]}))
     got = q88_event_type_cooccurrence(sf)
     assert got.values.tolist() == [["click", "view", 2]]
+
+
+def test_token_and_search_planted(ray_session, tmp_path):
+    """AND semantics pinned by hand: the two globally most frequent
+    tokens are 'aa' and 'bb' (tie broken lexicographically against
+    'cc' at equal freq); only docs containing BOTH qualify."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q89_token_and_search,
+    )
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aa bb aa", "aa aa bb cc", "aa cc", "bb"]}))
+    # freqs: aa=5, bb=3, cc=2 → query = [aa, bb]
+    got = q89_token_and_search(sf)
+    assert got["doc_id"].tolist() == [1, 2]
