@@ -3259,6 +3259,56 @@ def q89_token_and_search(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_TOKEN_INDEX_CACHE: dict[str, str] = {}
+
+
+def q90_token_index_search(sf_dir: str) -> pd.DataFrame:
+    """Index-served AND search: q89's exact query answered from the
+    persisted posting-list index (`stages/textindex.py`) instead of a
+    corpus scan — build once per process (the q25/q32 index-cache
+    pattern), serve by reading ONLY the shard directories the query
+    terms hash into.  Same oracle as q89: the two paths must return
+    the identical doc set, which SQL-gates the whole
+    build→partition→serve machinery."""
+    import os
+    import tempfile
+
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+    from event_deduplication_ray.stages.textindex import (
+        token_index_build,
+        token_index_search,
+    )
+
+    idx = _TOKEN_INDEX_CACHE.get(sf_dir)
+    if idx is None or not os.path.isdir(idx):
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        idx = tempfile.mkdtemp(prefix="edr_tok_idx_")
+        token_index_build(docs, idx)
+        _TOKEN_INDEX_CACHE[sf_dir] = idx
+
+    # q89's deterministic query: corpus top-2 tokens
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = tokenize_offsets(df["text"].str.lower())
+        if len(flat) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"token": vc.index, "n": vc.to_numpy(np.int64)})
+
+    def top2_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["n"].sum()
+        return g.sort_values(["n", "token"], ascending=[False, True]).head(2)
+
+    cand = partition_apply(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        ["token"], QCFG.join_num_partitions, top2_part).to_pandas()
+    query = (cand.sort_values(["n", "token"], ascending=[False, True])
+             .head(2)["token"].tolist())
+    return token_index_search(idx, query, mode="and")
+
+
 def q82_dsir_weights(sf_dir: str) -> pd.DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, 'Data
     Selection with Importance Resampling'): log w(x) =
@@ -3555,6 +3605,7 @@ RAY_QUERIES = {
     "q87_retention_cohorts": q87_retention_cohorts,
     "q88_event_type_cooccurrence": q88_event_type_cooccurrence,
     "q89_token_and_search": q89_token_and_search,
+    "q90_token_index_search": q90_token_index_search,
 }
 
 
@@ -4630,6 +4681,24 @@ ORACLE_SQL = {
         ORDER BY type_a, type_b
     """,
     "q89_token_and_search": """
+        WITH tok AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a
+          FROM documents
+        ),
+        freq AS (
+          SELECT t AS token, count(*)::BIGINT AS n
+          FROM (SELECT unnest(a) AS t FROM tok) GROUP BY t
+        ),
+        q AS (SELECT token FROM freq
+              ORDER BY n DESC, token LIMIT 2)
+        SELECT doc_id FROM tok
+        WHERE NOT EXISTS (
+          SELECT 1 FROM q WHERE NOT list_contains(tok.a, q.token)
+        )
+        ORDER BY doc_id
+    """,
+    "q90_token_index_search": """
         WITH tok AS (
           SELECT doc_id,
                  regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a

@@ -1,0 +1,108 @@
+"""Persisted token posting-list index (inverted index) for corpus
+curation search — the swap-in q89 documents for when queries
+outnumber corpus scans.
+
+Follows the SRP/IVF index pattern (``stages/similarity.py``): ONE
+linear build pass writes Parquet PARTITIONED by a token-hash shard
+(hive layout ``tok_shard=<k>/``); a query reads ONLY the shard
+directories its terms hash into, so rows read scale with the query
+terms' posting sizes, not the corpus.  Reference analog: the filtered
+export queries (SURVEY §2.8 Q1/Q9) — this is their full-text cousin.
+
+Partitioning assumption: a (token, doc_id) posting is emitted at most
+once globally (tokens are deduped per doc at build, and a doc never
+spans input batches), so serve-side hit counts are exact sums.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+from event_deduplication_ray.functions.hashing import (
+    hash_strings_u64,
+    tokenize_offsets,
+)
+
+N_SHARDS_DEFAULT = 64
+
+
+def _token_shards(tokens: np.ndarray, n_shards: int) -> np.ndarray:
+    return (hash_strings_u64(tokens) % np.uint64(n_shards)).astype(np.int64)
+
+
+def token_index_build(docs: Dataset, index_dir: str,
+                      n_shards: int = N_SHARDS_DEFAULT) -> None:
+    """Materialize the posting list: distinct (token, doc_id) rows
+    partitioned by ``tok_shard = hash(token) % n_shards``."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        doc_of = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        d = pd.DataFrame({"token": flat, "doc_id": doc_of}).drop_duplicates()
+        if len(d) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "tok_shard": pd.Series(dtype="int64")})
+        d["tok_shard"] = _token_shards(d["token"].to_numpy(dtype=object),
+                                       n_shards)
+        return d
+
+    docs.map_batches(explode, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["tok_shard"]
+    )
+
+
+def _shard_paths(index_dir: str, shards: "set[int]") -> list[str]:
+    out = []
+    for s in sorted(shards):
+        d = os.path.join(index_dir, f"tok_shard={s}")
+        if os.path.isdir(d):
+            out.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                       if f.endswith(".parquet"))
+    return out
+
+
+def token_index_search(index_dir: str, terms: "list[str]",
+                       mode: str = "and",
+                       n_shards: int = N_SHARDS_DEFAULT) -> pd.DataFrame:
+    """Serve an AND/OR term query from the persisted index.
+
+    Reads only the <= len(terms) matching shard directories; each
+    batch filters to the query terms and emits (doc_id, n_hit)
+    partials — exact because postings are globally distinct — and the
+    driver combines what is by construction the query's posting set,
+    not the corpus."""
+    import ray.data as rd
+
+    terms = sorted(set(t.lower() for t in terms))
+    if not terms:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    shards = set(_token_shards(np.asarray(terms, dtype=object),
+                               n_shards).tolist())
+    paths = _shard_paths(index_dir, shards)
+    if not paths:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    term_set = frozenset(terms)
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["token"].isin(term_set)]
+        if len(d) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_hit": pd.Series(dtype="int64")})
+        g = d.groupby("doc_id", as_index=False).size()
+        return g.rename(columns={"size": "n_hit"})
+
+    parts = rd.read_parquet(paths, columns=["token", "doc_id"]) \
+        .map_batches(hits, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    g = parts.groupby("doc_id", as_index=False)["n_hit"].sum()
+    if mode == "and":
+        g = g[g["n_hit"] == len(terms)]
+    out = g[["doc_id"]].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -72,7 +72,7 @@ SQL_CHECKED = [
     "q82_dsir_weights", "q83_value_quantiles", "q84_customer_order_counts",
     "q85_promo_revenue_share", "q86_top_orders_per_segment",
     "q87_retention_cohorts", "q88_event_type_cooccurrence",
-    "q89_token_and_search",
+    "q89_token_and_search", "q90_token_index_search",
 ]
 
 

@@ -1053,3 +1053,36 @@ def test_token_and_search_planted(ray_session, tmp_path):
     # freqs: aa=5, bb=3, cc=2 → query = [aa, bb]
     got = q89_token_and_search(sf)
     assert got["doc_id"].tolist() == [1, 2]
+
+
+def test_token_index_build_and_search(ray_session, tmp_path):
+    """Posting-list index: AND serving equals per-doc containment, OR
+    unions, shard pruning reads only the query terms' shard dirs."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from event_deduplication_ray.stages import textindex as TI
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aa bb cc", "aa bb", "aa", "dd bb"]})
+    idx = str(tmp_path / "tok_idx")
+    TI.token_index_build(rd.from_pandas(docs), idx)
+
+    got_and = TI.token_index_search(idx, ["aa", "bb"], mode="and")
+    assert got_and["doc_id"].tolist() == [1, 2]
+    got_or = TI.token_index_search(idx, ["cc", "dd"], mode="or")
+    assert got_or["doc_id"].tolist() == [1, 4]
+    # case folding + dedup of the terms list
+    assert TI.token_index_search(idx, ["AA", "aa"], mode="and")[
+        "doc_id"].tolist() == [1, 2, 3]
+    # pruning: the paths consulted for one term are a strict subset
+    shard_dirs = [d for d in os.listdir(idx) if d.startswith("tok_shard=")]
+    one = TI._token_shards(__import__("numpy").asarray(["aa"], object),
+                           TI.N_SHARDS_DEFAULT)
+    assert len(TI._shard_paths(idx, set(one.tolist()))) < sum(
+        len(os.listdir(os.path.join(idx, d))) for d in shard_dirs)
+    # unknown term → empty
+    assert len(TI.token_index_search(idx, ["zz", "aa"], mode="and")) == 0
