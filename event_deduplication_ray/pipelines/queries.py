@@ -3262,6 +3262,30 @@ def q89_token_and_search(sf_dir: str) -> pd.DataFrame:
 _TOKEN_INDEX_CACHE: dict[str, str] = {}
 
 
+def q91_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Dup-cluster-size histogram — the graph-analytics readout every
+    dedup report leads with (how much of the corpus sits in 2-member
+    clusters vs giant boilerplate balls).  Runs q28's EXACT clustering
+    (deterministic, so the recursive-CTE oracle gates the whole
+    CC machinery again through a second lens) and folds (doc_id,
+    cluster_id) → per-partition cluster counts → size histogram: one
+    cluster_id shuffle of 16 B rows, then P tiny histogram frames."""
+    assign = q28_ngram_jaccard_clusters(sf_dir)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("cluster_id").size()
+        h = sizes.value_counts()
+        return pd.DataFrame({"cluster_size": h.index.astype("int64"),
+                             "n_clusters": h.to_numpy(np.int64)})
+
+    parts = partition_apply(assign, ["cluster_id"],
+                            QCFG.join_num_partitions, hist).to_pandas()
+    out = parts.groupby("cluster_size", as_index=False)["n_clusters"].sum()
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out.sort_values("cluster_size").reset_index(drop=True)
+
+
 def q90_token_index_search(sf_dir: str) -> pd.DataFrame:
     """Index-served AND search: q89's exact query answered from the
     persisted posting-list index (`stages/textindex.py`) instead of a
@@ -3606,7 +3630,63 @@ RAY_QUERIES = {
     "q88_event_type_cooccurrence": q88_event_type_cooccurrence,
     "q89_token_and_search": q89_token_and_search,
     "q90_token_index_search": q90_token_index_search,
+    "q91_dup_cluster_sizes": q91_dup_cluster_sizes,
 }
+
+
+# Shared recursive-CTE core of the exact n-gram-Jaccard clustering
+# oracle: normalization → token 5-gram shingles → inverted-index join
+# → exact-Jaccard edges → connected components via transitive closure
+# → per-doc min-reachable cluster id (the `assign` CTE).  q28 selects
+# the assignment, q91 aggregates the size histogram off it.
+_NGRAM_CC_SQL = """
+    WITH RECURSIVE norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                    replace(replace(replace(replace(lower(coalesce(text, '')),
+                        chr(228), 'ae'), chr(246), 'oe'), chr(252), 'ue'), chr(223), 'ss'),
+                    '[^\\w\\s-]+', ' ', 'g'), '\\s+', ' ', 'g')) AS tn
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, list_filter(string_split(tn, ' '), x -> x <> '') AS ws
+        FROM norm
+    ), sh AS (
+        SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+        FROM toks, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+        UNION ALL
+        -- hashing.shingle_hashes: a doc with 0 < n < 5 tokens gets ONE
+        -- stub shingle over all its tokens (exact short dups collide);
+        -- a stub can never equal a real 5-gram (different token counts)
+        SELECT doc_id, array_to_string(ws, ' ') AS shingle
+        FROM toks WHERE len(ws) BETWEEN 1 AND 4
+    ), dsh AS (
+        SELECT DISTINCT doc_id, shingle FROM sh
+    ), counts AS (
+        SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT id_a, id_b FROM inter
+        JOIN counts ca ON ca.doc_id = inter.id_a
+        JOIN counts cb ON cb.doc_id = inter.id_b
+        WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.75
+    ), bi AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b, id_a FROM edges
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM bi
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src
+    ), assign AS (
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    )
+"""
 
 
 ORACLE_SQL = {
@@ -3751,46 +3831,18 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
     """,
-    "q28_ngram_jaccard_clusters": """
-        WITH RECURSIVE norm AS (
-            SELECT doc_id,
-                   trim(regexp_replace(regexp_replace(
-                        replace(replace(replace(replace(lower(coalesce(text, '')),
-                            chr(228), 'ae'), chr(246), 'oe'), chr(252), 'ue'), chr(223), 'ss'),
-                        '[^\\w\\s-]+', ' ', 'g'), '\\s+', ' ', 'g')) AS tn
-            FROM documents
-        ), toks AS (
-            SELECT doc_id, list_filter(string_split(tn, ' '), x -> x <> '') AS ws
-            FROM norm
-        ), sh AS (
-            SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
-            FROM toks, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)
-        ), dsh AS (
-            SELECT DISTINCT doc_id, shingle FROM sh
-        ), counts AS (
-            SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
-        ), inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-            FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), edges AS (
-            SELECT id_a, id_b FROM inter
-            JOIN counts ca ON ca.doc_id = inter.id_a
-            JOIN counts cb ON cb.doc_id = inter.id_b
-            WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.75
-        ), bi AS (
-            SELECT id_a AS src, id_b AS dst FROM edges
-            UNION ALL
-            SELECT id_b, id_a FROM edges
-        ), reach(src, dst) AS (
-            SELECT src, dst FROM bi
-            UNION
-            SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src
+    "q28_ngram_jaccard_clusters": _NGRAM_CC_SQL + """
+        SELECT doc_id, cluster_id FROM assign
+        ORDER BY doc_id
+    """,
+    "q91_dup_cluster_sizes": _NGRAM_CC_SQL + """
+        , sizes AS (
+            SELECT cluster_id, count(*)::BIGINT AS cluster_size
+            FROM assign GROUP BY cluster_id
         )
-        SELECT d.doc_id,
-               least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
-        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        GROUP BY d.doc_id
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters
+        FROM sizes GROUP BY cluster_size
+        ORDER BY cluster_size
     """,
     "q30_containment_pairs_exact": """
         WITH norm AS (
@@ -3806,6 +3858,10 @@ ORACLE_SQL = {
         ), sh AS (
             SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
             FROM toks, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+            UNION ALL
+            -- short-doc stub shingle, mirrors hashing.shingle_hashes
+            SELECT doc_id, array_to_string(ws, ' ') AS shingle
+            FROM toks WHERE len(ws) BETWEEN 1 AND 4
         ), dsh AS (
             SELECT DISTINCT doc_id, shingle FROM sh
         ), counts AS (

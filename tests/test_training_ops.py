@@ -1086,3 +1086,30 @@ def test_token_index_build_and_search(ray_session, tmp_path):
         len(os.listdir(os.path.join(idx, d))) for d in shard_dirs)
     # unknown term → empty
     assert len(TI.token_index_search(idx, ["zz", "aa"], mode="and")) == 0
+
+
+def test_dup_cluster_sizes_planted(ray_session, tmp_path):
+    """Histogram semantics on planted exact-dup structure: a 3-clone
+    group, a 2-clone group and 2 singletons → sizes {3:1, 2:1, 1:2};
+    total mass equals the doc count."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q91_dup_cluster_sizes,
+    )
+
+    tri = ("exactly the same boilerplate paragraph repeated verbatim "
+           "across three different hosts today")
+    duo = ("another shared press release body that two outlets "
+           "published without any edits at all")
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "lang": ["en"] * 7,
+        "source": ["s"] * 7,
+        "text": [tri, tri, tri, duo, duo,
+                 "a fully unique document about gardening tips",
+                 "a second unique document on winter cycling routes"]}))
+    got = q91_dup_cluster_sizes(sf)
+    rows = dict(zip(got["cluster_size"], got["n_clusters"]))
+    assert rows == {1: 2, 2: 1, 3: 1}
+    assert int((got["cluster_size"] * got["n_clusters"]).sum()) == 7
