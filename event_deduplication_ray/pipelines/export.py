@@ -22,9 +22,15 @@ def export_canonical_parquet(
     first_ts_after: str | None = None,
     last_ts_before: str | None = None,
     rows_per_file: int = 10_000,
+    partition_by: "list[str] | None" = None,
 ) -> str:
     """Filtered, sharded Parquet export (resumable layout: a directory
     of bounded part files, never one giant file).
+
+    ``partition_by`` writes hive-partitioned output (one directory per
+    key value, e.g. ``rep_lang=en/``) — the 100 TB resume story: a
+    failed run re-lists finished partition dirs and skips them, and
+    downstream readers prune at the directory level.
 
     Reference: timestamp-filtered export S9 + 200-events-per-file
     chunking S8 (export/service.py:77-163).
@@ -47,10 +53,11 @@ def export_canonical_parquet(
     if first_ts_after or last_ts_before:
         ds = ds.map_batches(filt, batch_format="pyarrow")
     os.makedirs(out_dir, exist_ok=True)
+    kw = {"partition_cols": partition_by} if partition_by else {}
     try:
-        ds.write_parquet(out_dir, min_rows_per_file=rows_per_file)
+        ds.write_parquet(out_dir, min_rows_per_file=rows_per_file, **kw)
     except TypeError:  # older Ray releases
-        ds.write_parquet(out_dir, num_rows_per_file=rows_per_file)
+        ds.write_parquet(out_dir, num_rows_per_file=rows_per_file, **kw)
     return out_dir
 
 

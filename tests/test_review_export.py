@@ -265,3 +265,26 @@ def test_exact_tier_cache_no_foreign_pair_injection(result, tmp_path):
     a = out.sort_values(key).reset_index(drop=True)
     b = ref.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_export_parquet_partitioned(result, tmp_path):
+    """partition_by writes hive layout (one dir per key value) whose
+    union re-reads to exactly the unpartitioned row set — the
+    skip-finished-partitions resume contract."""
+    import ray.data as rd
+
+    out = export_canonical_parquet(
+        result.canonical, str(tmp_path / "part_exp"),
+        partition_by=["rep_lang"])
+    dirs = [d for d in os.listdir(out) if d.startswith("rep_lang=")]
+    assert len(dirs) >= 2
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == result.canonical.count()
+    want = result.canonical.to_pandas()
+    assert set(back["cluster_id"]) == set(want["cluster_id"])
+    # every row landed in the directory matching its key
+    for d in dirs:
+        lang = d.split("=", 1)[1]
+        sub = rd.read_parquet(os.path.join(out, d)).to_pandas()
+        assert (back.set_index("cluster_id").loc[sub["cluster_id"],
+                "rep_lang"] == lang).all()
