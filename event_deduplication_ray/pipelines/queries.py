@@ -3286,6 +3286,65 @@ def q91_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("cluster_size").reset_index(drop=True)
 
 
+def q92_centroid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Nearest-centroid assignment audit (clustering-quality shape):
+    per-label centroids from ONE pass of mergeable (sum-matrix, n)
+    partials — each batch emits a 10×64 float64 block packed as
+    bytes, the driver folds them — then a second streaming pass
+    assigns every vector to its max-cosine centroid and emits
+    (label, assigned_label) confusion partials.  Ties break to the
+    smallest label (argmax-first ≡ the oracle's ORDER BY).  Same
+    float-argmax caveat as q11: distinct-label centroids are far
+    apart, so the 1e-16 summation-order drift can't flip a winner."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def cent_partial(t: pa.Table) -> pa.Table:
+        m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        lab = t["label"].to_numpy().astype(np.int64)
+        labs = np.unique(lab)
+        sums = np.zeros((len(labs), m.shape[1]))
+        ns = np.zeros(len(labs), np.int64)
+        for j, lv in enumerate(labs):
+            sel = lab == lv
+            sums[j] = m[sel].sum(axis=0)
+            ns[j] = int(sel.sum())
+        return pa.table({"label": pa.array(labs),
+                         "n": pa.array(ns),
+                         "s": pa.array([r.tobytes() for r in sums],
+                                       pa.binary())})
+
+    parts = emb.map_batches(cent_partial, batch_format="pyarrow").to_pandas()
+    parts["sv"] = parts["s"].map(lambda b: np.frombuffer(b, np.float64))
+    g = parts.groupby("label")
+    labels = np.array(sorted(g.groups), np.int64)
+    cents = np.vstack([
+        np.sum(np.vstack(g.get_group(lv)["sv"].to_numpy()), axis=0)
+        / g.get_group(lv)["n"].sum() for lv in labels])
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    ref = ray.put((labels, cn))
+
+    def assign(t: pa.Table) -> pa.Table:
+        labs, c = ray.get(ref)
+        m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        best = labs[np.argmax(mn @ c.T, axis=1)]
+        df = pd.DataFrame({"label": t["label"].to_numpy().astype(np.int64),
+                           "assigned_label": best})
+        out = df.groupby(["label", "assigned_label"], as_index=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "n"}),
+                                    preserve_index=False)
+
+    out = emb.map_batches(assign, batch_format="pyarrow").to_pandas()
+    out = out.groupby(["label", "assigned_label"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["label", "assigned_label"])
+            .reset_index(drop=True))
+
+
 def q90_token_index_search(sf_dir: str) -> pd.DataFrame:
     """Index-served AND search: q89's exact query answered from the
     persisted posting-list index (`stages/textindex.py`) instead of a
@@ -3631,6 +3690,7 @@ RAY_QUERIES = {
     "q89_token_and_search": q89_token_and_search,
     "q90_token_index_search": q90_token_index_search,
     "q91_dup_cluster_sizes": q91_dup_cluster_sizes,
+    "q92_centroid_confusion": q92_centroid_confusion,
 }
 
 
@@ -3843,6 +3903,27 @@ ORACLE_SQL = {
         SELECT cluster_size, count(*)::BIGINT AS n_clusters
         FROM sizes GROUP BY cluster_size
         ORDER BY cluster_size
+    """,
+    "q92_centroid_confusion": """
+        WITH cent AS (
+          SELECT label, i, avg(embedding[CAST(i AS BIGINT) + 1]) AS c
+          FROM embeddings, unnest(range(0, 64)) AS t(i)
+          GROUP BY label, i
+        ),
+        centv AS (
+          SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label
+        ),
+        a AS (
+          SELECT e.label,
+                 (SELECT c.label FROM centv c
+                  ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+                           c.label
+                  LIMIT 1) AS assigned_label
+          FROM embeddings e
+        )
+        SELECT label, assigned_label, count(*)::BIGINT AS n
+        FROM a GROUP BY label, assigned_label
+        ORDER BY label, assigned_label
     """,
     "q30_containment_pairs_exact": """
         WITH norm AS (

@@ -73,7 +73,7 @@ SQL_CHECKED = [
     "q85_promo_revenue_share", "q86_top_orders_per_segment",
     "q87_retention_cohorts", "q88_event_type_cooccurrence",
     "q89_token_and_search", "q90_token_index_search",
-    "q91_dup_cluster_sizes",
+    "q91_dup_cluster_sizes", "q92_centroid_confusion",
 ]
 
 

@@ -1113,3 +1113,36 @@ def test_dup_cluster_sizes_planted(ray_session, tmp_path):
     rows = dict(zip(got["cluster_size"], got["n_clusters"]))
     assert rows == {1: 2, 2: 1, 3: 1}
     assert int((got["cluster_size"] * got["n_clusters"]).sum()) == 7
+
+
+def test_centroid_confusion_planted(ray_session, tmp_path):
+    """Geometry by hand: two orthogonal 4-dim blobs assign perfectly;
+    a mislabeled vector pointing at the other blob lands in the
+    off-diagonal cell."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray.pipelines.queries import (
+        q92_centroid_confusion,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0, 0.05, 0.0]),
+        (0, [0.9, 0.1, 0.0, 0.0]),
+        (1, [0.0, 0.0, 1.0, 0.1]),
+        (1, [0.0, 0.05, 0.9, 0.0]),
+        (0, [0.0, 0.0, 1.0, 0.0]),   # mislabeled → assigned 1
+    ]
+    t = pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "label": pa.array([v[0] for v in vecs], pa.int32()),
+        "embedding": pa.array([np.asarray(v[1], np.float32)
+                               for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = q92_centroid_confusion(str(tmp_path))
+    cells = {(r.label, r.assigned_label): r.n for r in got.itertuples()}
+    assert cells == {(0, 0): 2, (0, 1): 1, (1, 1): 2}
