@@ -61,6 +61,63 @@ def export_canonical_parquet(
     return out_dir
 
 
+def export_canonical_bundle(
+    canonical: Dataset,
+    out_path: str,
+    chunk_limit: int = 200,
+) -> str:
+    """Small-result JSON / large-result ZIP-of-chunks sink — the
+    batch-engine form of the reference's export API (S10,
+    api/routes/export.py:21-91: <= 200 events → one JSON response,
+    more → a ZIP of chunk files).
+
+    Streams via ``iter_batches`` — no driver materialization beyond
+    one chunk — writing JSONL chunk members into the ZIP as they
+    arrive; the single-JSON path only triggers when the dataset is
+    small enough to hold one chunk.  Returns the path actually
+    written (``.json`` or ``.zip`` appended to ``out_path``)."""
+    import json
+    import zipfile
+
+    first: "pd.DataFrame | None" = None
+    it = canonical.iter_batches(batch_size=chunk_limit,
+                                batch_format="pandas")
+    zf = None
+    n_chunks = 0
+    zip_path = out_path + ".zip"
+    try:
+        for b in it:
+            b = b.copy()
+            for c in b.columns:
+                if pd.api.types.is_datetime64_any_dtype(b[c]):
+                    b[c] = b[c].astype(str)
+            if first is None and len(b) <= chunk_limit and zf is None:
+                first = b
+                continue
+            if zf is None:
+                zf = zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED)
+                if first is not None:
+                    zf.writestr(f"chunk_{n_chunks:05d}.jsonl",
+                                first.to_json(orient="records",
+                                              lines=True))
+                    n_chunks += 1
+                    first = None
+            zf.writestr(f"chunk_{n_chunks:05d}.jsonl",
+                        b.to_json(orient="records", lines=True))
+            n_chunks += 1
+    finally:
+        if zf is not None:
+            zf.close()
+    if zf is not None:
+        return zip_path
+    json_path = out_path + ".json"
+    rows = [] if first is None else json.loads(
+        first.to_json(orient="records"))
+    with open(json_path, "w") as f:
+        json.dump(rows, f)
+    return json_path
+
+
 def list_canonical(
     canonical: Dataset,
     url_contains: str | None = None,

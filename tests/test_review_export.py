@@ -288,3 +288,50 @@ def test_export_parquet_partitioned(result, tmp_path):
         sub = rd.read_parquet(os.path.join(out, d)).to_pandas()
         assert (back.set_index("cluster_id").loc[sub["cluster_id"],
                 "rep_lang"] == lang).all()
+
+
+def test_export_bundle_small_is_json(result, tmp_path):
+    """<= chunk_limit rows → ONE .json file with every row (the
+    reference's small-response path)."""
+    import json
+
+    from event_deduplication_ray.pipelines.export import (
+        export_canonical_bundle,
+    )
+
+    n = result.canonical.count()
+    p = export_canonical_bundle(result.canonical,
+                                str(tmp_path / "bundle"),
+                                chunk_limit=n + 10)
+    assert p.endswith(".json")
+    rows = json.load(open(p))
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == set(
+        result.canonical.to_pandas()["cluster_id"])
+
+
+def test_export_bundle_large_is_zip_of_chunks(result, tmp_path):
+    """> chunk_limit rows → a ZIP whose JSONL members hold every row
+    in <= chunk_limit pieces (the reference's ZIP path)."""
+    import io
+    import json
+    import zipfile
+
+    from event_deduplication_ray.pipelines.export import (
+        export_canonical_bundle,
+    )
+
+    n = result.canonical.count()
+    limit = max(n // 4, 1)
+    p = export_canonical_bundle(result.canonical,
+                                str(tmp_path / "bundle"),
+                                chunk_limit=limit)
+    assert p.endswith(".zip")
+    seen = []
+    with zipfile.ZipFile(p) as zf:
+        names = sorted(zf.namelist())
+        assert len(names) >= 2
+        for m in names:
+            for line in io.TextIOWrapper(zf.open(m)):
+                seen.append(json.loads(line))
+    assert len(seen) == n
