@@ -3286,6 +3286,101 @@ def q91_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("cluster_size").reset_index(drop=True)
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
+                     "have", "with")
+
+
+def q93_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher quality rules (Rae et al. 2021, §A1.1) — the classic
+    named rule-set a web-text pipeline gates on, one flag column per
+    rule plus the conjunction: word count in [50, 100 000]; mean word
+    length in [3, 10]; '#'/'…' symbol-to-word ratio <= 0.1; < 90 % of
+    lines start with a bullet; <= 30 % end with an ellipsis; > 80 %
+    of words contain an alphabetic char; >= 2 distinct stop words.
+    Every threshold is evaluated in EXACT integer cross-multiplication
+    (e.g. ``3·n_words <= n_chars <= 10·n_words``) so the Ray and SQL
+    engines can never disagree on a ratio rounding.  Pure map stage —
+    one tokenization + one line split per batch, nothing shuffles."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stop = frozenset(_GOPHER_STOPWORDS)
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        flat, lens = tokenize_offsets(text.str.lower())
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        n_words = lens.astype(np.int64)
+
+        def per_doc(mask: np.ndarray) -> np.ndarray:
+            c = np.concatenate([[0], np.cumsum(mask)]).astype(np.int64)
+            return c[ends] - c[starts]
+
+        tok = pd.Series(flat) if len(flat) else pd.Series(dtype=object)
+        tok_len = tok.str.len().to_numpy(np.int64) if len(flat) \
+            else np.zeros(0, np.int64)
+        c = np.concatenate([[0], np.cumsum(tok_len)]).astype(np.int64)
+        n_chars = c[ends] - c[starts]
+        alpha = tok.str.contains("[A-Za-z]", regex=True).to_numpy() \
+            if len(flat) else np.zeros(0, bool)
+        n_alpha = per_doc(alpha)
+        # distinct stopword hits per doc
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        is_stop = tok.isin(stop).to_numpy() if len(flat) \
+            else np.zeros(0, bool)
+        if is_stop.any():
+            ds_pairs = pd.DataFrame({"d": doc_of[is_stop],
+                                     "t": tok.to_numpy(object)[is_stop]})
+            n_stop = np.zeros(len(df), np.int64)
+            g = ds_pairs.drop_duplicates().groupby("d").size()
+            n_stop[g.index.to_numpy()] = g.to_numpy(np.int64)
+        else:
+            n_stop = np.zeros(len(df), np.int64)
+        # symbols: '#' occurrences + '...' (non-overlapping) + '…'
+        n_sym = (text.str.count("#")
+                 + text.str.count(r"\.\.\.")).to_numpy(np.int64)
+        # line stats
+        lines = text.str.split("\n")
+        nl = lines.str.len().to_numpy(np.int64)
+        lf = pd.Series(
+            np.concatenate([np.asarray(v, object) for v in lines])
+            if len(lines) else np.array([], object)).str.strip(" ")
+        lends = np.cumsum(nl)
+        lstarts = lends - nl
+        bullet = lf.str.startswith(("- ", "* ")).to_numpy() \
+            if len(lf) else np.zeros(0, bool)
+        ell = lf.str.endswith("...").to_numpy() if len(lf) \
+            else np.zeros(0, bool)
+        cb = np.concatenate([[0], np.cumsum(bullet)]).astype(np.int64)
+        ce = np.concatenate([[0], np.cumsum(ell)]).astype(np.int64)
+        n_bullet = cb[lends] - cb[lstarts]
+        n_ell = ce[lends] - ce[lstarts]
+
+        r_words = ((n_words >= 50) & (n_words <= 100_000))
+        r_wordlen = ((3 * n_words <= n_chars) & (n_chars <= 10 * n_words)
+                     & (n_words > 0))
+        r_symbol = 10 * n_sym <= n_words
+        r_bullets = 10 * n_bullet < 9 * nl
+        r_ellipsis = 10 * n_ell <= 3 * nl
+        r_alpha = 5 * n_alpha > 4 * n_words
+        r_stop = n_stop >= 2
+        keep = (r_words & r_wordlen & r_symbol & r_bullets
+                & r_ellipsis & r_alpha & r_stop)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "rule_words": r_words, "rule_wordlen": r_wordlen,
+            "rule_symbol": r_symbol, "rule_bullets": r_bullets,
+            "rule_ellipsis": r_ellipsis, "rule_alpha": r_alpha,
+            "rule_stop": r_stop, "keep": keep})
+        for col in out.columns[1:]:
+            out[col] = out[col].astype("int64")
+        return out
+
+    out = ds.map_batches(rules, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q92_centroid_confusion(sf_dir: str) -> pd.DataFrame:
     """Nearest-centroid assignment audit (clustering-quality shape):
     per-label centroids from ONE pass of mergeable (sum-matrix, n)
@@ -3691,6 +3786,7 @@ RAY_QUERIES = {
     "q90_token_index_search": q90_token_index_search,
     "q91_dup_cluster_sizes": q91_dup_cluster_sizes,
     "q92_centroid_confusion": q92_centroid_confusion,
+    "q93_gopher_rules": q93_gopher_rules,
 }
 
 
@@ -3903,6 +3999,56 @@ ORACLE_SQL = {
         SELECT cluster_size, count(*)::BIGINT AS n_clusters
         FROM sizes GROUP BY cluster_size
         ORDER BY cluster_size
+    """,
+    "q93_gopher_rules": """
+        WITH t AS (
+          SELECT doc_id,
+                 coalesce(text, '') AS tx,
+                 regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a,
+                 string_split(coalesce(text, ''), chr(10)) AS ls
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(a)::BIGINT AS n_words,
+                 coalesce(list_sum(list_transform(a, x -> len(x))),
+                          0)::BIGINT AS n_chars,
+                 len(list_filter(a, x -> regexp_matches(x, '[A-Za-z]')))
+                     ::BIGINT AS n_alpha,
+                 len(list_intersect(list_distinct(a),
+                     ['the','be','to','of','and','that','have','with']))
+                     ::BIGINT AS n_stop,
+                 (len(regexp_extract_all(tx, '#'))
+                  + len(regexp_extract_all(tx, '\\.\\.\\.')))::BIGINT
+                     AS n_sym,
+                 len(ls)::BIGINT AS n_lines,
+                 len(list_filter(ls, x -> starts_with(trim(x, ' '), '- ')
+                                  OR starts_with(trim(x, ' '), '* ')))
+                     ::BIGINT AS n_bullet,
+                 len(list_filter(ls, x -> trim(x, ' ') LIKE '%...'))
+                     ::BIGINT AS n_ell
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT)
+                   AS rule_words,
+               CAST(3 * n_words <= n_chars AND n_chars <= 10 * n_words
+                    AND n_words > 0 AS BIGINT) AS rule_wordlen,
+               CAST(10 * n_sym <= n_words AS BIGINT) AS rule_symbol,
+               CAST(10 * n_bullet < 9 * n_lines AS BIGINT) AS rule_bullets,
+               CAST(10 * n_ell <= 3 * n_lines AS BIGINT) AS rule_ellipsis,
+               CAST(5 * n_alpha > 4 * n_words AS BIGINT) AS rule_alpha,
+               CAST(n_stop >= 2 AS BIGINT) AS rule_stop,
+               CAST(n_words >= 50 AND n_words <= 100000
+                    AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+                    AND n_words > 0
+                    AND 10 * n_sym <= n_words
+                    AND 10 * n_bullet < 9 * n_lines
+                    AND 10 * n_ell <= 3 * n_lines
+                    AND 5 * n_alpha > 4 * n_words
+                    AND n_stop >= 2 AS BIGINT) AS keep
+        FROM m
+        ORDER BY doc_id
     """,
     "q92_centroid_confusion": """
         WITH cent AS (

@@ -25,7 +25,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q65_quantile_gate", "q67_head_dedup", "q68_global_rank",
           "q71_vocab", "q72_chunk_windows", "q77_bpe_token_counts",
           "q78_line_dedup_rewrite", "q79_oov_rate", "q82_dsir_weights",
-          "q89_token_and_search", "q91_dup_cluster_sizes"]
+          "q89_token_and_search", "q91_dup_cluster_sizes",
+          "q93_gopher_rules"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 

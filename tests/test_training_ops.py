@@ -1146,3 +1146,41 @@ def test_centroid_confusion_planted(ray_session, tmp_path):
     got = q92_centroid_confusion(str(tmp_path))
     cells = {(r.label, r.assigned_label): r.n for r in got.itertuples()}
     assert cells == {(0, 0): 2, (0, 1): 1, (1, 1): 2}
+
+
+def test_gopher_rules_planted(ray_session, tmp_path):
+    """Each Gopher rule flipped by one hand-built doc: a good doc
+    passes all; too-short fails rule_words; long-token spam fails
+    rule_wordlen; '#'-dense fails rule_symbol; bullet-wall fails
+    rule_bullets; ellipsis-wall fails rule_ellipsis; digit soup fails
+    rule_alpha; stopword-free fails rule_stop."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q93_gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "rests with great joy because that was a fine effort "
+            "to have made today ") * 3          # 84 words, stopwords rich
+    short = "the dog and that have with be of"  # 8 words
+    longtok = " ".join(["the", "of", "and"] + [
+        "supercalifragilistic" * 3] * 60)       # mean len > 10
+    symbols = ("the of and " + "# " * 40) + "word " * 40  # sym ratio > 0.1
+    bullets = "\n".join(["- the item of and"] * 10)       # 100 % bullets
+    ellipsis = "\n".join(["the story of and trails off..."] * 10)
+    digits = "the of " + " ".join(str(i) for i in range(80))
+    nostop = "word " * 60
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": list(range(1, 9)),
+        "text": [good, short, longtok, symbols, bullets, ellipsis,
+                 digits, nostop]}))
+    got = q93_gopher_rules(sf).set_index("doc_id")
+    assert got.loc[1, "keep"] == 1
+    assert got.loc[2, "rule_words"] == 0
+    assert got.loc[3, "rule_wordlen"] == 0
+    assert got.loc[4, "rule_symbol"] == 0
+    assert got.loc[5, "rule_bullets"] == 0
+    assert got.loc[6, "rule_ellipsis"] == 0
+    assert got.loc[7, "rule_alpha"] == 0
+    assert got.loc[8, "rule_stop"] == 0
+    # each failing doc is rejected overall
+    assert got.loc[2:, "keep"].sum() == 0
