@@ -219,6 +219,80 @@ def afp64(pcm: np.ndarray, windows: int = 65) -> np.uint64:
     return fp
 
 
+class MediaResizeStage:
+    """Actor-pool stage: image payload → RESIZED image payload (the
+    decode→resize→re-encode step of an image pipeline).  The fake
+    codec path block-mean-downsamples to fit within (max_w, max_h)
+    preserving aspect ratio and re-encodes as a FAKE payload, so the
+    output column is again an opaque binary a downstream decode stage
+    accepts; already-small images pass through byte-identical.
+    Non-image rows pass through untouched.  Small ``batch_size`` —
+    two payload copies are live per row during re-encode."""
+
+    def __init__(self, decoder: str = "stub", max_w: int = 16,
+                 max_h: int = 16):
+        self.decoder = decoder
+        self.max_w = int(max_w)
+        self.max_h = int(max_h)
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape
+        if h <= self.max_h and w <= self.max_w:
+            return img
+        fy = -(-h // self.max_h)            # ceil division
+        fx = -(-w // self.max_w)
+        f = max(fy, fx)
+        th, tw = h // f, w // f
+        trimmed = img[: th * f, : tw * f].astype(np.float64)
+        out = trimmed.reshape(th, f, tw, f).mean(axis=(1, 3))
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "stub":
+            raise NotImplementedError(
+                "image resizing requires a codec library (PIL/opencv) "
+                "not present in this environment; wire it here"
+            )
+        col = batch["payload"]
+        kinds = batch["kind"].to_pylist() if "kind" in batch.column_names \
+            else ["image"] * len(col)
+        out_payloads, out_w, out_h = [], [], []
+        for i in range(len(col)):
+            raw = col[i].as_py()
+            if kinds[i] != "image":
+                out_payloads.append(raw)
+                out_w.append(0)
+                out_h.append(0)
+                continue
+            img = self._resize(_fake_decode(raw))
+            h, w = img.shape
+            out_payloads.append(
+                b"FAKE" + int(w).to_bytes(2, "little")
+                + int(h).to_bytes(2, "little") + img.tobytes())
+            out_w.append(w)
+            out_h.append(h)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": pa.array(kinds),
+            "payload": pa.array(out_payloads, pa.binary()),
+            "width": pa.array(np.asarray(out_w, np.int64)),
+            "height": pa.array(np.asarray(out_h, np.int64)),
+        })
+
+
+def resize_media(
+    media: "Dataset", decoder: str = "stub", max_w: int = 16,
+    max_h: int = 16, concurrency: int = 2, batch_size: int = 16,
+) -> "Dataset":
+    return media.map_batches(
+        MediaResizeStage,
+        fn_constructor_args=(decoder, max_w, max_h),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def make_fake_video_payload(media_id: int, width: int, height: int,
                             n_frames: int) -> bytes:
     """Fake video clip: ``b"FAKV" + uint16 w + uint16 h + uint16

@@ -273,3 +273,49 @@ def test_video_single_shared_frame_does_not_merge():
         decoder="fake", radius=3,
     ).to_pandas()
     assert out["cluster_id"].nunique() == 2
+
+
+def test_resize_stage_dims_and_roundtrip():
+    """Resize: 32x32 → fits 16x16 (factor 2 block mean), output is a
+    valid FAKE payload a decode stage accepts, small images pass
+    through byte-identical, deterministic across runs."""
+    import numpy as np
+    import ray.data as rd
+
+    t = MM.make_fake_media_table(n_groups=1, members=2, singletons=1,
+                                 width=32, height=32)
+    ds = rd.from_arrow(t)
+    a = MM.resize_media(ds, decoder="fake", max_w=16, max_h=16,
+                        concurrency=1).to_pandas()
+    assert (a["width"] == 16).all() and (a["height"] == 16).all()
+    for p in a["payload"]:
+        img = MM._fake_decode(p)
+        assert img.shape == (16, 16)
+    b = MM.resize_media(ds, decoder="fake", max_w=16, max_h=16,
+                        concurrency=1).to_pandas()
+    assert a.sort_values("media_id")["payload"].tolist() == \
+        b.sort_values("media_id")["payload"].tolist()
+    # block-mean correctness on one hand frame
+    src = MM._fake_decode(t["payload"][0].as_py()).astype(np.float64)
+    want = np.clip(np.round(
+        src.reshape(16, 2, 16, 2).mean(axis=(1, 3))), 0, 255
+    ).astype(np.uint8)
+    got = MM._fake_decode(
+        a.set_index("media_id").loc[0, "payload"])
+    assert (got == want).all()
+    # already-small image passes through byte-identical
+    small = MM.make_fake_media_table(n_groups=1, members=1, singletons=0,
+                                     width=8, height=8)
+    out = MM.resize_media(rd.from_arrow(small), decoder="fake",
+                          concurrency=1).to_pandas()
+    assert out["payload"].iloc[0] == small["payload"][0].as_py()
+
+
+def test_resize_stage_stub_raises():
+    import pytest as _pytest
+    import ray.data as rd
+
+    t = MM.make_fake_media_table(n_groups=1, members=1, singletons=0)
+    with _pytest.raises(Exception):
+        MM.resize_media(rd.from_arrow(t), decoder="stub",
+                        concurrency=1).to_pandas()
