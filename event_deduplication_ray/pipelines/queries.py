@@ -42,6 +42,15 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
 QCFG = DedupConfig(join_num_partitions=16)
 
 
+def _with_schema(df: pd.DataFrame, cols: "dict[str, str]") -> pd.DataFrame:
+    """Ray's to_pandas() drops a 0-row Dataset's schema (the q26
+    fallback pattern): if any expected column is missing, rebuild the
+    empty typed frame so downstream sort/groupby never KeyErrors."""
+    if all(c in df.columns for c in cols):
+        return df
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+
 # ---------------------------------------------------------------- relational
 
 def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -2824,8 +2833,10 @@ def q77_bpe_token_counts(sf_dir: str) -> pd.DataFrame:
             "n_bpe_tokens": t.str.count(BPE_TOKEN_RX).astype("int64"),
         })
 
-    return (ds.map_batches(f, batch_format="pandas")
-            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out = _with_schema(
+        ds.map_batches(f, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "n_bpe_tokens": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q78_line_dedup_rewrite(sf_dir: str) -> Dataset:
@@ -2970,8 +2981,11 @@ def q83_value_quantiles(sf_dir: str) -> pd.DataFrame:
             rows.append(row)
         return pd.DataFrame(rows)
 
-    out = partition_apply(parts, ["event_type"], QCFG.join_num_partitions,
-                          combine).to_pandas()
+    out = _with_schema(
+        partition_apply(parts, ["event_type"], QCFG.join_num_partitions,
+                        combine).to_pandas(),
+        {"event_type": "object", "p50": "float64", "p90": "float64",
+         "p99": "float64"})
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -3166,8 +3180,11 @@ def q87_retention_cohorts(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["cohort_day", "day_offset"], as_index=False)["n"].sum()
         return g.rename(columns={"n": "n_users"})
 
-    out = partition_apply(parts, ["cohort_day", "day_offset"],
-                          QCFG.join_num_partitions, combine).to_pandas()
+    out = _with_schema(
+        partition_apply(parts, ["cohort_day", "day_offset"],
+                        QCFG.join_num_partitions, combine).to_pandas(),
+        {"cohort_day": "object", "day_offset": "int64",
+         "n_users": "int64"})
     out["day_offset"] = out["day_offset"].astype("int64")
     out["n_users"] = out["n_users"].astype("int64")
     return (out.sort_values(["cohort_day", "day_offset"])
@@ -3194,8 +3211,10 @@ def q88_event_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
                                      "event_type_y": "type_b"}))
         return g
 
-    parts = partition_apply(ds, ["user_id"], QCFG.join_num_partitions,
-                            pairs).to_pandas()
+    parts = _with_schema(
+        partition_apply(ds, ["user_id"], QCFG.join_num_partitions,
+                        pairs).to_pandas(),
+        {"type_a": "object", "type_b": "object", "n": "int64"})
     out = parts.groupby(["type_a", "type_b"], as_index=False)["n"].sum() \
         .rename(columns={"n": "n_users"})
     out["n_users"] = out["n_users"].astype("int64")
@@ -3233,9 +3252,11 @@ def q89_token_and_search(sf_dir: str) -> pd.DataFrame:
         return g.sort_values(["n", "token"],
                              ascending=[False, True]).head(2)
 
-    cand = partition_apply(
-        ds.map_batches(tok_partial, batch_format="pandas"),
-        ["token"], QCFG.join_num_partitions, top2_part).to_pandas()
+    cand = _with_schema(
+        partition_apply(
+            ds.map_batches(tok_partial, batch_format="pandas"),
+            ["token"], QCFG.join_num_partitions, top2_part).to_pandas(),
+        {"token": "object", "n": "int64"})
     query = (cand.sort_values(["n", "token"], ascending=[False, True])
              .head(2)["token"].tolist())
 
@@ -3377,7 +3398,12 @@ def q93_gopher_rules(sf_dir: str) -> pd.DataFrame:
             out[col] = out[col].astype("int64")
         return out
 
-    out = ds.map_batches(rules, batch_format="pandas").to_pandas()
+    out = _with_schema(
+        ds.map_batches(rules, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "rule_words": "int64", "rule_wordlen": "int64",
+         "rule_symbol": "int64", "rule_bullets": "int64",
+         "rule_ellipsis": "int64", "rule_alpha": "int64",
+         "rule_stop": "int64", "keep": "int64"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3544,10 +3570,13 @@ def q82_dsir_weights(sf_dir: str) -> pd.DataFrame:
         return df.groupby(["model", "kind", "w1", "w2"],
                           as_index=False)["n"].sum()
 
-    counts = partition_apply(
-        ds.map_batches(count_partial, batch_format="pandas"),
-        ["w1"], QCFG.join_num_partitions, combine,
-    ).to_pandas()
+    counts = _with_schema(
+        partition_apply(
+            ds.map_batches(count_partial, batch_format="pandas"),
+            ["w1"], QCFG.join_num_partitions, combine,
+        ).to_pandas(),
+        {"model": "object", "kind": "object", "w1": "object",
+         "w2": "object", "n": "int64"})
 
     def model_of(tag: str):
         c = counts[counts["model"] == tag]
@@ -3577,7 +3606,10 @@ def q82_dsir_weights(sf_dir: str) -> pd.DataFrame:
         g["dsir_logratio"] = g["dsir_logratio"].round(6)
         return g
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = _with_schema(
+        ds.map_batches(score, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "n_bigrams": "int64",
+         "dsir_logratio": "float64"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3672,9 +3704,11 @@ def q79_oov_rate(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("token", as_index=False)["n"].sum()
         return g[g["n"] >= 5][["token"]]
 
-    vocab = partition_apply(
-        ds.map_batches(tok_partial, batch_format="pandas"),
-        ["token"], QCFG.join_num_partitions, vocab_part).to_pandas()
+    vocab = _with_schema(
+        partition_apply(
+            ds.map_batches(tok_partial, batch_format="pandas"),
+            ["token"], QCFG.join_num_partitions, vocab_part).to_pandas(),
+        {"token": "object"})
     vocab_ref = ray.put(frozenset(vocab["token"].tolist()))
 
     def rate(df: pd.DataFrame) -> pd.DataFrame:
@@ -3693,7 +3727,10 @@ def q79_oov_rate(sf_dir: str) -> pd.DataFrame:
                              "n_tok": n_tok, "n_oov": n_oov,
                              "oov_ppm": ppm})
 
-    out = ds.map_batches(rate, batch_format="pandas").to_pandas()
+    out = _with_schema(
+        ds.map_batches(rate, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "n_tok": "int64", "n_oov": "int64",
+         "oov_ppm": "int64"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -1184,3 +1184,35 @@ def test_gopher_rules_planted(ray_session, tmp_path):
     assert got.loc[8, "rule_stop"] == 0
     # each failing doc is rejected overall
     assert got.loc[2:, "keep"].sum() == 0
+
+
+def test_new_ops_tolerate_empty_tables(ray_session, tmp_path):
+    """Zero-row inputs must produce zero-row (or empty-histogram)
+    results, not schema crashes — the bug class q49's NaT fix came
+    from.  Runs every session-8+ documents/events operator against
+    an empty table of the right schema."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines import queries as Q
+
+    docs = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                         "lang": pd.Series(dtype="object"),
+                         "source": pd.Series(dtype="object"),
+                         "text": pd.Series(dtype="object")})
+    _write_tbl(tmp_path, "documents", docs)
+    ev = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                       "ts": pd.Series(dtype="datetime64[us]"),
+                       "user_id": pd.Series(dtype="int64"),
+                       "event_type": pd.Series(dtype="object"),
+                       "value": pd.Series(dtype="float64")})
+    sf = _write_tbl(tmp_path, "events", ev)
+
+    for name in ["q77_bpe_token_counts", "q78_line_dedup_rewrite",
+                 "q79_oov_rate", "q82_dsir_weights", "q89_token_and_search",
+                 "q93_gopher_rules", "q76_user_running_total",
+                 "q83_value_quantiles", "q87_retention_cohorts",
+                 "q88_event_type_cooccurrence"]:
+        got = Q.RAY_QUERIES[name](sf)
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        assert len(got) == 0, name
