@@ -134,6 +134,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q55_regional_revenue", "q64_bigram_lm", "q68_global_rank",
         "q70_rolling_distinct", "q71_vocab", "q74_order_count_histogram",
         "q76_user_running_total", "q78_line_dedup_rewrite", "q79_oov_rate",
+        "q82_dsir_weights", "q87_retention_cohorts", "q93_gopher_rules",
     ]
     out: dict[str, float] = {}
     for name in names:
