@@ -3311,6 +3311,62 @@ _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
                      "have", "with")
 
 
+def q94_late_orders_by_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4-style SEMI-join (EXISTS): count orders per priority
+    having at least one lineitem shipped more than 90 days after the
+    order date — the semi-join completes the relational primitive set
+    next to q15's anti-join.  Shape: lineitem pre-dedups candidate
+    orderkeys per batch (one row per distinct key per batch — the
+    EXISTS needs presence, not multiplicity); orders cogroup against
+    them on orderkey carrying (o_orderdate, priority); the late test
+    runs vectorized in exact integer µs inside the partition; the
+    per-priority counts are P tiny partial frames."""
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    late_us = 90 * 86_400_000_000
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["ship_us"] = df["l_shipdate"].astype("datetime64[us]") \
+            .astype("int64")
+        g = df.groupby("l_orderkey", as_index=False)["ship_us"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_sh = shuffle_to(li, ["l_orderkey"], QCFG.join_num_partitions,
+                       pre_fn=lpart)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    empty = {"o_orderpriority": pd.Series(dtype="object"),
+             "n_late_orders": pd.Series(dtype="int64")}
+
+    def semi(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(empty)
+        mx = r.groupby("l_orderkey", as_index=False)["ship_us"].max()
+        m = l.merge(mx, left_on="o_orderkey", right_on="l_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        od_us = m["o_orderdate"].astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        late = m[m["ship_us"].to_numpy() > od_us + late_us]
+        g = (late.groupby("o_orderpriority", as_index=False).size()
+             .rename(columns={"size": "n_late_orders"}))
+        return g
+
+    df = cogroup_apply(orders, li_sh, ["o_orderkey"], ["l_orderkey"],
+                       QCFG.join_num_partitions, semi).to_pandas()
+    df = _with_schema(df, empty_cols := {"o_orderpriority": "object",
+                                         "n_late_orders": "int64"})
+    out = df.groupby("o_orderpriority", as_index=False)["n_late_orders"].sum()
+    out = _with_schema(out, empty_cols)
+    out["n_late_orders"] = out["n_late_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q93_gopher_rules(sf_dir: str) -> pd.DataFrame:
     """Gopher quality rules (Rae et al. 2021, §A1.1) — the classic
     named rule-set a web-text pipeline gates on, one flag column per
@@ -3824,6 +3880,7 @@ RAY_QUERIES = {
     "q91_dup_cluster_sizes": q91_dup_cluster_sizes,
     "q92_centroid_confusion": q92_centroid_confusion,
     "q93_gopher_rules": q93_gopher_rules,
+    "q94_late_orders_by_priority": q94_late_orders_by_priority,
 }
 
 
@@ -4036,6 +4093,17 @@ ORACLE_SQL = {
         SELECT cluster_size, count(*)::BIGINT AS n_clusters
         FROM sizes GROUP BY cluster_size
         ORDER BY cluster_size
+    """,
+    "q94_late_orders_by_priority": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
     "q93_gopher_rules": """
         WITH t AS (

@@ -1216,3 +1216,31 @@ def test_new_ops_tolerate_empty_tables(ray_session, tmp_path):
         if not isinstance(got, pd.DataFrame):
             got = got.to_pandas()
         assert len(got) == 0, name
+
+
+def test_late_orders_semi_join_planted(ray_session, tmp_path):
+    """EXISTS semantics by hand: one late lineitem marks the whole
+    order once (no multiplicity), on-time-only orders don't count,
+    the 90-day boundary is strict (exactly +90 days is NOT late)."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q94_late_orders_by_priority,
+    )
+
+    od = pd.Timestamp("2024-01-01")
+    _write_tbl(tmp_path, "orders", pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_orderdate": pd.Series([od] * 3).astype("datetime64[us]"),
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "5-LOW"]}))
+    sf = _write_tbl(tmp_path, "lineitem", pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 2, 3],
+        "l_shipdate": pd.Series([
+            od + pd.Timedelta(days=91),   # late
+            od + pd.Timedelta(days=120),  # late again (counted once)
+            od + pd.Timedelta(days=5),
+            od + pd.Timedelta(days=90),   # boundary: NOT late
+            od + pd.Timedelta(days=200),  # late
+        ]).astype("datetime64[us]")}))
+    got = q94_late_orders_by_priority(sf)
+    assert got.values.tolist() == [["1-URGENT", 1], ["5-LOW", 1]]
