@@ -3311,6 +3311,44 @@ _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
                      "have", "with")
 
 
+def q95_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-Res):
+    each doc draws u = (fmix32(doc_id)+1)/2³² and competes with key
+    ln(u)/w (w = token count, heavier docs more likely); the global
+    top-k by key IS a weighted sample without replacement — all with
+    zero RNG state, so re-runs, resumes and the SQL oracle select the
+    SAME rows (q51's hash-Bernoulli primitive upgraded to weights).
+    Shape: per-batch local top-k partials (k rows per batch) → driver
+    combine; keys are never shuffled for the full corpus.  The key
+    itself stays internal — ulp-level libm differences can't reorder
+    distinct keys, and only (doc_id, n_tok) is compared."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    k = 10
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        _, lens = tokenize_offsets(df["text"].str.lower())
+        w = lens.astype(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = H.sample_hash32(ids).astype(np.float64)
+        u = (h + 1.0) / 4294967296.0
+        with np.errstate(divide="ignore"):
+            key = np.log(u) / np.maximum(w, 1)
+        m = w > 0
+        out = pd.DataFrame({"doc_id": ids[m], "n_tok": w[m],
+                            "key": key[m]})
+        return out.sort_values(["key", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    parts = _with_schema(
+        ds.map_batches(local, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "n_tok": "int64", "key": "float64"})
+    out = (parts.sort_values(["key", "doc_id"], ascending=[False, True])
+           .head(k)[["doc_id", "n_tok"]])
+    return out.reset_index(drop=True)
+
+
 def q94_late_orders_by_priority(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q4-style SEMI-join (EXISTS): count orders per priority
     having at least one lineitem shipped more than 90 days after the
@@ -3881,6 +3919,7 @@ RAY_QUERIES = {
     "q92_centroid_confusion": q92_centroid_confusion,
     "q93_gopher_rules": q93_gopher_rules,
     "q94_late_orders_by_priority": q94_late_orders_by_priority,
+    "q95_weighted_sample": q95_weighted_sample,
 }
 
 
@@ -4093,6 +4132,27 @@ ORACLE_SQL = {
         SELECT cluster_size, count(*)::BIGINT AS n_clusters
         FROM sizes GROUP BY cluster_size
         ORDER BY cluster_size
+    """,
+    "q95_weighted_sample": """
+        WITH t AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(lower(coalesce(text, '')),
+                                        '\\S+'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        f0 AS (SELECT doc_id, n_tok,
+                      xor(doc_id, doc_id // 4294967296) % 4294967296 AS v
+               FROM t WHERE n_tok > 0),
+        f1 AS (SELECT *, ((v::HUGEINT * 2246822507) % 4294967296)::BIGINT
+                          AS v1 FROM f0),
+        f2 AS (SELECT *, xor(v1, v1 // 8192)  AS v2 FROM f1),
+        f3 AS (SELECT *, ((v2::HUGEINT * 3266489909) % 4294967296)::BIGINT
+                          AS v3 FROM f2),
+        f4 AS (SELECT *, xor(v3, v3 // 65536) AS h  FROM f3)
+        SELECT doc_id, n_tok
+        FROM f4
+        ORDER BY ln((h + 1.0) / 4294967296.0) / n_tok DESC, doc_id
+        LIMIT 10
     """,
     "q94_late_orders_by_priority": """
         SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders

@@ -1244,3 +1244,31 @@ def test_late_orders_semi_join_planted(ray_session, tmp_path):
         ]).astype("datetime64[us]")}))
     got = q94_late_orders_by_priority(sf)
     assert got.values.tolist() == [["1-URGENT", 1], ["5-LOW", 1]]
+
+
+def test_weighted_sample_bias(ray_session, tmp_path):
+    """A-Res semantics: with one doc carrying ~all the weight, it must
+    be selected; zero-token docs never appear; statistical bias check
+    over many tiny corpora — heavy docs win far more often than light
+    ones (deterministic given the fixed hash, so the assertion is
+    stable)."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q95_weighted_sample
+
+    heavy_hits, light_hits = 0, 0
+    for base in range(0, 4000, 40):
+        docs = pd.DataFrame({
+            "doc_id": [base + 1, base + 2, base + 3],
+            "text": ["w " * 400, "w", ""]})
+        sf = _write_tbl(tmp_path, "documents", docs)
+        got = q95_weighted_sample(sf)
+        # only 2 docs have tokens; k=10 keeps both — check ORDER
+        assert got["doc_id"].tolist()[0] in (base + 1, base + 2)
+        assert (base + 3) not in got["doc_id"].tolist()
+        if got["doc_id"].iloc[0] == base + 1:
+            heavy_hits += 1
+        else:
+            light_hits += 1
+    # 400:1 weights → the heavy doc should rank first ~99% of trials
+    assert heavy_hits >= 90 and heavy_hits + light_hits == 100
