@@ -131,3 +131,107 @@ def cms_query(M: np.ndarray, keys_u64: np.ndarray) -> np.ndarray:
     idx = _cms_rows(np.asarray(keys_u64, dtype=U64), d, w)
     ests = np.stack([M[r][idx[r]] for r in range(d)])
     return ests.min(axis=0).astype(np.int64)
+
+
+# ------------------------------------------------------------------
+# KLL/MRL-style mergeable rank (quantile) sketch — the scale path for
+# quantiles over UNBOUNDED domains, where q34/q83's exact distinct-
+# value histograms stop being "small state".  Level i holds items of
+# weight 2^i; a full level sorts and keeps every other item
+# (deterministic alternating offset instead of the classic coin flip,
+# so re-runs and resumes reproduce the sketch bit-for-bit; the rank
+# error stays O(n/k)-bounded for any merge-tree shape and is gated
+# empirically in tests/test_sketch.py across distributions).
+
+KLL_K_DEFAULT = 200
+
+
+def kll_new(k: int = KLL_K_DEFAULT) -> dict:
+    return {"k": int(k), "levels": [np.empty(0, np.float64)], "flip": 0}
+
+
+def _kll_compact(s: dict) -> None:
+    k, levels = s["k"], s["levels"]
+    i = 0
+    while i < len(levels):
+        if len(levels[i]) <= k:            # uniform capacity per level (MRL)
+            i += 1
+            continue
+        buf = np.sort(levels[i], kind="stable")
+        off = s["flip"] & 1
+        s["flip"] += 1
+        # an odd buffer leaves ONE item behind at this level so total
+        # weight is conserved exactly (promoted items double in weight)
+        if len(buf) % 2 == 1:
+            if off == 0:
+                leftover, buf = buf[-1:], buf[:-1]
+            else:
+                leftover, buf = buf[:1], buf[1:]
+        else:
+            leftover = np.empty(0, np.float64)
+        promoted = buf[off::2]
+        levels[i] = leftover
+        if i + 1 == len(levels):
+            levels.append(np.empty(0, np.float64))
+        levels[i + 1] = np.concatenate([levels[i + 1], promoted])
+        i += 1
+
+
+def kll_update(s: dict, values: np.ndarray) -> dict:
+    v = np.asarray(values, np.float64)
+    if len(v):
+        s["levels"][0] = np.concatenate([s["levels"][0], v])
+        _kll_compact(s)
+    return s
+
+
+def kll_merge(a: dict, b: dict) -> dict:
+    out = {"k": min(a["k"], b["k"]),
+           "levels": [], "flip": a["flip"] + b["flip"]}
+    n = max(len(a["levels"]), len(b["levels"]))
+    for i in range(n):
+        la = a["levels"][i] if i < len(a["levels"]) else np.empty(0)
+        lb = b["levels"][i] if i < len(b["levels"]) else np.empty(0)
+        out["levels"].append(np.concatenate([la, lb]).astype(np.float64))
+    _kll_compact(out)
+    return out
+
+
+def kll_n(s: dict) -> int:
+    return int(sum(len(lv) << i for i, lv in enumerate(s["levels"])))
+
+
+def kll_quantile(s: dict, frac: float) -> float:
+    """Value whose weighted rank is ceil(frac·n) (percentile_disc
+    semantics over the sketch's weighted sample)."""
+    vals, wts = [], []
+    for i, lv in enumerate(s["levels"]):
+        if len(lv):
+            vals.append(lv)
+            wts.append(np.full(len(lv), 1 << i, np.int64))
+    if not vals:
+        return float("nan")
+    v = np.concatenate(vals)
+    w = np.concatenate(wts)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    target = max(int(np.ceil(frac * total)), 1)
+    return float(v[np.searchsorted(cum, target)])
+
+
+def kll_serialize(s: dict) -> bytes:
+    import pickle
+
+    return pickle.dumps({"k": s["k"], "flip": s["flip"],
+                         "levels": [lv.tobytes() for lv in s["levels"]]})
+
+
+def kll_deserialize(b: bytes) -> dict:
+    import pickle
+
+    d = pickle.loads(b)
+    return {"k": d["k"], "flip": d["flip"],
+            "levels": [np.frombuffer(lv, np.float64).copy()
+                       for lv in d["levels"]]}

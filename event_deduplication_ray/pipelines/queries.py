@@ -3311,6 +3311,55 @@ _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
                      "have", "with")
 
 
+def q96_value_quantiles_kll(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-type value quantiles via the KLL/MRL rank
+    sketch — the scale path when even q83's exact distinct-value
+    histogram is too big (unbounded/continuous domains): per-batch
+    sketches of FIXED size merge through any reduce-tree shape, so
+    the shuffle carries O(k·log n) floats per (type, batch) instead
+    of one row per distinct value.  Rows-only (approximate by
+    design); tests gate the observed rank error against exact q83 and
+    the merge≡single-stream property."""
+    from event_deduplication_ray.functions.sketch import (
+        kll_deserialize,
+        kll_merge,
+        kll_new,
+        kll_quantile,
+        kll_serialize,
+        kll_update,
+    )
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def sk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in df.groupby("event_type"):
+            s = kll_update(kll_new(), sub["value"].to_numpy(np.float64))
+            rows.append({"event_type": et, "kll": kll_serialize(s)})
+        return pd.DataFrame(rows, columns=["event_type", "kll"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in df.groupby("event_type"):
+            s = kll_new()
+            for b in sub["kll"]:
+                s = kll_merge(s, kll_deserialize(b))
+            rows.append({"event_type": et,
+                         "p50": kll_quantile(s, 0.5),
+                         "p90": kll_quantile(s, 0.9),
+                         "p99": kll_quantile(s, 0.99)})
+        return pd.DataFrame(rows,
+                            columns=["event_type", "p50", "p90", "p99"])
+
+    parts = ds.map_batches(sk_partial, batch_format="pandas")
+    out = _with_schema(
+        partition_apply(parts, ["event_type"], QCFG.join_num_partitions,
+                        combine).to_pandas(),
+        {"event_type": "object", "p50": "float64", "p90": "float64",
+         "p99": "float64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q95_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-Res):
     each doc draws u = (fmix32(doc_id)+1)/2³² and competes with key
@@ -3920,6 +3969,7 @@ RAY_QUERIES = {
     "q93_gopher_rules": q93_gopher_rules,
     "q94_late_orders_by_priority": q94_late_orders_by_priority,
     "q95_weighted_sample": q95_weighted_sample,
+    "q96_value_quantiles_kll": q96_value_quantiles_kll,
 }
 
 

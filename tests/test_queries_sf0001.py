@@ -95,7 +95,7 @@ ROWS_ONLY = [
     "q23_doc_fingerprints", "q25_lsh_topk", "q29_media_dup_clusters",
     "q42_semantic_dedup", "q48_distinct_users_hll",
     "q54_neardup_decontaminate", "q80_video_dup_clusters",
-    "q81_top_bigrams_cms",
+    "q81_top_bigrams_cms", "q96_value_quantiles_kll",
 ]
 
 

@@ -1272,3 +1272,31 @@ def test_weighted_sample_bias(ray_session, tmp_path):
             light_hits += 1
     # 400:1 weights → the heavy doc should rank first ~99% of trials
     assert heavy_hits >= 90 and heavy_hits + light_hits == 100
+
+
+def test_value_quantiles_kll_rank_error_bounded(ray_session):
+    """The KLL path guarantees RANK error, not value error (a 2% rank
+    slice of a heavy tail can span a wide value range): for every
+    (type, quantile) the approx value's rank among the exact sorted
+    values must sit within 2.5% · n of the target rank."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray.pipelines.queries import (
+        q96_value_quantiles_kll,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    approx = q96_value_quantiles_kll(sf).set_index("event_type")
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    for et, sub in ev.groupby("event_type"):
+        srt = np.sort(sub["value"].to_numpy())
+        n = len(srt)
+        for c, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            a = approx.loc[et, c]
+            lo = np.searchsorted(srt, a, side="left")
+            hi = np.searchsorted(srt, a, side="right")
+            t = frac * n
+            err = 0 if lo <= t <= hi else min(abs(lo - t), abs(hi - t))
+            assert err <= 0.025 * n, (et, c, err, t, n)
