@@ -3311,6 +3311,62 @@ _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
                      "have", "with")
 
 
+def q97_length_drift_psi(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitor: Population Stability Index of the
+    token-length distribution between two deterministic corpus halves
+    (even vs odd doc_id — the stand-in for yesterday's snapshot vs
+    today's), per lang.  PSI = Σ (p−q)·ln(p/q) over fixed length bins
+    with add-one smoothing; > 0.2 conventionally flags drift.  Shape:
+    per-batch (lang, split, bin) count partials → ONE lang shuffle
+    computes the PSI from exact integer counts — the logs touch only
+    the final per-(lang, bin) ratios, so both engines divide and ln
+    identical rationals."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    edges = np.array([25, 50, 75, 100], np.int64)
+    n_bins = len(edges) + 1
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, lens = tokenize_offsets(df["text"].str.lower())
+        b = np.searchsorted(edges, lens.astype(np.int64), side="left")
+        g = pd.DataFrame({
+            "lang": df["lang"].to_numpy(object),
+            "split": (df["doc_id"].to_numpy(np.int64) % 2),
+            "bin": b,
+        }).groupby(["lang", "split", "bin"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def psi(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, sub in df.groupby("lang"):
+            g = sub.groupby(["split", "bin"])["n"].sum()
+            tot = sub.groupby("split")["n"].sum()
+            na, nb = int(tot.get(0, 0)), int(tot.get(1, 0))
+            val = 0.0
+            for b in range(n_bins):
+                ca = int(g.get((0, b), 0)) + 1
+                cb = int(g.get((1, b), 0)) + 1
+                p = ca / (na + n_bins)
+                q = cb / (nb + n_bins)
+                val += (p - q) * np.log(p / q)
+            rows.append({"lang": lang, "n_even": na, "n_odd": nb,
+                         "psi": round(val, 6)})
+        return pd.DataFrame(rows,
+                            columns=["lang", "n_even", "n_odd", "psi"])
+
+    out = _with_schema(
+        partition_apply(parts, ["lang"], QCFG.join_num_partitions,
+                        psi).to_pandas(),
+        {"lang": "object", "n_even": "int64", "n_odd": "int64",
+         "psi": "float64"})
+    out["n_even"] = out["n_even"].astype("int64")
+    out["n_odd"] = out["n_odd"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def q96_value_quantiles_kll(sf_dir: str) -> pd.DataFrame:
     """Approximate per-type value quantiles via the KLL/MRL rank
     sketch — the scale path when even q83's exact distinct-value
@@ -3970,6 +4026,7 @@ RAY_QUERIES = {
     "q94_late_orders_by_priority": q94_late_orders_by_priority,
     "q95_weighted_sample": q95_weighted_sample,
     "q96_value_quantiles_kll": q96_value_quantiles_kll,
+    "q97_length_drift_psi": q97_length_drift_psi,
 }
 
 
@@ -4182,6 +4239,48 @@ ORACLE_SQL = {
         SELECT cluster_size, count(*)::BIGINT AS n_clusters
         FROM sizes GROUP BY cluster_size
         ORDER BY cluster_size
+    """,
+    "q97_length_drift_psi": """
+        WITH t AS (
+          SELECT lang, doc_id % 2 AS split,
+                 CASE WHEN n_tok <= 25 THEN 0
+                      WHEN n_tok <= 50 THEN 1
+                      WHEN n_tok <= 75 THEN 2
+                      WHEN n_tok <= 100 THEN 3
+                      ELSE 4 END AS bin
+          FROM (SELECT doc_id, lang,
+                       len(regexp_extract_all(lower(coalesce(text, '')),
+                                              '\\S+'))::BIGINT AS n_tok
+                FROM documents)
+        ),
+        c AS (SELECT lang, split, bin, count(*)::BIGINT AS n
+              FROM t GROUP BY lang, split, bin),
+        tot AS (SELECT lang, split, sum(n)::BIGINT AS tot
+                FROM c GROUP BY lang, split),
+        grid AS (
+          SELECT l.lang, b.bin,
+                 coalesce(ca.n, 0) + 1 AS ca,
+                 coalesce(cb.n, 0) + 1 AS cb,
+                 coalesce(ta.tot, 0) AS na,
+                 coalesce(tb.tot, 0) AS nb
+          FROM (SELECT DISTINCT lang FROM t) l
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS bin) b
+          LEFT JOIN c ca ON ca.lang = l.lang AND ca.split = 0
+                        AND ca.bin = b.bin
+          LEFT JOIN c cb ON cb.lang = l.lang AND cb.split = 1
+                        AND cb.bin = b.bin
+          LEFT JOIN tot ta ON ta.lang = l.lang AND ta.split = 0
+          LEFT JOIN tot tb ON tb.lang = l.lang AND tb.split = 1
+        )
+        SELECT lang,
+               CAST(max(na) AS BIGINT) AS n_even,
+               CAST(max(nb) AS BIGINT) AS n_odd,
+               round(sum((ca * 1.0 / (na + 5) - cb * 1.0 / (nb + 5))
+                         * ln((ca * 1.0 / (na + 5))
+                              / (cb * 1.0 / (nb + 5)))), 6) AS psi
+        FROM grid
+        GROUP BY lang
+        ORDER BY lang
     """,
     "q95_weighted_sample": """
         WITH t AS (

@@ -1300,3 +1300,29 @@ def test_value_quantiles_kll_rank_error_bounded(ray_session):
             t = frac * n
             err = 0 if lo <= t <= hi else min(abs(lo - t), abs(hi - t))
             assert err <= 0.025 * n, (et, c, err, t, n)
+
+
+def test_length_drift_psi_planted(ray_session, tmp_path):
+    """PSI semantics by hand: identical even/odd length distributions
+    → PSI ~0 (smoothing only); a deliberately shifted odd half →
+    large PSI; bin boundary 25 is INCLUSIVE (a 25-token doc lands in
+    bin 0 on both engines)."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q97_length_drift_psi,
+    )
+
+    same = ["w " * 10] * 8          # all bin 0, both splits
+    shifted = (["w " * 10] * 4      # even: bin 0
+               + ["w " * 120] * 4)  # odd: bin 4
+    docs = pd.DataFrame({
+        "doc_id": list(range(2, 18)),
+        "lang": ["a"] * 8 + ["b"] * 8,
+        "text": same + [shifted[i] for i in
+                        [0, 4, 1, 5, 2, 6, 3, 7]]})
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q97_length_drift_psi(sf).set_index("lang")
+    assert abs(got.loc["a", "psi"]) < 1e-9
+    assert got.loc["b", "psi"] > 1.0
+    assert got.loc["a", "n_even"] == 4 and got.loc["a", "n_odd"] == 4
