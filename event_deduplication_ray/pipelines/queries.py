@@ -3311,6 +3311,52 @@ _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
                      "have", "with")
 
 
+def q98_embedding_audit(sf_dir: str) -> pd.DataFrame:
+    """Embedding-column hygiene audit — the checks a 100 TB pipeline
+    runs before trusting an encoder's output: per label, the vector
+    count, degenerate rows (zero/near-zero norm — a failed encoder's
+    signature), wrong-dimension rows, and the mean L2 norm.  One
+    streaming pass of (label, n, n_zero, n_bad_dim, Σnorm) partials →
+    tiny label combine.  Norms accumulate in float64 from the float32
+    storage on BOTH engines (the oracle casts to DOUBLE[] — DuckDB's
+    float32 list_inner_product would drift at round(6))."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    dim = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy().astype(np.int64)
+        vecs = t["embedding"].to_numpy(zero_copy_only=False)
+        lens = np.array([len(v) for v in vecs], np.int64)
+        norms = np.array(
+            [float(np.sqrt(np.dot(v.astype(np.float64),
+                                  v.astype(np.float64)))) for v in vecs])
+        df = pd.DataFrame({
+            "label": lab,
+            "one": np.ones(len(lab), np.int64),
+            "zero": (norms < 1e-12).astype(np.int64),
+            "bad": (lens != dim).astype(np.int64),
+            "s": norms,
+        })
+        g = df.groupby("label", as_index=False).agg(
+            n=("one", "sum"), n_zero=("zero", "sum"),
+            n_bad_dim=("bad", "sum"), s=("s", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = _with_schema(
+        emb.map_batches(partial, batch_format="pyarrow").to_pandas(),
+        {"label": "int64", "n": "int64", "n_zero": "int64",
+         "n_bad_dim": "int64", "s": "float64"})
+    out = parts.groupby("label", as_index=False).agg(
+        n_vecs=("n", "sum"), n_zero_norm=("n_zero", "sum"),
+        n_bad_dim=("n_bad_dim", "sum"), s=("s", "sum"))
+    out["mean_norm"] = (out["s"] / out["n_vecs"]).round(6)
+    for c in ("n_vecs", "n_zero_norm", "n_bad_dim"):
+        out[c] = out[c].astype("int64")
+    return (out[["label", "n_vecs", "n_zero_norm", "n_bad_dim",
+                 "mean_norm"]]
+            .sort_values("label").reset_index(drop=True))
+
+
 def q97_length_drift_psi(sf_dir: str) -> pd.DataFrame:
     """Distribution-drift monitor: Population Stability Index of the
     token-length distribution between two deterministic corpus halves
@@ -4027,6 +4073,7 @@ RAY_QUERIES = {
     "q95_weighted_sample": q95_weighted_sample,
     "q96_value_quantiles_kll": q96_value_quantiles_kll,
     "q97_length_drift_psi": q97_length_drift_psi,
+    "q98_embedding_audit": q98_embedding_audit,
 }
 
 
@@ -4239,6 +4286,21 @@ ORACLE_SQL = {
         SELECT cluster_size, count(*)::BIGINT AS n_clusters
         FROM sizes GROUP BY cluster_size
         ORDER BY cluster_size
+    """,
+    "q98_embedding_audit": """
+        SELECT label,
+               count(*)::BIGINT AS n_vecs,
+               sum(CASE WHEN sqrt(list_inner_product(
+                       embedding::DOUBLE[], embedding::DOUBLE[])) < 1e-12
+                   THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+               sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0
+                   END)::BIGINT AS n_bad_dim,
+               round(avg(sqrt(list_inner_product(
+                   embedding::DOUBLE[], embedding::DOUBLE[]))), 6)
+                   AS mean_norm
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
     """,
     "q97_length_drift_psi": """
         WITH t AS (

@@ -1326,3 +1326,36 @@ def test_length_drift_psi_planted(ray_session, tmp_path):
     assert abs(got.loc["a", "psi"]) < 1e-9
     assert got.loc["b", "psi"] > 1.0
     assert got.loc["a", "n_even"] == 4 and got.loc["a", "n_odd"] == 4
+
+
+def test_embedding_audit_planted(ray_session, tmp_path):
+    """Hygiene flags by hand: a zero vector counts as zero-norm, a
+    3-dim vector as bad-dim, mean_norm over the label's vectors."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray.pipelines.queries import (
+        q98_embedding_audit,
+    )
+
+    good = np.zeros(64, np.float32)
+    good[0] = 3.0
+    good2 = np.zeros(64, np.float32)
+    good2[1] = 5.0
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "label": pa.array([0, 0, 0, 1], pa.int32()),
+        "embedding": pa.array(
+            [good, good2, np.zeros(64, np.float32),
+             np.ones(3, np.float32)],
+            pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = q98_embedding_audit(str(tmp_path)).set_index("label")
+    assert got.loc[0, "n_vecs"] == 3
+    assert got.loc[0, "n_zero_norm"] == 1
+    assert got.loc[0, "n_bad_dim"] == 0
+    assert abs(got.loc[0, "mean_norm"] - (3 + 5 + 0) / 3) < 1e-6
+    assert got.loc[1, "n_bad_dim"] == 1
