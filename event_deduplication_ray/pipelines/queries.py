@@ -3311,6 +3311,36 @@ _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
                      "have", "with")
 
 
+def q99_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type transition counts (the Markov/bigram view
+    of behavioral streams — sessionization's sequel): for each
+    consecutive pair of events of ONE user ordered by (ts, event_id),
+    count (from_type, to_type).  ONE user shuffle; the partition body
+    is q60's vectorized lag trick at type level (boundary mask kills
+    cross-user pairs); the (from, to) vocabulary is tiny so the
+    partials concat on the driver."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def trans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy(object)
+        same = uid[1:] == uid[:-1]
+        g = pd.DataFrame({"from_type": et[:-1][same],
+                          "to_type": et[1:][same]})
+        out = g.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = _with_schema(
+        partition_apply(ds, ["user_id"], QCFG.join_num_partitions,
+                        trans).to_pandas(),
+        {"from_type": "object", "to_type": "object", "n": "int64"})
+    out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["from_type", "to_type"])
+            .reset_index(drop=True))
+
+
 def q98_embedding_audit(sf_dir: str) -> pd.DataFrame:
     """Embedding-column hygiene audit — the checks a 100 TB pipeline
     runs before trusting an encoder's output: per label, the vector
@@ -4074,6 +4104,7 @@ RAY_QUERIES = {
     "q96_value_quantiles_kll": q96_value_quantiles_kll,
     "q97_length_drift_psi": q97_length_drift_psi,
     "q98_embedding_audit": q98_embedding_audit,
+    "q99_event_transitions": q99_event_transitions,
 }
 
 
@@ -4286,6 +4317,19 @@ ORACLE_SQL = {
         SELECT cluster_size, count(*)::BIGINT AS n_clusters
         FROM sizes GROUP BY cluster_size
         ORDER BY cluster_size
+    """,
+    "q99_event_transitions": """
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events
+        )
+        SELECT event_type AS from_type, nxt AS to_type,
+               count(*)::BIGINT AS n
+        FROM s WHERE nxt IS NOT NULL
+        GROUP BY from_type, to_type
+        ORDER BY from_type, to_type
     """,
     "q98_embedding_audit": """
         SELECT label,

@@ -1359,3 +1359,29 @@ def test_embedding_audit_planted(ray_session, tmp_path):
     assert got.loc[0, "n_bad_dim"] == 0
     assert abs(got.loc[0, "mean_norm"] - (3 + 5 + 0) / 3) < 1e-6
     assert got.loc[1, "n_bad_dim"] == 1
+
+
+def test_event_transitions_planted(ray_session, tmp_path):
+    """Transition pairs never cross users, ties order by event_id,
+    single-event users emit nothing."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q99_event_transitions,
+    )
+
+    ts = pd.Timestamp("2024-04-01")
+    sf = _write_tbl(tmp_path, "events", pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": pd.Series([ts, ts, ts + pd.Timedelta("1m"),
+                         ts, ts + pd.Timedelta("1m"), ts]
+                        ).astype("datetime64[us]"),
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "event_type": ["view", "click", "purchase",
+                       "view", "error", "signup"]}))
+    got = q99_event_transitions(sf)
+    rows = {(r.from_type, r.to_type): r.n for r in got.itertuples()}
+    # user 1: view→click (tie by event_id), click→purchase; user 2:
+    # view→error; user 3: nothing
+    assert rows == {("view", "click"): 1, ("click", "purchase"): 1,
+                    ("view", "error"): 1}
