@@ -71,6 +71,42 @@ def cmd_eval(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any battery entry (pipelines/queries.py) from the CLI —
+    the ad-hoc analytics surface (reference Q1-Q7 analog exposed as a
+    command).  Writes Parquet when --output is given, else prints up
+    to --limit rows as JSONL."""
+    _ray_init(args.num_cpus)
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import RAY_QUERIES
+
+    if args.name not in RAY_QUERIES:
+        known = ", ".join(sorted(RAY_QUERIES))
+        print(json.dumps({"error": f"unknown query {args.name!r}",
+                          "known": known}), file=sys.stderr)
+        return 2
+    res = RAY_QUERIES[args.name](args.sf_dir)
+    if args.output:
+        if isinstance(res, pd.DataFrame):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(pa.Table.from_pandas(res, preserve_index=False),
+                           args.output)
+        else:
+            res.write_parquet(args.output)
+        print(json.dumps({"output": args.output}))
+        return 0
+    if not isinstance(res, pd.DataFrame):
+        res = res.limit(args.limit).to_pandas()
+    for c in res.columns:
+        if pd.api.types.is_datetime64_any_dtype(res[c]):
+            res[c] = res[c].astype(str)
+    print(res.head(args.limit).to_json(orient="records", lines=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="event_deduplication_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -94,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--run-dir", required=True)
     pv.add_argument("--golden-pairs", required=True)
     pv.set_defaults(fn=cmd_eval)
+
+    pq_ = sub.add_parser("query")
+    pq_.add_argument("name")
+    pq_.add_argument("--sf-dir", required=True)
+    pq_.add_argument("--output", default=None)
+    pq_.add_argument("--limit", type=int, default=20)
+    pq_.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

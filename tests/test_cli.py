@@ -41,3 +41,42 @@ def test_cli_run_export_eval(corpus_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     m = json.loads(r.stdout.strip().splitlines()[-1])
     assert m["recall"] >= 0.99 and m["precision"] >= 0.99
+
+
+def test_cli_query_subcommand(tmp_path):
+    """`cli query <name> --sf-dir ...` runs a battery entry in a
+    subprocess: JSONL rows to stdout, Parquet with --output, exit 2
+    with the known-names list for an unknown query."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+    base = [sys.executable, "-m", "event_deduplication_ray.cli",
+            "--num-cpus", "2", "query"]
+    r = subprocess.run(
+        base + ["q03_distinct_event_types",
+                "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, env=env, timeout=240)
+    assert r.returncode == 0, r.stderr[-500:]
+    rows = [json.loads(l) for l in r.stdout.strip().splitlines()
+            if l.startswith("{")]
+    assert {row["event_type"] for row in rows} == {
+        "view", "click", "purchase", "signup", "error"}
+
+    out = str(tmp_path / "q3.parquet")
+    r2 = subprocess.run(
+        base + ["q03_distinct_event_types",
+                "--sf-dir", "/root/testdata/sf0.001", "--output", out],
+        capture_output=True, text=True, env=env, timeout=240)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    assert pq.read_table(out).num_rows == 5
+
+    r3 = subprocess.run(
+        base + ["no_such_query", "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, env=env, timeout=240)
+    assert r3.returncode == 2
+    assert "unknown query" in r3.stderr
