@@ -3311,6 +3311,58 @@ _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
                      "have", "with")
 
 
+def q100_cross_source_dup_matrix(sf_dir: str) -> pd.DataFrame:
+    """Cross-source duplication matrix — which feeds mirror each
+    other: for every unordered source pair, the number of
+    same-cluster doc pairs under q28's EXACT clustering (the
+    'prefer-the-cleaner-feed' policy of q67 needs exactly this
+    evidence).  Shape: the (doc_id, cluster_id) assignment joins the
+    narrow (doc_id, source) projection via ONE cluster_id shuffle;
+    within-cluster pair expansion is bounded by cluster sizes (the
+    same cap argument as the dedup tiers); the (source, source)
+    output vocabulary is tiny."""
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+    assign = q28_ngram_jaccard_clusters(sf_dir)
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    src_sh = shuffle_to(src, ["doc_id"], QCFG.join_num_partitions)
+
+    def attach(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"cluster_id": pd.Series(dtype="int64"),
+                                 "source": pd.Series(dtype="object")})
+        return l.merge(r, on="doc_id")[["cluster_id", "source"]]
+
+    tagged = cogroup_apply(assign, src_sh, ["doc_id"], ["doc_id"],
+                           QCFG.join_num_partitions, attach)
+
+    def within(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cid, sub in df.groupby("cluster_id"):
+            if len(sub) < 2:
+                continue
+            s = np.sort(sub["source"].to_numpy(object))
+            i, j = np.triu_indices(len(s), k=1)
+            out.append(pd.DataFrame({"source_a": s[i], "source_b": s[j]}))
+        if not out:
+            return pd.DataFrame({"source_a": pd.Series(dtype="object"),
+                                 "source_b": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        cat = pd.concat(out, ignore_index=True)
+        return (cat.groupby(["source_a", "source_b"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = _with_schema(
+        partition_apply(tagged, ["cluster_id"], QCFG.join_num_partitions,
+                        within).to_pandas(),
+        {"source_a": "object", "source_b": "object", "n": "int64"})
+    out = parts.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
 def q99_event_transitions(sf_dir: str) -> pd.DataFrame:
     """Per-user event-type transition counts (the Markov/bigram view
     of behavioral streams — sessionization's sequel): for each
@@ -4105,6 +4157,7 @@ RAY_QUERIES = {
     "q97_length_drift_psi": q97_length_drift_psi,
     "q98_embedding_audit": q98_embedding_audit,
     "q99_event_transitions": q99_event_transitions,
+    "q100_cross_source_dup_matrix": q100_cross_source_dup_matrix,
 }
 
 
@@ -4317,6 +4370,19 @@ ORACLE_SQL = {
         SELECT cluster_size, count(*)::BIGINT AS n_clusters
         FROM sizes GROUP BY cluster_size
         ORDER BY cluster_size
+    """,
+    "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
+        , tagged AS (
+            SELECT a.doc_id, a.cluster_id, d.source
+            FROM assign a JOIN documents d USING (doc_id)
+        )
+        SELECT least(x.source, y.source) AS source_a,
+               greatest(x.source, y.source) AS source_b,
+               count(*)::BIGINT AS n
+        FROM tagged x JOIN tagged y
+          ON x.cluster_id = y.cluster_id AND x.doc_id < y.doc_id
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
     """,
     "q99_event_transitions": """
         WITH s AS (

@@ -76,7 +76,7 @@ SQL_CHECKED = [
     "q91_dup_cluster_sizes", "q92_centroid_confusion",
     "q93_gopher_rules", "q94_late_orders_by_priority",
     "q95_weighted_sample", "q97_length_drift_psi", "q98_embedding_audit",
-    "q99_event_transitions",
+    "q99_event_transitions", "q100_cross_source_dup_matrix",
 ]
 
 

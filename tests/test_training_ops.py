@@ -1385,3 +1385,26 @@ def test_event_transitions_planted(ray_session, tmp_path):
     # view→error; user 3: nothing
     assert rows == {("view", "click"): 1, ("click", "purchase"): 1,
                     ("view", "error"): 1}
+
+
+def test_cross_source_dup_matrix_planted(ray_session, tmp_path):
+    """Pair accounting by hand: a 3-doc cluster across sources
+    (A, A, B) yields pairs {AA:1, AB:2}; singletons contribute
+    nothing; pair keys are canonical (a <= b)."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q100_cross_source_dup_matrix,
+    )
+
+    tri = ("the very same syndicated article body pushed verbatim to "
+           "three subscriber sites this morning")
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en"] * 4,
+        "source": ["A", "A", "B", "C"],
+        "text": [tri, tri, tri,
+                 "an unrelated unique document about alpine flora"]}))
+    got = q100_cross_source_dup_matrix(sf)
+    rows = {(r.source_a, r.source_b): r.n for r in got.itertuples()}
+    assert rows == {("A", "A"): 1, ("A", "B"): 2}
