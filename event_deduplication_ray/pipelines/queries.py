@@ -3311,6 +3311,66 @@ _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
                      "have", "with")
 
 
+def q101_top_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual
+    information, PMI = ln(N·c(ab) / (c(a)·c(b))) over corpus unigram/
+    bigram counts with a support floor of 5 — the classic phrase
+    detector (word2vec's phrase pass, NLTK collocations).  ONE tagged
+    counting pass (q82's machinery: per-batch value_counts partials
+    for unigrams AND bigrams) → hash combine → the qualifying bigram
+    set is small, so the PMI arithmetic runs on the driver over exact
+    int64 counts; both engines ln identical rationals and the output
+    drops the float (selection by (round(pmi, 6), ngram) only)."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        n = len(flat)
+        uni = pd.Series(flat).value_counts() if n else pd.Series(dtype="int64")
+        frames = [pd.DataFrame({"w1": uni.index.to_numpy(dtype=object),
+                                "w2": "", "n": uni.to_numpy(np.int64),
+                                "kind": "u"})]
+        if n >= 2:
+            start_ok = np.ones(n, dtype=bool)
+            ends = np.cumsum(lens)
+            start_ok[ends[lens > 0] - 1] = False
+            idx = np.flatnonzero(start_ok[:-1])
+            bc = (pd.DataFrame({"w1": flat[idx], "w2": flat[idx + 1]})
+                  .groupby(["w1", "w2"], as_index=False).size())
+            frames.append(pd.DataFrame({
+                "w1": bc["w1"], "w2": bc["w2"],
+                "n": bc["size"].astype(np.int64), "kind": "b"}))
+        return pd.concat(frames, ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["kind", "w1", "w2"], as_index=False)["n"].sum()
+
+    counts = _with_schema(
+        partition_apply(
+            ds.map_batches(count_partial, batch_format="pandas"),
+            ["w1"], QCFG.join_num_partitions, combine).to_pandas(),
+        {"kind": "object", "w1": "object", "w2": "object", "n": "int64"})
+    uni = counts[counts["kind"] == "u"].set_index("w1")["n"]
+    big = counts[counts["kind"] == "b"]
+    big = big[big["n"] >= 5].copy()
+    n_tokens = int(uni.sum())
+    if len(big) == 0:
+        return pd.DataFrame({"ngram": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "pmi": pd.Series(dtype="float64")})
+    ca = uni.reindex(big["w1"]).to_numpy(np.float64)
+    cb = uni.reindex(big["w2"]).to_numpy(np.float64)
+    big["pmi"] = np.round(
+        np.log(n_tokens * big["n"].to_numpy(np.float64) / (ca * cb)), 6)
+    big["ngram"] = big["w1"] + " " + big["w2"]
+    out = (big.sort_values(["pmi", "ngram"], ascending=[False, True])
+           .head(20)[["ngram", "n", "pmi"]])
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q100_cross_source_dup_matrix(sf_dir: str) -> pd.DataFrame:
     """Cross-source duplication matrix — which feeds mirror each
     other: for every unordered source pair, the number of
@@ -4158,6 +4218,7 @@ RAY_QUERIES = {
     "q98_embedding_audit": q98_embedding_audit,
     "q99_event_transitions": q99_event_transitions,
     "q100_cross_source_dup_matrix": q100_cross_source_dup_matrix,
+    "q101_top_pmi_bigrams": q101_top_pmi_bigrams,
 }
 
 
@@ -4370,6 +4431,32 @@ ORACLE_SQL = {
         SELECT cluster_size, count(*)::BIGINT AS n_clusters
         FROM sizes GROUP BY cluster_size
         ORDER BY cluster_size
+    """,
+    "q101_top_pmi_bigrams": """
+        WITH arrs AS (
+          SELECT regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a
+          FROM documents
+        ),
+        uni AS (SELECT tok, count(*)::BIGINT AS c
+                FROM (SELECT unnest(a) AS tok FROM arrs) GROUP BY tok),
+        nt AS (SELECT sum(c)::BIGINT AS n_tokens FROM uni),
+        bge AS (
+          SELECT bg.w1 AS w1, bg.w2 AS w2
+          FROM (SELECT unnest(list_transform(range(1, len(a)),
+                       i -> struct_pack(w1 := a[i], w2 := a[i+1]))) AS bg
+                FROM arrs WHERE len(a) >= 2)
+        ),
+        bc AS (SELECT w1, w2, count(*)::BIGINT AS n FROM bge
+               GROUP BY w1, w2 HAVING count(*) >= 5)
+        SELECT bc.w1 || ' ' || bc.w2 AS ngram, bc.n,
+               round(ln(nt.n_tokens * bc.n * 1.0 / (ua.c * ub.c)), 6)
+                   AS pmi
+        FROM bc
+        JOIN uni ua ON ua.tok = bc.w1
+        JOIN uni ub ON ub.tok = bc.w2
+        CROSS JOIN nt
+        ORDER BY pmi DESC, ngram
+        LIMIT 20
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

@@ -77,6 +77,7 @@ SQL_CHECKED = [
     "q93_gopher_rules", "q94_late_orders_by_priority",
     "q95_weighted_sample", "q97_length_drift_psi", "q98_embedding_audit",
     "q99_event_transitions", "q100_cross_source_dup_matrix",
+    "q101_top_pmi_bigrams",
 ]
 
 

@@ -1408,3 +1408,27 @@ def test_cross_source_dup_matrix_planted(ray_session, tmp_path):
     got = q100_cross_source_dup_matrix(sf)
     rows = {(r.source_a, r.source_b): r.n for r in got.itertuples()}
     assert rows == {("A", "A"): 1, ("A", "B"): 2}
+
+
+def test_top_pmi_bigrams_planted(ray_session, tmp_path):
+    """PMI ranks the exclusive pair above the promiscuous one: 'san
+    francisco' always co-occurs (high PMI) while 'the cat' pairs a
+    ubiquitous token (low PMI); support floor drops rare pairs."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q101_top_pmi_bigrams,
+    )
+
+    exclusive = "san francisco " * 6
+    common = ("the cat " + "the dog " + "the fox " + "the owl "
+              + "the cat " * 4)
+    rare = "quantum entanglement "  # support 1 < 5 → dropped
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [exclusive, common, rare]}))
+    got = q101_top_pmi_bigrams(str(tmp_path))
+    assert "quantum entanglement" not in set(got["ngram"])
+    pmi = got.set_index("ngram")["pmi"]
+    assert pmi["san francisco"] > pmi["the cat"]
+    assert got["ngram"].iloc[0] == "san francisco"
