@@ -4121,6 +4121,426 @@ def q79_oov_rate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# ------------------------------------------- TPC-H join shapes (batch 2)
+
+def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7-style two-nation trade volume: revenue shipped between
+    NATION_1 and NATION_2 per (supp_nation, cust_nation, year).
+    supplier/customer/nation are dims — their key→nation projections
+    ship once in task closures; the only big-big exchange is the
+    orderkey cogroup (q50's machinery).  lineitem pre-aggregates
+    (orderkey, supp_nation, year, rev) inside the split wave; revenue
+    accumulates in EXACT int64 cents·pct units (the q85 lesson — float
+    sums of this magnitude drift across summation orders) and is
+    divided once on the driver.  Reference analog: dashboard join
+    aggregates (SURVEY §2.8 Q5)."""
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    nat = {1: "NATION_1", 2: "NATION_2"}
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    snk = sup["s_nationkey"].to_numpy()
+    sup_keys = {n: np.unique(sup["s_suppkey"].to_numpy()[snk == n])
+                for n in nat}
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cnk = cust["c_nationkey"].to_numpy()
+    cust_keys = {n: np.unique(cust["c_custkey"].to_numpy()[cnk == n])
+                 for n in nat}
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                             pc.less(t["l_shipdate"], pa.scalar(hi))))
+        df = t.to_pandas()
+        sk = df["l_suppkey"].to_numpy()
+        sn = np.zeros(len(df), dtype=np.int8)
+        for n, keys in sup_keys.items():
+            sn[np.isin(sk, keys)] = n
+        df = df[sn > 0].copy()
+        df["supp_nation"] = sn[sn > 0]
+        cents = np.round(df["l_extendedprice"].to_numpy(np.float64)
+                         * 100).astype(np.int64)
+        pct = np.round((1.0 - df["l_discount"].to_numpy(np.float64))
+                       * 100).astype(np.int64)
+        df["rev_u"] = cents * pct
+        df["l_year"] = df["l_shipdate"].dt.strftime("%Y")
+        g = df.groupby(["l_orderkey", "supp_nation", "l_year"],
+                       as_index=False)["rev_u"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_sh = shuffle_to(li, ["l_orderkey"], QCFG.join_num_partitions,
+                       pre_fn=lpart)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def oproj(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy()
+        cn = np.zeros(len(ck), dtype=np.int8)
+        for n, keys in cust_keys.items():
+            cn[np.isin(ck, keys)] = n
+        keep = cn > 0
+        return pa.table({"o_orderkey": t["o_orderkey"].to_numpy()[keep],
+                         "cust_nation": cn[keep]})
+
+    o_ds = orders.map_batches(oproj, batch_format="pyarrow")
+
+    empty = {"supp_nation": pd.Series(dtype="int8"),
+             "cust_nation": pd.Series(dtype="int8"),
+             "l_year": pd.Series(dtype="object"),
+             "rev_u": pd.Series(dtype="int64")}
+
+    def joinagg(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(empty)
+        m = r.merge(l, left_on="l_orderkey", right_on="o_orderkey")
+        m = m[m["supp_nation"] != m["cust_nation"]]
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        return m.groupby(["supp_nation", "cust_nation", "l_year"],
+                         as_index=False)["rev_u"].sum()
+
+    df = cogroup_apply(o_ds, li_sh, ["o_orderkey"], ["l_orderkey"],
+                       QCFG.join_num_partitions, joinagg).to_pandas()
+    df = _with_schema(df, {k: str(v.dtype) for k, v in empty.items()})
+    out = df.groupby(["supp_nation", "cust_nation", "l_year"],
+                     as_index=False)["rev_u"].sum()
+    out["supp_nation"] = out["supp_nation"].map(nat)
+    out["cust_nation"] = out["cust_nation"].map(nat)
+    out["revenue"] = out["rev_u"].astype("int64") / 10000.0
+    out = out.drop(columns=["rev_u"])
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+def q103_returned_item_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10-style returned-item report: top-20 customers by
+    revenue on RETURNED lineitems for orders placed in 1996Q1.
+    lineitem filters to returnflag='R' and pre-aggregates revenue per
+    orderkey in the split wave (exact int64 units); orders prune to
+    the quarter; the orderkey cogroup emits per-partition custkey
+    partials, and only the tiny (custkey, rev) combine + the top-20
+    run on the driver, where the customer/nation dims join in.
+    Tie-break: (revenue desc, c_custkey asc) — exact because the sort
+    key is the int64 unit sum."""
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        df = t.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy(np.float64)
+                         * 100).astype(np.int64)
+        pct = np.round((1.0 - df["l_discount"].to_numpy(np.float64))
+                       * 100).astype(np.int64)
+        df["rev_u"] = cents * pct
+        g = df.groupby("l_orderkey", as_index=False)["rev_u"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_sh = shuffle_to(li, ["l_orderkey"], QCFG.join_num_partitions,
+                       pre_fn=lpart)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                             pc.less(t["o_orderdate"], pa.scalar(hi))))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    o_ds = orders.map_batches(ofilt, batch_format="pyarrow")
+
+    empty = {"o_custkey": pd.Series(dtype="int64"),
+             "rev_u": pd.Series(dtype="int64")}
+
+    def joinagg(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(empty)
+        agg = r.groupby("l_orderkey", as_index=False)["rev_u"].sum()
+        m = l.merge(agg, left_on="o_orderkey", right_on="l_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        return m.groupby("o_custkey", as_index=False)["rev_u"].sum()
+
+    df = cogroup_apply(o_ds, li_sh, ["o_orderkey"], ["l_orderkey"],
+                       QCFG.join_num_partitions, joinagg).to_pandas()
+    df = _with_schema(df, {"o_custkey": "int64", "rev_u": "int64"})
+    comb = df.groupby("o_custkey", as_index=False)["rev_u"].sum()
+    comb = comb.sort_values(["rev_u", "o_custkey"],
+                            ascending=[False, True]).head(20)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = comb.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out["revenue"] = out["rev_u"].astype("int64") / 10000.0
+    out = out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+    out = _with_schema(out, {"c_custkey": "int64", "c_name": "object",
+                             "revenue": "float64", "c_acctbal": "float64",
+                             "n_name": "object"})
+    return out.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def q104_small_qty_order_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17-style correlated-average subquery: yearly revenue
+    lost to small-quantity orders of Brand#3 parts (quantity below
+    20 % of that part's average order quantity).  The brand's partkey
+    set broadcasts (part is a dim); lineitem prunes to it and
+    hash-partitions ONCE by partkey, so each partition holds every
+    order line of its parts and evaluates the correlated average
+    locally.  The < 0.2·avg test runs as EXACT integer
+    cross-multiplication (5·qty·n < Σqty — quantities are
+    integer-valued), so no float-division rounding can split the
+    engines; kept revenue accumulates in int64 cents and divides by
+    7 exactly once on the driver."""
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    mask = np.asarray(
+        part["p_brand"].to_numpy(zero_copy_only=False) == "Brand#3")
+    pkeys = np.unique(part["p_partkey"].to_numpy()[mask])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["l_partkey"].to_numpy(), pkeys)
+        qty = np.round(t["l_quantity"].to_numpy()[keep]).astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy()[keep]
+                         * 100).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"].to_numpy()[keep],
+                         "qty_i": qty, "price_c": cents})
+
+    def small_qty(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"kept_c": pd.Series(dtype="int64")})
+        g = df.groupby("l_partkey")["qty_i"]
+        n = g.transform("size").to_numpy(np.int64)
+        s = g.transform("sum").to_numpy(np.int64)
+        kept = df["price_c"].to_numpy(np.int64)[
+            5 * df["qty_i"].to_numpy(np.int64) * n < s]
+        return pd.DataFrame({"kept_c": [int(kept.sum())]})
+
+    parts = partition_apply(li, ["l_partkey"], QCFG.join_num_partitions,
+                            small_qty, pre_fn=proj).to_pandas()
+    parts = _with_schema(parts, {"kept_c": "int64"})
+    total_c = int(parts["kept_c"].sum())
+    return pd.DataFrame({"avg_yearly": [round(total_c / 100.0 / 7.0, 2)]})
+
+
+def q105_disjunctive_part_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19-style disjunctive predicate join: revenue from three
+    OR'd (brand, size-range, quantity-range) branches.  The part dim
+    resolves each branch to a partkey set ONCE on the driver; the
+    lineitem pass is then a pure streaming map — per-batch branch
+    masks (isin + integer quantity range) → one int64 revenue partial
+    per batch, nothing shuffles.  The disjunction never becomes a
+    join: OR-of-ANDs over a dim is a membership test."""
+
+    branches = [("Brand#1", 1, 5, 1, 11),
+                ("Brand#2", 1, 10, 10, 20),
+                ("Brand#3", 1, 15, 20, 30)]
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    pb = part["p_brand"].to_numpy(zero_copy_only=False)
+    psz = part["p_size"].to_numpy()
+    sets = [(np.unique(pk[(pb == b) & (psz >= slo) & (psz <= shi)]), qlo, qhi)
+            for b, slo, shi, qlo, qhi in branches]
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        lpk = t["l_partkey"].to_numpy()
+        qty = np.round(t["l_quantity"].to_numpy()).astype(np.int64)
+        keep = np.zeros(len(lpk), dtype=bool)
+        for keys, qlo, qhi in sets:
+            keep |= np.isin(lpk, keys) & (qty >= qlo) & (qty <= qhi)
+        cents = np.round(t["l_extendedprice"].to_numpy()[keep]
+                         * 100).astype(np.int64)
+        pct = np.round((1.0 - t["l_discount"].to_numpy()[keep])
+                       * 100).astype(np.int64)
+        return pa.table({"rev_u": [int((cents * pct).sum())]})
+
+    parts = _with_schema(
+        li.map_batches(rev_partial, batch_format="pyarrow").to_pandas(),
+        {"rev_u": "int64"})
+    return pd.DataFrame({"revenue": [int(parts["rev_u"].sum()) / 10000.0]})
+
+
+def q106_lone_late_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21-style waiting-supplier report (adapted to this
+    schema's columns): for FINALIZED ('F') multi-supplier orders,
+    count per supplier the orders where that supplier was the ONLY
+    late one (latest shipment > orderdate + 60 days — the schema has
+    no receipt/commit dates).  lineitem pre-aggregates max-shipdate
+    per (orderkey, suppkey) in the split wave; the orderkey cogroup
+    evaluates the exists/not-exists pair as per-order counts
+    (n_supp ≥ 2, n_late = 1) vectorized in exact integer µs; only
+    tiny per-suppkey count partials leave the partitions."""
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    late_us = 60 * 86_400_000_000
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["ship_us"] = df["l_shipdate"].astype("datetime64[us]") \
+            .astype("int64")
+        g = df.groupby(["l_orderkey", "l_suppkey"],
+                       as_index=False)["ship_us"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_sh = shuffle_to(li, ["l_orderkey"], QCFG.join_num_partitions,
+                       pre_fn=lpart)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    o_ds = orders.map_batches(ofilt, batch_format="pyarrow")
+
+    empty = {"l_suppkey": pd.Series(dtype="int64"),
+             "numwait": pd.Series(dtype="int64")}
+
+    def lone_late(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(empty)
+        sup = r.groupby(["l_orderkey", "l_suppkey"],
+                        as_index=False)["ship_us"].max()
+        m = sup.merge(l, left_on="l_orderkey", right_on="o_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        od_us = m["o_orderdate"].astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        m["late"] = m["ship_us"].to_numpy() > od_us + late_us
+        grp = m.groupby("l_orderkey")
+        n_supp = grp["l_suppkey"].transform("size").to_numpy()
+        n_late = grp["late"].transform("sum").to_numpy()
+        w = m[(n_supp >= 2) & (n_late == 1) & m["late"].to_numpy()]
+        g = (w.groupby("l_suppkey", as_index=False).size()
+             .rename(columns={"size": "numwait"}))
+        return g
+
+    df = cogroup_apply(o_ds, li_sh, ["o_orderkey"], ["l_orderkey"],
+                       QCFG.join_num_partitions, lone_late).to_pandas()
+    df = _with_schema(df, {"l_suppkey": "int64", "numwait": "int64"})
+    comb = df.groupby("l_suppkey", as_index=False)["numwait"].sum()
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = comb.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out = out[["s_name", "numwait"]]
+    out = _with_schema(out, {"s_name": "object", "numwait": "int64"})
+    out["numwait"] = out["numwait"].astype("int64")
+    return out.sort_values(["numwait", "s_name"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def q107_rich_idle_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22-style global-average + anti-join: per nation, the
+    count and total balance of customers whose balance beats the
+    global average of positive balances but who placed no order since
+    1999-01-01.  Pass 1 reduces customers to (n, Σcents) partials —
+    the scalar subquery — and the richness test is EXACT integer
+    cross-multiplication (bal_c·n > Σcents), never a float-average
+    compare.  Pass 2 is q15's anti-join cogroup on custkey (recent
+    orders pre-dedup per batch), emitting tiny per-nation (count,
+    Σcents) partials; the nation dim joins on the driver."""
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    cut = pd.Timestamp("1999-01-01")
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy()
+        cents = np.round(bal[bal > 0] * 100).astype(np.int64)
+        return pa.table({"n": [len(cents)], "s": [int(cents.sum())]})
+
+    pos = _with_schema(
+        cust.map_batches(pos_partial, batch_format="pyarrow").to_pandas(),
+        {"n": "int64", "s": "int64"})
+    n_pos = int(pos["n"].sum())
+    s_pos = int(pos["s"].sum())
+
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(cut)))
+        return pa.table({"o_custkey": pa.array(
+            np.unique(t["o_custkey"].to_numpy()))})
+
+    okeys_sh = shuffle_to(okeys, ["o_custkey"], QCFG.join_num_partitions,
+                          pre_fn=recent_keys)
+
+    empty = {"c_nationkey": pd.Series(dtype="int64"),
+             "numcust": pd.Series(dtype="int64"),
+             "bal_c": pd.Series(dtype="int64")}
+
+    def rich_idle(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(empty)
+        bal_c = np.round(l["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        rich = bal_c * n_pos > s_pos
+        idle = ~l["c_custkey"].isin(r["o_custkey"].unique()).to_numpy() \
+            if len(r) else np.ones(len(l), dtype=bool)
+        keep = rich & idle
+        if not keep.any():
+            return pd.DataFrame(empty)
+        g = pd.DataFrame({"c_nationkey": l["c_nationkey"].to_numpy()[keep],
+                          "bal_c": bal_c[keep]})
+        out = g.groupby("c_nationkey", as_index=False).agg(
+            numcust=("bal_c", "size"), bal_c=("bal_c", "sum"))
+        return out[["c_nationkey", "numcust", "bal_c"]]
+
+    df = cogroup_apply(cust, okeys_sh, ["c_custkey"], ["o_custkey"],
+                       QCFG.join_num_partitions, rich_idle).to_pandas()
+    df = _with_schema(df, {"c_nationkey": "int64", "numcust": "int64",
+                           "bal_c": "int64"})
+    comb = df.groupby("c_nationkey", as_index=False).agg(
+        numcust=("numcust", "sum"), bal_c=("bal_c", "sum"))
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = comb.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["bal_c"].astype("int64") / 100.0
+    out = out[["n_name", "numcust", "totacctbal"]]
+    out = _with_schema(out, {"n_name": "object", "numcust": "int64",
+                             "totacctbal": "float64"})
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -4219,6 +4639,12 @@ RAY_QUERIES = {
     "q99_event_transitions": q99_event_transitions,
     "q100_cross_source_dup_matrix": q100_cross_source_dup_matrix,
     "q101_top_pmi_bigrams": q101_top_pmi_bigrams,
+    "q102_nation_trade_volume": q102_nation_trade_volume,
+    "q103_returned_item_revenue": q103_returned_item_revenue,
+    "q104_small_qty_order_revenue": q104_small_qty_order_revenue,
+    "q105_disjunctive_part_revenue": q105_disjunctive_part_revenue,
+    "q106_lone_late_supplier": q106_lone_late_supplier,
+    "q107_rich_idle_customers": q107_rich_idle_customers,
 }
 
 
@@ -4457,6 +4883,135 @@ ORACLE_SQL = {
         CROSS JOIN nt
         ORDER BY pmi DESC, ngram
         LIMIT 20
+    """,
+    "q102_nation_trade_volume": """
+        WITH j AS (
+          SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                 strftime(l_shipdate, '%Y') AS l_year,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev_u
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ns ON s_nationkey = ns.n_nationkey
+          JOIN nation nc ON c_nationkey = nc.n_nationkey
+          WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                 OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(rev_u) AS BIGINT) / 10000.0 AS revenue
+        FROM j GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q103_returned_item_revenue": """
+        WITH j AS (
+          SELECT o_custkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev_u
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1996-04-01'
+        ),
+        per AS (
+          SELECT o_custkey, CAST(sum(rev_u) AS BIGINT) AS rev_u
+          FROM j GROUP BY o_custkey
+          ORDER BY rev_u DESC, o_custkey LIMIT 20
+        )
+        SELECT c_custkey, c_name, per.rev_u / 10000.0 AS revenue,
+               c_acctbal, n_name
+        FROM per
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, c_custkey
+    """,
+    "q104_small_qty_order_revenue": """
+        WITH li AS (
+          SELECT l_partkey,
+                 CAST(round(l_quantity) AS BIGINT) AS qty_i,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'
+        ),
+        st AS (
+          SELECT l_partkey, count(*)::BIGINT AS n,
+                 CAST(sum(qty_i) AS BIGINT) AS sum_qty
+          FROM li GROUP BY l_partkey
+        )
+        SELECT round(CAST(coalesce(sum(li.price_c), 0) AS BIGINT)
+                     / 100.0 / 7.0, 2) AS avg_yearly
+        FROM li JOIN st USING (l_partkey)
+        WHERE 5 * li.qty_i * st.n < st.sum_qty
+    """,
+    "q105_disjunctive_part_revenue": """
+        WITH li AS (
+          SELECT p_brand, p_size,
+                 CAST(round(l_quantity) AS BIGINT) AS qty_i,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev_u
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
+        SELECT CAST(coalesce(sum(rev_u), 0) AS BIGINT) / 10000.0 AS revenue
+        FROM li
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND qty_i BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND qty_i BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND qty_i BETWEEN 20 AND 30)
+    """,
+    "q106_lone_late_supplier": """
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ship
+          FROM lineitem GROUP BY l_orderkey, l_suppkey
+        ),
+        j AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 (l.ship > o.o_orderdate + INTERVAL 60 DAY) AS late
+          FROM l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+        ),
+        per AS (
+          SELECT l_orderkey, count(*)::BIGINT AS n_supp,
+                 sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late
+          FROM j GROUP BY l_orderkey
+        )
+        SELECT s_name, count(*)::BIGINT AS numwait
+        FROM j
+        JOIN per USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE j.late AND per.n_supp >= 2 AND per.n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+    """,
+    "q107_rich_idle_customers": """
+        WITH pos AS (
+          SELECT count(*)::BIGINT AS n,
+                 CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM customer WHERE c_acctbal > 0
+        ),
+        rich AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer, pos
+          WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+        ),
+        idle AS (
+          SELECT r.* FROM rich r
+          WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = r.c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01')
+        )
+        SELECT n_name, count(*)::BIGINT AS numcust,
+               CAST(sum(bal_c) AS BIGINT) / 100.0 AS totacctbal
+        FROM idle JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

@@ -77,7 +77,10 @@ SQL_CHECKED = [
     "q93_gopher_rules", "q94_late_orders_by_priority",
     "q95_weighted_sample", "q97_length_drift_psi", "q98_embedding_audit",
     "q99_event_transitions", "q100_cross_source_dup_matrix",
-    "q101_top_pmi_bigrams",
+    "q101_top_pmi_bigrams", "q102_nation_trade_volume",
+    "q103_returned_item_revenue", "q104_small_qty_order_revenue",
+    "q105_disjunctive_part_revenue", "q106_lone_late_supplier",
+    "q107_rich_idle_customers",
 ]
 
 

@@ -1432,3 +1432,181 @@ def test_top_pmi_bigrams_planted(ray_session, tmp_path):
     pmi = got.set_index("ngram")["pmi"]
     assert pmi["san francisco"] > pmi["the cat"]
     assert got["ngram"].iloc[0] == "san francisco"
+
+
+def test_nation_trade_volume_planted(ray_session, tmp_path):
+    """Q7 shape by hand: cross-nation revenue counts in BOTH
+    directions as separate rows; same-nation shipping and lineitems
+    outside the ship-date window never contribute."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q102_nation_trade_volume,
+    )
+
+    _write_tbl(tmp_path, "nation", pd.DataFrame({
+        "n_nationkey": [1, 2, 3],
+        "n_name": ["NATION_1", "NATION_2", "NATION_3"]}))
+    _write_tbl(tmp_path, "supplier", pd.DataFrame({
+        "s_suppkey": [10, 20], "s_nationkey": [1, 2]}))
+    _write_tbl(tmp_path, "customer", pd.DataFrame({
+        "c_custkey": [100, 200, 300], "c_nationkey": [1, 2, 3]}))
+    _write_tbl(tmp_path, "orders", pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4],
+        "o_custkey": [200, 100, 100, 300]}))
+    sf = _write_tbl(tmp_path, "lineitem", pd.DataFrame({
+        # o1: N1 supp → N2 cust (counts); o2: N2 supp → N1 cust
+        # (counts, other direction); o3: N1 supp → N1 cust (same
+        # nation, dropped); o4: N3 cust (dropped); last row: window.
+        "l_orderkey": [1, 2, 3, 4, 1],
+        "l_suppkey": [10, 20, 10, 10, 10],
+        "l_shipdate": pd.to_datetime(
+            ["1996-06-01", "1997-06-01", "1996-06-01", "1996-06-01",
+             "1998-06-01"]).astype("datetime64[us]"),
+        "l_extendedprice": [10.0, 20.0, 5.0, 7.0, 100.0],
+        "l_discount": [0.10, 0.0, 0.0, 0.0, 0.0]}))
+    got = q102_nation_trade_volume(sf)
+    assert got[["supp_nation", "cust_nation", "l_year", "revenue"]] \
+        .values.tolist() == [
+            ["NATION_1", "NATION_2", "1996", 9.0],
+            ["NATION_2", "NATION_1", "1997", 20.0]]
+
+
+def test_returned_item_revenue_planted(ray_session, tmp_path):
+    """Q10 shape by hand: only flag-R lineitems of orders inside the
+    quarter contribute; revenue applies the discount; output carries
+    the customer dim columns and sorts revenue-desc."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q103_returned_item_revenue,
+    )
+
+    _write_tbl(tmp_path, "nation", pd.DataFrame({
+        "n_nationkey": [1], "n_name": ["NATION_1"]}))
+    _write_tbl(tmp_path, "customer", pd.DataFrame({
+        "c_custkey": [1, 2], "c_name": ["Customer#1", "Customer#2"],
+        "c_acctbal": [11.5, 22.5], "c_nationkey": [1, 1]}))
+    _write_tbl(tmp_path, "orders", pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": [1, 2, 1],
+        "o_orderdate": pd.to_datetime(
+            ["1996-02-01", "1996-03-31", "1996-04-01"]  # o3 outside
+        ).astype("datetime64[us]")}))
+    sf = _write_tbl(tmp_path, "lineitem", pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 3],
+        "l_returnflag": ["R", "N", "R", "R"],
+        "l_extendedprice": [10.0, 100.0, 5.0, 50.0],
+        "l_discount": [0.10, 0.0, 0.0, 0.0]}))
+    got = q103_returned_item_revenue(sf)
+    assert got[["c_custkey", "revenue", "c_acctbal", "n_name"]] \
+        .values.tolist() == [
+            [1, 9.0, 11.5, "NATION_1"],
+            [2, 5.0, 22.5, "NATION_1"]]
+
+
+def test_small_qty_order_revenue_planted(ray_session, tmp_path):
+    """Q17 shape by hand: part avg qty = 31/4; only the qty-1 line
+    sits below 0.2·avg (exact test 5·1·4=20 < 31); other-brand parts
+    never contribute even with tiny quantities."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q104_small_qty_order_revenue,
+    )
+
+    _write_tbl(tmp_path, "part", pd.DataFrame({
+        "p_partkey": [1, 2], "p_brand": ["Brand#3", "Brand#1"]}))
+    sf = _write_tbl(tmp_path, "lineitem", pd.DataFrame({
+        "l_partkey": [1, 1, 1, 1, 2],
+        "l_quantity": [1.0, 10.0, 10.0, 10.0, 1.0],
+        "l_extendedprice": [70.0, 9.0, 9.0, 9.0, 999.0]}))
+    got = q104_small_qty_order_revenue(sf)
+    assert got["avg_yearly"].tolist() == [10.0]   # 70.00 / 7
+
+
+def test_disjunctive_part_revenue_planted(ray_session, tmp_path):
+    """Q19 shape by hand: one qualifying lineitem per branch; a
+    wrong-brand, an out-of-size and an out-of-quantity line each
+    miss every branch."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q105_disjunctive_part_revenue,
+    )
+
+    _write_tbl(tmp_path, "part", pd.DataFrame({
+        "p_partkey": [1, 2, 3, 4, 5],
+        "p_brand": ["Brand#1", "Brand#2", "Brand#3", "Brand#9",
+                    "Brand#1"],
+        "p_size": [3, 8, 12, 3, 40]}))
+    sf = _write_tbl(tmp_path, "lineitem", pd.DataFrame({
+        "l_partkey": [1, 2, 3, 4, 5, 1],
+        #             b1 b2  b3 wrong-brand  size40  qty-out
+        "l_quantity": [5.0, 15.0, 25.0, 5.0, 5.0, 40.0],
+        "l_extendedprice": [10.0, 20.0, 40.0, 999.0, 999.0, 999.0],
+        "l_discount": [0.0, 0.0, 0.25, 0.0, 0.0, 0.0]}))
+    got = q105_disjunctive_part_revenue(sf)
+    assert got["revenue"].tolist() == [60.0]      # 10 + 20 + 40·0.75
+
+
+def test_lone_late_supplier_planted(ray_session, tmp_path):
+    """Q21 shape by hand: counted only when the supplier is the ONLY
+    late one in a multi-supplier finalized order; two-late orders,
+    single-supplier orders, open orders and the exact +60-day
+    boundary all drop out."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q106_lone_late_supplier,
+    )
+
+    od = pd.Timestamp("2024-01-01")
+    _write_tbl(tmp_path, "supplier", pd.DataFrame({
+        "s_suppkey": [1, 2], "s_name": ["Supp#A", "Supp#B"]}))
+    _write_tbl(tmp_path, "orders", pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4, 5],
+        "o_orderstatus": ["F", "F", "F", "O", "F"],
+        "o_orderdate": pd.Series([od] * 5).astype("datetime64[us]")}))
+    late = od + pd.Timedelta(days=61)
+    ok = od + pd.Timedelta(days=5)
+    sf = _write_tbl(tmp_path, "lineitem", pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 2, 3, 4, 4, 5, 5],
+        "l_suppkey": [1, 2, 1, 2, 1, 1, 2, 1, 2],
+        "l_shipdate": pd.Series([
+            late, ok,          # o1: A lone-late → counts
+            late, late,        # o2: both late → nobody
+            late,              # o3: single supplier → nobody
+            late, ok,          # o4: status O → nobody
+            od + pd.Timedelta(days=60), ok,   # o5: boundary NOT late
+        ]).astype("datetime64[us]")}))
+    got = q106_lone_late_supplier(sf)
+    assert got.values.tolist() == [["Supp#A", 1]]
+
+
+def test_rich_idle_customers_planted(ray_session, tmp_path):
+    """Q22 shape by hand: the global positive-balance average uses
+    exact cents·n cross-multiplication; a rich customer with a recent
+    order is not idle; an old order doesn't count as activity;
+    negative balances stay out of the average."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q107_rich_idle_customers,
+    )
+
+    _write_tbl(tmp_path, "nation", pd.DataFrame({
+        "n_nationkey": [1, 2], "n_name": ["NATION_1", "NATION_2"]}))
+    _write_tbl(tmp_path, "customer", pd.DataFrame({
+        "c_custkey": [1, 2, 3, 4],
+        "c_nationkey": [1, 1, 2, 2],
+        # avg of positives = 70; rich = {c1, c3}
+        "c_acctbal": [100.0, 10.0, 100.0, -50.0]}))
+    sf = _write_tbl(tmp_path, "orders", pd.DataFrame({
+        "o_custkey": [1, 3],
+        "o_orderdate": pd.to_datetime(
+            ["2000-06-01",   # c1 recent → not idle
+             "1998-06-01"]   # c3 old → still idle
+        ).astype("datetime64[us]")}))
+    got = q107_rich_idle_customers(sf)
+    assert got.values.tolist() == [["NATION_2", 1, 100.0]]
