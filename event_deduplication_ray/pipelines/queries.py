@@ -4121,6 +4121,100 @@ def q79_oov_rate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q108_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf) — the
+    ranked counterpart of q89's boolean AND-search, completing the
+    curation-search family (AND scan → posting-list index → ranked
+    top-k).  Query = the corpus's two most frequent tokens, derived
+    deterministically (q89's machinery).  Pass 1: tiny (n_docs, Σdl,
+    df_t) partials per batch — the ONLY global state, broadcast in a
+    closure.  Pass 2: one streaming pass scores every doc vectorized
+    (per-term tf via the cumsum window trick) and keeps a per-batch
+    top-10 partial; the driver merges P×10 rows.  Float parity with
+    the SQL oracle holds because both engines evaluate the IDENTICAL
+    expression tree on identical (tf, dl, df, N, Σdl) integers —
+    constant literals (2.2, 1.2, 0.25, 0.75) are written, never
+    derived — and the two-term sum is order-insensitive in IEEE
+    (a+b == b+a); ties break on doc_id."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = tokenize_offsets(df["text"].str.lower())
+        if len(flat) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"token": vc.index, "n": vc.to_numpy(np.int64)})
+
+    def top2_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["n"].sum()
+        return g.sort_values(["n", "token"],
+                             ascending=[False, True]).head(2)
+
+    cand = _with_schema(
+        partition_apply(
+            ds.map_batches(tok_partial, batch_format="pandas"),
+            ["token"], QCFG.join_num_partitions, top2_part).to_pandas(),
+        {"token": "object", "n": "int64"})
+    query = (cand.sort_values(["n", "token"], ascending=[False, True])
+             .head(2)["token"].tolist())
+
+    def _tf_dl(df: pd.DataFrame):
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        q = pd.Index(query)
+        code = q.get_indexer(flat) if len(flat) else np.zeros(0, np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        tf = np.zeros((len(query), len(df)), np.int64)
+        for qi in range(len(query)):
+            c = np.concatenate([[0], np.cumsum(code == qi)]).astype(np.int64)
+            tf[qi] = c[ends] - c[starts]
+        return tf, lens.astype(np.int64)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf, dl = _tf_dl(df)
+        row = {"n_docs": [len(df)], "sum_dl": [int(dl.sum())]}
+        for qi in range(len(query)):
+            row[f"df_{qi}"] = [int((tf[qi] > 0).sum())]
+        return pd.DataFrame(row)
+
+    st_cols = {"n_docs": "int64", "sum_dl": "int64",
+               **{f"df_{qi}": "int64" for qi in range(len(query))}}
+    st = _with_schema(
+        ds.map_batches(stats_partial, batch_format="pandas").to_pandas(),
+        st_cols)
+    n_docs = int(st["n_docs"].sum())
+    sum_dl = int(st["sum_dl"].sum())
+    dfs = [int(st[f"df_{qi}"].sum()) for qi in range(len(query))]
+    avgdl = sum_dl / n_docs if n_docs else 1.0
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        tf, dl = _tf_dl(df)
+        dlf = dl.astype(np.float64)
+        score = np.zeros(len(df))
+        for qi in range(len(query)):
+            idf = np.log((n_docs - dfs[qi] + 0.5) / (dfs[qi] + 0.5) + 1.0)
+            tff = tf[qi].astype(np.float64)
+            score = score + idf * (tff * 2.2) \
+                / (tff + 1.2 * (0.25 + 0.75 * dlf / avgdl))
+        ids = df["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, -score))[:10]
+        return pd.DataFrame({"doc_id": ids[order], "score": score[order]})
+
+    parts = _with_schema(
+        ds.map_batches(score_topk, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "score": "float64"})
+    parts = parts.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(10)
+    parts["bm25"] = parts["score"].round(6)
+    return parts[["doc_id", "bm25"]].reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -4645,6 +4739,7 @@ RAY_QUERIES = {
     "q105_disjunctive_part_revenue": q105_disjunctive_part_revenue,
     "q106_lone_late_supplier": q106_lone_late_supplier,
     "q107_rich_idle_customers": q107_rich_idle_customers,
+    "q108_bm25_topk": q108_bm25_topk,
 }
 
 
@@ -5012,6 +5107,46 @@ ORACLE_SQL = {
         FROM idle JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
         ORDER BY n_name
+    """,
+    "q108_bm25_topk": """
+        WITH tok AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a
+          FROM documents
+        ),
+        freq AS (
+          SELECT t AS token, count(*)::BIGINT AS n
+          FROM (SELECT unnest(a) AS t FROM tok) GROUP BY t
+        ),
+        q AS (SELECT token FROM freq
+              ORDER BY n DESC, token LIMIT 2),
+        stats AS (
+          SELECT count(*)::BIGINT AS n_docs,
+                 CAST(sum(len(a)) AS BIGINT) AS sum_dl
+          FROM tok
+        ),
+        tf AS (
+          SELECT tok.doc_id, q.token,
+                 len(list_filter(tok.a, x -> x = q.token))::BIGINT AS tf,
+                 len(tok.a)::BIGINT AS dl
+          FROM tok CROSS JOIN q
+        ),
+        df AS (
+          SELECT token,
+                 count(*) FILTER (WHERE tf > 0)::BIGINT AS df
+          FROM tf GROUP BY token
+        ),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                        / (stats.sum_dl * 1.0 / stats.n_docs)))) AS s
+          FROM tf JOIN df USING (token) CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(s, 6) AS bm25
+        FROM sc ORDER BY s DESC, doc_id LIMIT 10
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

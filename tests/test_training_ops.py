@@ -1610,3 +1610,46 @@ def test_rich_idle_customers_planted(ray_session, tmp_path):
         ).astype("datetime64[us]")}))
     got = q107_rich_idle_customers(sf)
     assert got.values.tolist() == [["NATION_2", 1, 100.0]]
+
+
+def test_bm25_topk_planted(ray_session, tmp_path):
+    """BM25 by hand against an independent scalar reimplementation:
+    the term-dense short doc outranks a long doc with the same counts
+    (length normalization), a doc with neither query term scores 0
+    and ranks last by doc_id."""
+    import math
+
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q108_bm25_topk
+
+    texts = {
+        1: "apple banana",                      # both terms, short
+        2: "apple banana " + " ".join(f"filler{i}" for i in range(20)),
+        # ^ both terms, long (padding tokens all distinct so the
+        #   frequency-derived query stays apple/banana)
+        3: "apple apple apple",                 # one term, repeated
+        4: "cherry date elderberry",            # neither term
+    }
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": list(texts), "text": list(texts.values())}))
+    got = q108_bm25_topk(sf)
+
+    # independent reference: query = top-2 tokens = apple(5), banana(2)
+    toks = {d: t.split() for d, t in texts.items()}
+    n_docs, sum_dl = 4, sum(len(v) for v in toks.values())
+    avgdl = sum_dl / n_docs
+    df = {"apple": 3, "banana": 2}
+    def bm25(d):
+        s = 0.0
+        for term in ["apple", "banana"]:
+            tf = toks[d].count(term)
+            idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl))
+        return round(s, 6)
+    want = sorted(((bm25(d), d) for d in toks), key=lambda x: (-x[0], x[1]))
+    assert got["doc_id"].tolist() == [d for _, d in want]
+    assert got["bm25"].tolist() == [s for s, _ in want]
+    assert got.set_index("doc_id")["bm25"][4] == 0.0
+    # length normalization: doc 1 beats doc 2 despite identical tf
+    assert got.set_index("doc_id")["bm25"][1] > got.set_index("doc_id")["bm25"][2]
