@@ -4215,6 +4215,56 @@ def q108_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return parts[["doc_id", "bm25"]].reset_index(drop=True)
 
 
+def q109_lexical_diversity(sf_dir: str) -> pd.DataFrame:
+    """Lexical-diversity audit: per-doc type-token ratio and hapax
+    (once-only) rate — the MTLD/TTR family of quality signals a
+    curation pipeline gates on (templated/spam pages sit at extreme
+    TTRs).  Pure map stage: one tokenization per batch, per-doc
+    distinct/hapax counts via a single vectorized groupby over
+    (doc, token-code) pairs — no per-row loops, nothing shuffles.
+    Ratios are exact int64 ppm (floor division) so no float rounding
+    can split the engines (the q79 lesson)."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        n_tok = lens.astype(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        if len(flat) == 0:
+            z = np.zeros(len(df), np.int64)
+            return pd.DataFrame({"doc_id": ids, "n_tok": n_tok,
+                                 "n_types": z, "n_hapax": z,
+                                 "ttr_ppm": z, "hapax_ppm": z})
+        codes = pd.factorize(flat)[0].astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        pair = pd.DataFrame({"d": doc_idx, "c": codes})
+        cnt = pair.groupby(["d", "c"], sort=False).size()
+        per = cnt.groupby(level="d")
+        n_types = np.zeros(len(df), np.int64)
+        n_hapax = np.zeros(len(df), np.int64)
+        n_types[per.size().index.to_numpy()] = per.size().to_numpy(np.int64)
+        hap = cnt[cnt == 1].groupby(level="d").size()
+        n_hapax[hap.index.to_numpy()] = hap.to_numpy(np.int64)
+        denom = np.maximum(n_tok, 1)
+        return pd.DataFrame({
+            "doc_id": ids, "n_tok": n_tok, "n_types": n_types,
+            "n_hapax": n_hapax,
+            "ttr_ppm": np.where(n_tok > 0,
+                                (n_types * 1_000_000) // denom, 0),
+            "hapax_ppm": np.where(n_tok > 0,
+                                  (n_hapax * 1_000_000) // denom, 0)})
+
+    cols = {"doc_id": "int64", "n_tok": "int64", "n_types": "int64",
+            "n_hapax": "int64", "ttr_ppm": "int64", "hapax_ppm": "int64"}
+    out = _with_schema(
+        ds.map_batches(stats, batch_format="pandas").to_pandas(), cols)
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -4740,6 +4790,7 @@ RAY_QUERIES = {
     "q106_lone_late_supplier": q106_lone_late_supplier,
     "q107_rich_idle_customers": q107_rich_idle_customers,
     "q108_bm25_topk": q108_bm25_topk,
+    "q109_lexical_diversity": q109_lexical_diversity,
 }
 
 
@@ -5147,6 +5198,38 @@ ORACLE_SQL = {
         )
         SELECT doc_id, round(s, 6) AS bm25
         FROM sc ORDER BY s DESC, doc_id LIMIT 10
+    """,
+    "q109_lexical_diversity": """
+        WITH tok AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a
+          FROM documents
+        ),
+        cnt AS (
+          SELECT doc_id, t, count(*)::BIGINT AS c
+          FROM (SELECT doc_id, unnest(a) AS t FROM tok)
+          GROUP BY doc_id, t
+        ),
+        per AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tok,
+                 count(*)::BIGINT AS n_types,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hapax
+          FROM cnt GROUP BY doc_id
+        )
+        SELECT tok.doc_id,
+               coalesce(per.n_tok, 0)::BIGINT AS n_tok,
+               coalesce(per.n_types, 0)::BIGINT AS n_types,
+               coalesce(per.n_hapax, 0)::BIGINT AS n_hapax,
+               CASE WHEN coalesce(per.n_tok, 0) > 0
+                    THEN (per.n_types * 1000000) // per.n_tok
+                    ELSE 0 END::BIGINT AS ttr_ppm,
+               CASE WHEN coalesce(per.n_tok, 0) > 0
+                    THEN (per.n_hapax * 1000000) // per.n_tok
+                    ELSE 0 END::BIGINT AS hapax_ppm
+        FROM tok LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

@@ -28,7 +28,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q89_token_and_search", "q91_dup_cluster_sizes",
           "q93_gopher_rules", "q95_weighted_sample",
           "q97_length_drift_psi", "q100_cross_source_dup_matrix",
-          "q101_top_pmi_bigrams", "q108_bm25_topk"]
+          "q101_top_pmi_bigrams", "q108_bm25_topk",
+          "q109_lexical_diversity"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 

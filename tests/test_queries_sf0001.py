@@ -81,6 +81,7 @@ SQL_CHECKED = [
     "q103_returned_item_revenue", "q104_small_qty_order_revenue",
     "q105_disjunctive_part_revenue", "q106_lone_late_supplier",
     "q107_rich_idle_customers", "q108_bm25_topk",
+    "q109_lexical_diversity",
 ]
 
 

@@ -101,3 +101,57 @@ def test_tier_ablation_report(corpus_dir):
     assert r["all"] >= r["minhash"]
     assert (df["precision"] >= 0.99).all()
     assert {"n_clusters", "sec", "f1"} <= set(df.columns)
+
+
+def test_bcubed_hand_example():
+    """Classic worked example: gold {1,2,3}{4,5}, pred {1,2}{3,4,5}
+    → B³ P = B³ R = 11/15 (per-item intersection ratios averaged);
+    identical assignments score 1.0; one mega-cluster keeps recall 1
+    but drops precision."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.eval import bcubed_metrics
+
+    gold = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                         "cluster_id": [10, 10, 10, 20, 20]})
+    pred = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                         "cluster_id": [1, 1, 2, 2, 2]})
+    m = bcubed_metrics(pred, gold)
+    assert m["bcubed_precision"] == round(11 / 15, 6)
+    assert m["bcubed_recall"] == round(11 / 15, 6)
+    assert m["n_items"] == 5
+
+    perfect = bcubed_metrics(gold, gold)
+    assert perfect["bcubed_precision"] == 1.0
+    assert perfect["bcubed_recall"] == 1.0
+
+    mega = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                         "cluster_id": [1, 1, 1, 1, 1]})
+    m2 = bcubed_metrics(mega, gold)
+    assert m2["bcubed_recall"] == 1.0
+    assert m2["bcubed_precision"] == round((9 / 5 + 4 / 5) / 5, 6)
+
+
+def test_bcubed_on_golden_fixture(ray_session, tmp_path):
+    """End-to-end: flagship assignments on the planted corpus score
+    near-perfect B³ against the golden clusters (recall gate's
+    cluster-level counterpart)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray import fixtures as F
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path
+    from event_deduplication_ray.pipelines.eval import bcubed_metrics
+    from event_deduplication_ray.functions.hashing import doc_ids_for_urls
+
+    d = F.materialize_corpus(str(tmp_path), 400, seed=7)
+    res = dedup_path(f"{d}/docs", DedupConfig(use_substring=True))
+    pred = res.assignments.to_pandas()
+    gold = pq.read_table(f"{d}/golden_clusters.parquet").to_pandas()
+    gold["doc_id"] = doc_ids_for_urls(gold["url"])
+    gold = gold[["doc_id", "cluster_id"]]
+    m = bcubed_metrics(pred, gold)
+    assert m["n_items"] == len(gold)
+    assert m["bcubed_precision"] >= 0.99
+    assert m["bcubed_recall"] >= 0.98

@@ -1653,3 +1653,23 @@ def test_bm25_topk_planted(ray_session, tmp_path):
     assert got.set_index("doc_id")["bm25"][4] == 0.0
     # length normalization: doc 1 beats doc 2 despite identical tf
     assert got.set_index("doc_id")["bm25"][1] > got.set_index("doc_id")["bm25"][2]
+
+
+def test_lexical_diversity_planted(ray_session, tmp_path):
+    """Hand-computed TTR/hapax: 'a a b' → 3 tokens, 2 types, 1 hapax,
+    ttr 666666 ppm (floor); an all-distinct doc hits 1e6 on both;
+    an all-same doc has 0 hapax; empty text → all zeros."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q109_lexical_diversity,
+    )
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a a b", "x y z", "w w w w", ""]}))
+    got = q109_lexical_diversity(sf).set_index("doc_id")
+    assert got.loc[1].tolist() == [3, 2, 1, 666666, 333333]
+    assert got.loc[2].tolist() == [3, 3, 3, 1000000, 1000000]
+    assert got.loc[3].tolist() == [4, 1, 0, 250000, 0]
+    assert got.loc[4].tolist() == [0, 0, 0, 0, 0]
