@@ -135,6 +135,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q70_rolling_distinct", "q71_vocab", "q74_order_count_histogram",
         "q76_user_running_total", "q78_line_dedup_rewrite", "q79_oov_rate",
         "q82_dsir_weights", "q87_retention_cohorts", "q93_gopher_rules",
+        "q102_nation_trade_volume", "q103_returned_item_revenue",
+        "q106_lone_late_supplier", "q108_bm25_topk",
+        "q109_lexical_diversity",
     ]
     out: dict[str, float] = {}
     for name in names:

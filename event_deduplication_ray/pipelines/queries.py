@@ -4265,6 +4265,114 @@ def q109_lexical_diversity(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q110_quality_mix_sample(sf_dir: str) -> pd.DataFrame:
+    """Quality-bucketed mixing sample (pretraining data-mix prep):
+    keep every doc at/above its language's EXACT median token count,
+    and deterministically downsample the below-median bucket to 25 %.
+    Composes two proven-parity primitives: q34's histogram-partial
+    exact percentile (the median ships as a tiny broadcast) and q51's
+    fmix32 hash-Bernoulli (threshold 2^30 = exactly 0.25), so the
+    kept set is bit-reproducible across engines AND across resumes —
+    no RNG state anywhere.  Two streaming passes; the only shuffle
+    carries one row per distinct (lang, n_tok)."""
+    from event_deduplication_ray.functions.hashing import (
+        sample_hash32,
+        tokenize_offsets,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, lens = tokenize_offsets(df["text"].str.lower())
+        g = pd.DataFrame({"lang": df["lang"].to_numpy(),
+                          "n_tok": lens.astype(np.int64)})
+        out = g.groupby(["lang", "n_tok"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def median_of(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_tok"], as_index=False)["n"].sum()
+        rows = []
+        for lang, sub in g.groupby("lang"):
+            sub = sub.sort_values("n_tok")
+            vals = sub["n_tok"].to_numpy()
+            cum = np.cumsum(sub["n"].to_numpy())
+            total = int(cum[-1])
+            k = (total + 1) // 2          # ceil(0.5 * n), exact
+            rows.append({"lang": lang,
+                         "med": int(vals[np.searchsorted(cum, max(k, 1))])})
+        return pd.DataFrame(rows)
+
+    med = _with_schema(
+        partition_apply(ds.map_batches(tok_partial, batch_format="pandas"),
+                        ["lang"], QCFG.join_num_partitions,
+                        median_of).to_pandas(),
+        {"lang": "object", "med": "int64"})
+    med_map = dict(zip(med["lang"], med["med"].astype(int)))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        _, lens = tokenize_offsets(df["text"].str.lower())
+        n_tok = lens.astype(np.int64)
+        meds = df["lang"].map(med_map).to_numpy(np.int64)
+        hi = n_tok >= meds
+        ids = df["doc_id"].to_numpy(np.int64)
+        keep = hi | (sample_hash32(ids) < np.uint64(1_073_741_824))
+        return pd.DataFrame({
+            "doc_id": ids[keep],
+            "lang": df["lang"].to_numpy()[keep],
+            "n_tok": n_tok[keep],
+            "bucket": np.where(hi[keep], "hi", "lo")})
+
+    out = _with_schema(
+        ds.map_batches(pick, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "lang": "object", "n_tok": "int64",
+         "bucket": "object"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tok"] = out["n_tok"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q111_domain_mix_report(sf_dir: str) -> pd.DataFrame:
+    """Domain-mixing report (multinomial/temperature sampling prep):
+    per source, doc and token counts, the EXACT int64 ppm token
+    share, and the α=0.5 temperature-scaled sampling weight
+    √(share) — the standard up-weight-the-tail transform used when
+    drawing a pretraining mixture.  w_temp is left UNNORMALIZED
+    (normalizing means dividing by a float sum whose accumulation
+    order differs between engines; the caller divides by Σw once).
+    One streaming pass of tiny (source, n_docs, n_tok) partials; the
+    sqrt runs on the identical share double in both engines."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, lens = tokenize_offsets(df["text"].str.lower())
+        g = pd.DataFrame({"source": df["source"].to_numpy(),
+                          "n_tok": lens.astype(np.int64)})
+        out = g.groupby("source", as_index=False).agg(
+            n_docs=("n_tok", "size"), n_tokens=("n_tok", "sum"))
+        return out
+
+    parts = _with_schema(
+        ds.map_batches(partial, batch_format="pandas").to_pandas(),
+        {"source": "object", "n_docs": "int64", "n_tokens": "int64"})
+    comb = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+    total = int(comb["n_tokens"].sum())
+    comb["n_docs"] = comb["n_docs"].astype("int64")
+    comb["n_tokens"] = comb["n_tokens"].astype("int64")
+    if total > 0:
+        comb["share_ppm"] = (comb["n_tokens"].to_numpy(np.int64)
+                             * 1_000_000) // total
+        comb["w_temp"] = np.round(np.sqrt(
+            comb["n_tokens"].to_numpy(np.int64) / total), 6)
+    else:
+        comb["share_ppm"] = np.int64(0)
+        comb["w_temp"] = 0.0
+    comb["share_ppm"] = comb["share_ppm"].astype("int64")
+    return comb.sort_values("source").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -4791,6 +4899,8 @@ RAY_QUERIES = {
     "q107_rich_idle_customers": q107_rich_idle_customers,
     "q108_bm25_topk": q108_bm25_topk,
     "q109_lexical_diversity": q109_lexical_diversity,
+    "q110_quality_mix_sample": q110_quality_mix_sample,
+    "q111_domain_mix_report": q111_domain_mix_report,
 }
 
 
@@ -5230,6 +5340,55 @@ ORACLE_SQL = {
                     ELSE 0 END::BIGINT AS hapax_ppm
         FROM tok LEFT JOIN per USING (doc_id)
         ORDER BY doc_id
+    """,
+    "q110_quality_mix_sample": """
+        WITH tc AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(lower(coalesce(text, '')),
+                     '\\S+'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        med AS (
+          SELECT lang,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok) AS m
+          FROM tc GROUP BY lang
+        ),
+        f0 AS (
+          SELECT tc.doc_id, tc.lang, tc.n_tok, (tc.n_tok >= med.m) AS hi,
+                 xor(tc.doc_id, tc.doc_id // 4294967296)
+                   % 4294967296 AS v
+          FROM tc JOIN med USING (lang)
+        ),
+        f1 AS (SELECT *, ((v::HUGEINT * 2246822507) % 4294967296)::BIGINT
+                          AS v1 FROM f0),
+        f2 AS (SELECT *, xor(v1, v1 // 8192)  AS v2 FROM f1),
+        f3 AS (SELECT *, ((v2::HUGEINT * 3266489909) % 4294967296)::BIGINT
+                          AS v3 FROM f2),
+        f4 AS (SELECT *, xor(v3, v3 // 65536) AS h  FROM f3)
+        SELECT doc_id, lang, n_tok,
+               CASE WHEN hi THEN 'hi' ELSE 'lo' END AS bucket
+        FROM f4
+        WHERE hi OR h < 1073741824
+        ORDER BY doc_id
+    """,
+    "q111_domain_mix_report": """
+        WITH tc AS (
+          SELECT source,
+                 len(regexp_extract_all(lower(coalesce(text, '')),
+                     '\\S+'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        per AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM tc GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per)
+        SELECT source, n_docs, n_tokens,
+               CAST((n_tokens * 1000000) // tot.t AS BIGINT) AS share_ppm,
+               round(sqrt(n_tokens * 1.0 / tot.t), 6) AS w_temp
+        FROM per CROSS JOIN tot
+        ORDER BY source
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

@@ -29,7 +29,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q93_gopher_rules", "q95_weighted_sample",
           "q97_length_drift_psi", "q100_cross_source_dup_matrix",
           "q101_top_pmi_bigrams", "q108_bm25_topk",
-          "q109_lexical_diversity"]
+          "q109_lexical_diversity", "q110_quality_mix_sample",
+          "q111_domain_mix_report"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 

@@ -81,7 +81,8 @@ SQL_CHECKED = [
     "q103_returned_item_revenue", "q104_small_qty_order_revenue",
     "q105_disjunctive_part_revenue", "q106_lone_late_supplier",
     "q107_rich_idle_customers", "q108_bm25_topk",
-    "q109_lexical_diversity",
+    "q109_lexical_diversity", "q110_quality_mix_sample",
+    "q111_domain_mix_report",
 ]
 
 

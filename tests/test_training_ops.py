@@ -1673,3 +1673,56 @@ def test_lexical_diversity_planted(ray_session, tmp_path):
     assert got.loc[2].tolist() == [3, 3, 3, 1000000, 1000000]
     assert got.loc[3].tolist() == [4, 1, 0, 250000, 0]
     assert got.loc[4].tolist() == [0, 0, 0, 0, 0]
+
+
+def test_quality_mix_sample_planted(ray_session, tmp_path):
+    """Median gate + deterministic Bernoulli by hand: five en docs of
+    1..5 tokens → exact median 3 (percentile_disc), so docs with >= 3
+    tokens always survive with bucket 'hi'; below-median docs survive
+    iff fmix32(doc_id) < 2^30, which the test recomputes with the
+    same primitive; a second lang gets its own median."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.functions.hashing import sample_hash32
+    from event_deduplication_ray.pipelines.queries import (
+        q110_quality_mix_sample,
+    )
+
+    rows = [(i, "en", " ".join(["w"] * i)) for i in range(1, 6)]
+    rows += [(10, "de", "a"), (11, "de", "a b c d e f g")]  # median: 1|7
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame(
+        rows, columns=["doc_id", "lang", "text"]))
+    got = q110_quality_mix_sample(sf)
+
+    hi = got[got.bucket == "hi"]["doc_id"].tolist()
+    # en median 3 → docs 3,4,5 hi; de median 1 → both de docs hi
+    assert hi == [3, 4, 5, 10, 11]
+    lo_expect = [d for d in (1, 2)
+                 if sample_hash32(np.array([d]))[0] < 2**30]
+    assert got[got.bucket == "lo"]["doc_id"].tolist() == lo_expect
+
+
+def test_domain_mix_report_planted(ray_session, tmp_path):
+    """Token shares and √-temperature weights by hand: sources with
+    90/10 token split → share_ppm 900000/100000 (floor), w_temp
+    √0.9/√0.1; doc counts independent of token counts."""
+    import math
+
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q111_domain_mix_report,
+    )
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["big", "big", "small"],
+        "text": ["w " * 45, "w " * 45, "w " * 10]}))
+    got = q111_domain_mix_report(sf).set_index("source")
+    assert got.loc["big", "n_docs"] == 2
+    assert got.loc["big", "n_tokens"] == 90
+    assert got.loc["big", "share_ppm"] == 900000
+    assert got.loc["small", "share_ppm"] == 100000
+    assert got.loc["big", "w_temp"] == round(math.sqrt(0.9), 6)
+    assert got.loc["small", "w_temp"] == round(math.sqrt(0.1), 6)
