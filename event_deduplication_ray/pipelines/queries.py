@@ -4373,6 +4373,79 @@ def q111_domain_mix_report(sf_dir: str) -> pd.DataFrame:
     return comb.sort_values("source").reset_index(drop=True)
 
 
+def q112_semantic_outliers(sf_dir: str) -> pd.DataFrame:
+    """Semantic-outlier audit (embedding-space quality control, the
+    distributional complement of q98's norm hygiene): the 5 vectors
+    per label FARTHEST from their own label centroid by cosine —
+    mislabeled or contaminated points surface here first (the
+    SemDeDup-family 'prune far-from-centroid' signal).  Pass 1 is
+    q92's mergeable (sum-matrix, n) centroid partials; pass 2 streams
+    once computing dot/(‖v‖·‖c‖) — the same expression tree as SQL's
+    list_cosine_similarity — and keeps per-(label, batch) bottom-5
+    partials, so only P×5×|labels| tiny rows reach the driver.
+    Float caveat (q11 class): cosines differ across engines at ~1e-16
+    summation order; round(6) absorbs it away from measure-zero
+    boundaries."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def cent_partial(t: pa.Table) -> pa.Table:
+        m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        lab = t["label"].to_numpy().astype(np.int64)
+        labs = np.unique(lab)
+        sums = np.zeros((len(labs), m.shape[1]))
+        ns = np.zeros(len(labs), np.int64)
+        for j, lv in enumerate(labs):
+            sel = lab == lv
+            sums[j] = m[sel].sum(axis=0)
+            ns[j] = int(sel.sum())
+        return pa.table({"label": pa.array(labs),
+                         "n": pa.array(ns),
+                         "s": pa.array([r.tobytes() for r in sums],
+                                       pa.binary())})
+
+    parts = emb.map_batches(cent_partial, batch_format="pyarrow").to_pandas()
+    parts["sv"] = parts["s"].map(lambda b: np.frombuffer(b, np.float64))
+    g = parts.groupby("label")
+    labels = np.array(sorted(g.groups), np.int64)
+    cents = np.vstack([
+        np.sum(np.vstack(g.get_group(lv)["sv"].to_numpy()), axis=0)
+        / g.get_group(lv)["n"].sum() for lv in labels])
+    cnorm = np.linalg.norm(cents, axis=1)
+    ref = ray.put((labels, cents, cnorm))
+
+    def bottom5(t: pa.Table) -> pa.Table:
+        labs, c, cn = ray.get(ref)
+        m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        lab = t["label"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(labs, lab)
+        vn = np.linalg.norm(m, axis=1)
+        dot = np.einsum("ij,ij->i", m, c[pos])
+        cos = dot / (vn * cn[pos])
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        out = {"label": [], "vec_id": [], "cos": []}
+        for lv in np.unique(lab):
+            sel = np.flatnonzero(lab == lv)
+            order = sel[np.lexsort((ids[sel], cos[sel]))[:5]]
+            out["label"].extend([lv] * len(order))
+            out["vec_id"].extend(ids[order])
+            out["cos"].extend(cos[order])
+        return pa.table({"label": pa.array(out["label"], pa.int64()),
+                         "vec_id": pa.array(out["vec_id"], pa.int64()),
+                         "cos": pa.array(out["cos"], pa.float64())})
+
+    df = _with_schema(
+        emb.map_batches(bottom5, batch_format="pyarrow").to_pandas(),
+        {"label": "int64", "vec_id": "int64", "cos": "float64"})
+    df = df.sort_values(["label", "cos", "vec_id"]).groupby("label") \
+        .head(5)
+    df["cos"] = df["cos"].round(6)
+    return df.reset_index(drop=True)[["label", "vec_id", "cos"]]
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -4901,6 +4974,7 @@ RAY_QUERIES = {
     "q109_lexical_diversity": q109_lexical_diversity,
     "q110_quality_mix_sample": q110_quality_mix_sample,
     "q111_domain_mix_report": q111_domain_mix_report,
+    "q112_semantic_outliers": q112_semantic_outliers,
 }
 
 
@@ -5389,6 +5463,29 @@ ORACLE_SQL = {
                round(sqrt(n_tokens * 1.0 / tot.t), 6) AS w_temp
         FROM per CROSS JOIN tot
         ORDER BY source
+    """,
+    "q112_semantic_outliers": """
+        WITH cent AS (
+          SELECT label, i, avg(embedding[CAST(i AS BIGINT) + 1]) AS c
+          FROM embeddings, unnest(range(0, 64)) AS t(i)
+          GROUP BY label, i
+        ),
+        centv AS (
+          SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label
+        ),
+        sc AS (
+          SELECT e.label, e.vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        c.cv) AS cos
+          FROM embeddings e JOIN centv c USING (label)
+        )
+        SELECT label, vec_id, round(cos, 6) AS cos
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY cos, vec_id) AS rk
+          FROM sc
+        ) WHERE rk <= 5
+        ORDER BY label, cos, vec_id
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

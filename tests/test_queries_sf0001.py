@@ -82,7 +82,7 @@ SQL_CHECKED = [
     "q105_disjunctive_part_revenue", "q106_lone_late_supplier",
     "q107_rich_idle_customers", "q108_bm25_topk",
     "q109_lexical_diversity", "q110_quality_mix_sample",
-    "q111_domain_mix_report",
+    "q111_domain_mix_report", "q112_semantic_outliers",
 ]
 
 

@@ -1726,3 +1726,41 @@ def test_domain_mix_report_planted(ray_session, tmp_path):
     assert got.loc["small", "share_ppm"] == 100000
     assert got.loc["big", "w_temp"] == round(math.sqrt(0.9), 6)
     assert got.loc["small", "w_temp"] == round(math.sqrt(0.1), 6)
+
+
+def test_semantic_outliers_planted(ray_session, tmp_path):
+    """Orthogonal-blob construction: six e1-axis vectors plus one
+    e2-axis outlier under label 0 → the outlier has the smallest
+    cosine to the label centroid and heads the bottom-5; a clean
+    3-vector label returns all three rows, none below cos≈1."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q112_semantic_outliers,
+    )
+
+    dim = 8
+    def vec(axis, jitter, seed):
+        rng = np.random.default_rng(seed)
+        v = np.zeros(dim); v[axis] = 1.0
+        return (v + jitter * rng.standard_normal(dim)).astype(np.float32)
+
+    rows = []
+    for i in range(6):
+        rows.append((i, 0, vec(0, 0.01, i)))
+    rows.append((99, 0, vec(1, 0.01, 99)))        # the outlier
+    for i in range(3):
+        rows.append((200 + i, 1, vec(2, 0.01, 50 + i)))
+    sf = _write_tbl(tmp_path, "embeddings", pd.DataFrame({
+        "vec_id": [r[0] for r in rows],
+        "label": np.array([r[1] for r in rows], dtype=np.int32),
+        "embedding": [r[2].tolist() for r in rows]}))
+    got = q112_semantic_outliers(sf)
+
+    l0 = got[got.label == 0]
+    assert len(l0) == 5
+    assert l0.iloc[0]["vec_id"] == 99          # farthest from centroid
+    assert l0.iloc[0]["cos"] < 0.6 < l0.iloc[1]["cos"]
+    l1 = got[got.label == 1]
+    assert len(l1) == 3 and (l1["cos"] > 0.99).all()
