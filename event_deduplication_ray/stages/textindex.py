@@ -35,11 +35,7 @@ def _token_shards(tokens: np.ndarray, n_shards: int) -> np.ndarray:
     return (hash_strings_u64(tokens) % np.uint64(n_shards)).astype(np.int64)
 
 
-def token_index_build(docs: Dataset, index_dir: str,
-                      n_shards: int = N_SHARDS_DEFAULT) -> None:
-    """Materialize the posting list: distinct (token, doc_id) rows
-    partitioned by ``tok_shard = hash(token) % n_shards``."""
-
+def _make_explode(n_shards: int):
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         flat, lens = tokenize_offsets(df["text"].str.lower())
         doc_of = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
@@ -51,10 +47,58 @@ def token_index_build(docs: Dataset, index_dir: str,
         d["tok_shard"] = _token_shards(d["token"].to_numpy(dtype=object),
                                        n_shards)
         return d
+    return explode
 
-    docs.map_batches(explode, batch_format="pandas").write_parquet(
+
+def token_index_build(docs: Dataset, index_dir: str,
+                      n_shards: int = N_SHARDS_DEFAULT) -> None:
+    """Materialize the posting list: distinct (token, doc_id) rows
+    partitioned by ``tok_shard = hash(token) % n_shards``."""
+    docs.map_batches(_make_explode(n_shards),
+                     batch_format="pandas").write_parquet(
         index_dir, partition_cols=["tok_shard"]
     )
+
+
+def token_index_add(new_docs: Dataset, index_dir: str,
+                    n_shards: int = N_SHARDS_DEFAULT) -> None:
+    """Incrementally index NEW documents into an existing posting
+    list WITHOUT rebuilding: the same explode pass appends fresh
+    Parquet files into the existing ``tok_shard=`` directories (file
+    names are run-unique, so appends never clobber), and serving is
+    unchanged because hit counts sum across files within a shard.
+
+    Contract (the `incremental_add` pattern, pipelines/incremental.py):
+    callers pass only doc_ids NOT already in the index — postings must
+    stay globally distinct for AND counts to be exact.  Re-adding a
+    doc_id is the caller's bug; `token_index_doc_ids` exists to
+    semi-join candidates against when in doubt.  Cost is O(new batch):
+    nothing existing is read or rewritten."""
+    new_docs.map_batches(_make_explode(n_shards),
+                         batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["tok_shard"]
+    )
+
+
+def token_index_doc_ids(index_dir: str,
+                        n_shards: int = N_SHARDS_DEFAULT) -> np.ndarray:
+    """Distinct doc_ids present in the index (one pruned-column scan;
+    for validating/add-time semi-joins, not the serving path)."""
+    import ray.data as rd
+
+    paths = _shard_paths(index_dir, set(range(n_shards)))
+    if not paths:
+        return np.array([], dtype=np.int64)
+
+    def ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": np.unique(
+            df["doc_id"].to_numpy(np.int64))})
+
+    parts = rd.read_parquet(paths, columns=["doc_id"]) \
+        .map_batches(ids, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return np.array([], dtype=np.int64)
+    return np.unique(parts["doc_id"].to_numpy(np.int64))
 
 
 def _shard_paths(index_dir: str, shards: "set[int]") -> list[str]:

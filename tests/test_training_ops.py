@@ -1764,3 +1764,41 @@ def test_semantic_outliers_planted(ray_session, tmp_path):
     assert l0.iloc[0]["cos"] < 0.6 < l0.iloc[1]["cos"]
     l1 = got[got.label == 1]
     assert len(l1) == 3 and (l1["cos"] > 0.99).all()
+
+
+def test_token_index_incremental_add(ray_session, tmp_path):
+    """Index maintenance without rebuild: build on the first half,
+    token_index_add the second half → every search (AND and OR, old
+    terms, new-only terms, cross-half terms) answers identically to a
+    full rebuild; doc_ids reports the union; adding an empty batch
+    changes nothing."""
+    import pandas as pd
+
+    import ray.data as rd
+    from event_deduplication_ray.stages import textindex as TI
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["aa bb", "aa cc", "bb cc dd",
+                 "newterm aa", "newterm only", "dd newterm"]})
+    half1, half2 = docs.iloc[:3], docs.iloc[3:]
+
+    inc = str(tmp_path / "inc")
+    TI.token_index_build(rd.from_pandas(half1), inc)
+    TI.token_index_add(rd.from_pandas(half2), inc)
+
+    full = str(tmp_path / "full")
+    TI.token_index_build(rd.from_pandas(docs), full)
+
+    for terms, mode in [(["aa", "bb"], "and"), (["aa"], "or"),
+                        (["newterm"], "or"), (["newterm", "aa"], "and"),
+                        (["dd", "newterm"], "and"), (["zz"], "or")]:
+        a = TI.token_index_search(inc, terms, mode=mode)
+        b = TI.token_index_search(full, terms, mode=mode)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), (terms, mode)
+
+    assert TI.token_index_doc_ids(inc).tolist() == [1, 2, 3, 4, 5, 6]
+
+    TI.token_index_add(rd.from_pandas(docs.iloc[:0]), inc)
+    assert TI.token_index_search(inc, ["aa"], mode="or")["doc_id"] \
+        .tolist() == [1, 2, 4]
