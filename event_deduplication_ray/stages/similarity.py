@@ -233,6 +233,68 @@ def srp_index_build(
     )
 
 
+def srp_index_add(
+    new_embeddings: Dataset,
+    index_dir: str,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Incrementally index NEW vectors into an existing SRP index
+    WITHOUT rebuilding.  The SRP code is data-INdependent (fixed
+    seeded hyperplanes), so appending run-unique Parquet files into
+    the existing ``srp_code=`` partitions yields byte-for-byte the
+    same serving behavior as a full rebuild — the strongest possible
+    maintenance guarantee of the three index families.  The caller
+    must pass the SAME (n_bits, seed) the index was built with and
+    only ids not already present (the token_index_add contract)."""
+    srp_index_build(new_embeddings, index_dir, n_bits=n_bits, seed=seed,
+                    id_col=id_col, emb_col=emb_col)
+
+
+def ivf_index_add(
+    new_embeddings: Dataset,
+    index_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Incrementally index NEW vectors into an existing IVF index:
+    the persisted centroids are read back (they are the index's frozen
+    coarse quantizer — real IVF deployments retrain only on drift)
+    and the standard streaming assignment pass appends to the
+    matching ``ivf_list=`` partitions.  Full-probe serving over the
+    grown index stays EXACT over the union; pruned-probe recall
+    degrades only as far as the new data shifts the (unchanged)
+    centroid geometry."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(f"{index_dir}/centroids.parquet")
+    cent_col = ct["centroid"].combine_chunks()
+    d = cent_col.type.list_size
+    cent = cent_col.flatten().to_numpy(zero_copy_only=False) \
+        .reshape(len(ct), d)
+    c_ref = ray.put(cent.T)
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        m = _normalize_rows(_emb_matrix(t[emb_col]))
+        lists = (m @ ray.get(c_ref)).argmax(axis=1).astype(np.int64)
+        norm = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), pa.float64()), m.shape[1]
+        )
+        return pa.table({
+            id_col: t[id_col],
+            "emb_norm": norm,
+            "ivf_list": pa.array(lists),
+        })
+
+    new_embeddings.map_batches(
+        assign_batch, batch_format="pyarrow"
+    ).write_parquet(index_dir, partition_cols=["ivf_list"])
+
+
 def _partition_paths(dirs: list[str]) -> list[str]:
     import os
 

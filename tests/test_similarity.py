@@ -189,3 +189,38 @@ def test_brute_force_topk_many_matches_single():
         sub = got[got["query_idx"] == qi]
         assert sub["vec_id"].tolist() == single["vec_id"].tolist()
         assert np.allclose(sub["cos"].to_numpy(), single["cos"].to_numpy())
+
+
+def test_srp_index_add_identical_to_rebuild(tmp_path):
+    """SRP maintenance is exact: codes are data-independent, so
+    build(A) + add(B) serves every query identically to a full
+    rebuild over A∪B — including queries whose answers live entirely
+    in the added half."""
+    import ray.data as rd
+    from event_deduplication_ray.stages.similarity import (
+        srp_index_add,
+        srp_index_build,
+        srp_index_topk,
+    )
+
+    ds, m = _emb_ds(n=300, d=16, planted=[(5, 250, 0.01)])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float64())),
+    })
+    a = rd.from_arrow(t.slice(0, 150))
+    b = rd.from_arrow(t.slice(150))
+
+    inc = str(tmp_path / "inc")
+    srp_index_build(a, inc)
+    srp_index_add(b, inc)
+    full = str(tmp_path / "full")
+    srp_index_build(ds, full)
+
+    for qi in (0, 5, 250, 299):
+        gi = srp_index_topk(inc, m[qi], k=6)
+        gf = srp_index_topk(full, m[qi], k=6)
+        assert gi["vec_id"].tolist() == gf["vec_id"].tolist(), qi
+        assert np.allclose(gi["cos"], gf["cos"])
+    assert 250 in set(srp_index_topk(inc, m[5], k=6)["vec_id"])

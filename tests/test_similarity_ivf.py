@@ -133,3 +133,35 @@ def test_semantic_dedup_no_dups_keeps_all():
     out = semantic_dedup(rd.from_arrow(t), n_lists=4, cos_threshold=0.99,
                          sample_size=100, seed=2).to_pandas()
     assert len(out) == 40 and out["keep"].all()
+
+
+def test_ivf_index_add_full_probe_exact_over_union(tmp_path):
+    """Index maintenance: build on the first half (centroids frozen),
+    ivf_index_add the second half → full-probe serving is EXACT over
+    the union (matches brute force), and a query aimed at an
+    added-half vector finds it."""
+    import ray.data as rd
+    from event_deduplication_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_index_add,
+    )
+
+    rng = np.random.default_rng(21)
+    m = rng.standard_normal((240, 12))
+    def ds_of(lo, hi):
+        t = pa.table({
+            "vec_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in m[lo:hi]],
+                                  pa.list_(pa.float64())),
+        })
+        return rd.from_arrow(t)
+
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(ds_of(0, 120), idx, n_lists=8, seed=3)
+    ivf_index_add(ds_of(120, 240), idx)
+
+    q = m[200] + 0.01
+    got = ivf_topk(idx, q, k=9, n_probes=8)
+    want = brute_force_topk(ds_of(0, 240), q, k=9)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert 200 in set(got["vec_id"])
