@@ -4446,6 +4446,60 @@ def q112_semantic_outliers(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)[["label", "vec_id", "cos"]]
 
 
+def q113_late_data_drop(sf_dir: str) -> pd.DataFrame:
+    """Streaming watermark semantics as a deterministic batch op: per
+    user, events are processed in event_id (arrival) order and an
+    event is DROPPED when its timestamp is more than 10 minutes
+    behind the user's high-water mark (max event-time seen so far) —
+    the allowed-lateness rule of a streaming engine, reproducible in
+    batch because arrival order is a column.  ONE user shuffle, then
+    a vectorized per-user shifted cummax in exact integer µs; the
+    boundary is strict (exactly 10 min behind is kept).  Returns the
+    dropped rows with how far behind the mark each was."""
+    from event_deduplication_ray.stages.shuffle import partition_apply
+
+    late_us = 10 * 60 * 1_000_000
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def drops(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "event_id": pd.Series(dtype="int64"),
+                              "ts": pd.Series(dtype="object"),
+                              "behind_us": pd.Series(dtype="int64")})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        u = df["user_id"].to_numpy(np.int64)
+        t_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        df["_ts_us"] = t_us
+        cm = df.groupby("user_id")["_ts_us"].cummax() \
+            .to_numpy(np.int64)                 # int64 end to end
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        hwm = np.empty(len(u), np.int64)
+        hwm[0] = 0
+        hwm[1:] = cm[:-1]                        # prior event's cummax
+        late = (~first) & (t_us < hwm - late_us)
+        if not late.any():
+            return empty
+        out = df.loc[late]
+        return pd.DataFrame({
+            "user_id": u[late],
+            "event_id": out["event_id"].to_numpy(np.int64),
+            "ts": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "behind_us": hwm[late] - t_us[late]})
+
+    out = _with_schema(
+        partition_apply(ds, ["user_id"], QCFG.join_num_partitions,
+                        drops).to_pandas(),
+        {"user_id": "int64", "event_id": "int64", "ts": "object",
+         "behind_us": "int64"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["behind_us"] = out["behind_us"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -4975,6 +5029,7 @@ RAY_QUERIES = {
     "q110_quality_mix_sample": q110_quality_mix_sample,
     "q111_domain_mix_report": q111_domain_mix_report,
     "q112_semantic_outliers": q112_semantic_outliers,
+    "q113_late_data_drop": q113_late_data_drop,
 }
 
 
@@ -5486,6 +5541,23 @@ ORACLE_SQL = {
           FROM sc
         ) WHERE rk <= 5
         ORDER BY label, cos, vec_id
+    """,
+    "q113_late_data_drop": """
+        WITH w AS (
+          SELECT user_id, event_id, ts,
+                 max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS hwm
+          FROM events
+        )
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               CAST(date_diff('microseconds', ts, hwm) AS BIGINT)
+                   AS behind_us
+        FROM w
+        WHERE hwm IS NOT NULL
+          AND ts < hwm - INTERVAL 10 MINUTE
+        ORDER BY event_id
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

@@ -116,7 +116,8 @@ EV_FUZZED = ["q06_user_hourly_windows", "q14_session_windows",
              "q60_gap_quantiles", "q61_view_attribution",
              "q62_event_debounce", "q76_user_running_total",
              "q83_value_quantiles", "q87_retention_cohorts",
-             "q88_event_type_cooccurrence", "q99_event_transitions"]
+             "q88_event_type_cooccurrence", "q99_event_transitions",
+             "q113_late_data_drop"]
 
 
 def _events(seed: int) -> pd.DataFrame:

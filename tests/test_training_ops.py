@@ -1802,3 +1802,36 @@ def test_token_index_incremental_add(ray_session, tmp_path):
     TI.token_index_add(rd.from_pandas(docs.iloc[:0]), inc)
     assert TI.token_index_search(inc, ["aa"], mode="or")["doc_id"] \
         .tolist() == [1, 2, 4]
+
+
+def test_late_data_drop_planted(ray_session, tmp_path):
+    """Watermark semantics by hand: an event 15 min behind the user's
+    high-water mark drops (behind_us exact); EXACTLY 10 min behind is
+    kept (strict boundary); mild out-of-order within lateness is
+    kept; the first event per user can never drop; watermarks never
+    leak across users."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q113_late_data_drop,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    mins = pd.Timedelta(minutes=1)
+    sf = _write_tbl(tmp_path, "events", pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "user_id": [1, 1, 1, 1, 1, 2, 2],
+        "ts": pd.Series([
+            t0,                 # e1 first
+            t0 + 30 * mins,     # e2 advances hwm to 10:30
+            t0 + 15 * mins,     # e3: 15 min behind 10:30 → DROP
+            t0 + 20 * mins,     # e4: exactly 10 min behind → keep
+            t0 + 25 * mins,     # e5: 5 min behind → keep
+            t0 + 100 * mins,    # e6: user 2 first (late vs user 1's
+                                #     clock but hwm is per-user)
+            t0,                 # e7: 100 min behind user 2's hwm → DROP
+        ]).astype("datetime64[us]")}))
+    got = q113_late_data_drop(sf)
+    assert got["event_id"].tolist() == [3, 7]
+    assert got["behind_us"].tolist() == [15 * 60_000_000,
+                                         100 * 60_000_000]
