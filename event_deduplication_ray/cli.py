@@ -107,6 +107,36 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_index(args: argparse.Namespace) -> int:
+    """Posting-list index lifecycle from the shell: build once, add
+    new shards incrementally, serve AND/OR term searches reading only
+    the matching token shards (stages/textindex.py)."""
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+
+    from event_deduplication_ray.stages import textindex as TI
+
+    if args.action == "build":
+        TI.token_index_build(rd.read_parquet(args.input), args.index_dir)
+        print(json.dumps({"index_dir": args.index_dir, "action": "build"}))
+        return 0
+    if args.action == "add":
+        TI.token_index_add(rd.read_parquet(args.input), args.index_dir)
+        print(json.dumps({"index_dir": args.index_dir, "action": "add"}))
+        return 0
+    terms = [t for t in (args.terms or "").split(",") if t]
+    if not terms:
+        print(json.dumps({"error": "search needs --terms a,b,..."}),
+              file=sys.stderr)
+        return 2
+    hits = TI.token_index_search(args.index_dir, terms, mode=args.mode)
+    print(json.dumps({"terms": sorted(set(t.lower() for t in terms)),
+                      "mode": args.mode,
+                      "n_hits": int(len(hits)),
+                      "doc_ids": hits["doc_id"].tolist()[:args.limit]}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="event_deduplication_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -137,6 +167,15 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--output", default=None)
     pq_.add_argument("--limit", type=int, default=20)
     pq_.set_defaults(fn=cmd_query)
+
+    pi = sub.add_parser("index")
+    pi.add_argument("action", choices=["build", "add", "search"])
+    pi.add_argument("--index-dir", required=True)
+    pi.add_argument("--input", default=None)
+    pi.add_argument("--terms", default=None)
+    pi.add_argument("--mode", choices=["and", "or"], default="and")
+    pi.add_argument("--limit", type=int, default=100)
+    pi.set_defaults(fn=cmd_index)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

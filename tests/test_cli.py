@@ -80,3 +80,48 @@ def test_cli_query_subcommand(tmp_path):
         capture_output=True, text=True, env=env, timeout=240)
     assert r3.returncode == 2
     assert "unknown query" in r3.stderr
+
+
+def test_cli_index_subcommand(tmp_path):
+    """`cli index build/add/search` lifecycle in subprocesses: build
+    on one file, add a second, and an AND search spanning both halves
+    answers over the union; missing --terms exits 2."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["alpha beta", "alpha gamma"]})), a)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [3], "text": ["alpha beta delta"]})), b)
+    idx = str(tmp_path / "idx")
+    base = [sys.executable, "-m", "event_deduplication_ray.cli",
+            "--num-cpus", "2", "index"]
+
+    for action, inp in (("build", a), ("add", b)):
+        r = subprocess.run(base + [action, "--index-dir", idx,
+                                   "--input", inp],
+                           capture_output=True, text=True, env=env,
+                           timeout=240)
+        assert r.returncode == 0, r.stderr[-500:]
+
+    r = subprocess.run(base + ["search", "--index-dir", idx,
+                               "--terms", "alpha,beta"],
+                       capture_output=True, text=True, env=env,
+                       timeout=240)
+    assert r.returncode == 0, r.stderr[-500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["doc_ids"] == [1, 3] and out["n_hits"] == 2
+
+    r2 = subprocess.run(base + ["search", "--index-dir", idx],
+                        capture_output=True, text=True, env=env,
+                        timeout=240)
+    assert r2.returncode == 2
