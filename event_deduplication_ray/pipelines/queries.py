@@ -4500,6 +4500,98 @@ def q113_late_data_drop(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q114_lang_embedding_coherence(sf_dir: str) -> pd.DataFrame:
+    """Cross-table audit joining the text and embedding modalities on
+    their shared id (doc_id = vec_id): per language, how tightly that
+    language's documents cluster in embedding space — mean cosine to
+    the language centroid.  A language whose coherence collapses
+    signals mislabeled lang-id or a contaminated embedding batch.
+    Shape: the embeddings shuffle ONCE (`shuffle_to`) and BOTH passes
+    cogroup the narrow (doc_id, lang) side against it — pass 1 emits
+    per-lang (n, Σvec) centroid partials, pass 2 per-lang (n, Σcos)
+    — so vectors cross the wire exactly once.  Float caveat: q112's
+    (summation-order ulp under round 6)."""
+    import ray
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+    from event_deduplication_ray.stages.similarity import _emb_matrix
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb_sh = shuffle_to(emb, ["vec_id"], QCFG.join_num_partitions)
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _aligned(l: pa.Table, r: pa.Table):
+        ids_r = r["vec_id"].to_numpy()
+        m = _emb_matrix(r["embedding"])
+        order = np.argsort(ids_r, kind="stable")
+        ids_s = ids_r[order]
+        ids_l = l["doc_id"].to_numpy()
+        pos = np.searchsorted(ids_s, ids_l)
+        pos_c = np.minimum(pos, max(len(ids_s) - 1, 0))
+        sel = (len(ids_s) > 0) & (ids_s[pos_c] == ids_l)
+        langs = np.asarray(l["lang"].to_numpy(zero_copy_only=False))[sel]
+        return langs, m[order[pos_c[sel]]]
+
+    def cent_partial(l: pa.Table, r: pa.Table) -> pa.Table:
+        if len(l) == 0 or len(r) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.binary())})
+        langs, m = _aligned(l, r)
+        uls = np.unique(langs)
+        return pa.table({
+            "lang": pa.array(uls),
+            "n": pa.array([int((langs == lv).sum()) for lv in uls],
+                          pa.int64()),
+            "s": pa.array([m[langs == lv].sum(axis=0).tobytes()
+                           for lv in uls], pa.binary())})
+
+    parts = cogroup_apply(docs, emb_sh, ["doc_id"], ["vec_id"],
+                          QCFG.join_num_partitions, cent_partial,
+                          batch_format="pyarrow").to_pandas()
+    parts = _with_schema(parts, {"lang": "object", "n": "int64",
+                                 "s": "object"})
+    cents = {}
+    for lv, sub in parts.groupby("lang"):
+        s = np.sum(np.vstack([np.frombuffer(b, np.float64)
+                              for b in sub["s"]]), axis=0)
+        c = s / sub["n"].sum()
+        cents[lv] = (c, np.linalg.norm(c))
+    ref = ray.put(cents)
+
+    def cos_partial(l: pa.Table, r: pa.Table) -> pa.Table:
+        if len(l) == 0 or len(r) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sc": pa.array([], pa.float64())})
+        cmap = ray.get(ref)
+        langs, m = _aligned(l, r)
+        vn = np.linalg.norm(m, axis=1)
+        uls = np.unique(langs)
+        ns, scs = [], []
+        for lv in uls:
+            sel = langs == lv
+            c, cn = cmap[lv]
+            cos = (m[sel] @ c) / (vn[sel] * cn)
+            ns.append(int(sel.sum()))
+            scs.append(float(cos.sum()))
+        return pa.table({"lang": pa.array(uls),
+                         "n": pa.array(ns, pa.int64()),
+                         "sc": pa.array(scs, pa.float64())})
+
+    out = cogroup_apply(docs, emb_sh, ["doc_id"], ["vec_id"],
+                        QCFG.join_num_partitions, cos_partial,
+                        batch_format="pyarrow").to_pandas()
+    out = _with_schema(out, {"lang": "object", "n": "int64",
+                             "sc": "float64"})
+    g = out.groupby("lang", as_index=False).agg(
+        n_vecs=("n", "sum"), sc=("sc", "sum"))
+    g["n_vecs"] = g["n_vecs"].astype("int64")
+    g["mean_cos"] = (g["sc"] / g["n_vecs"]).round(6)
+    return g[["lang", "n_vecs", "mean_cos"]] \
+        .sort_values("lang").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5030,6 +5122,7 @@ RAY_QUERIES = {
     "q111_domain_mix_report": q111_domain_mix_report,
     "q112_semantic_outliers": q112_semantic_outliers,
     "q113_late_data_drop": q113_late_data_drop,
+    "q114_lang_embedding_coherence": q114_lang_embedding_coherence,
 }
 
 
@@ -5558,6 +5651,27 @@ ORACLE_SQL = {
         WHERE hwm IS NOT NULL
           AND ts < hwm - INTERVAL 10 MINUTE
         ORDER BY event_id
+    """,
+    "q114_lang_embedding_coherence": """
+        WITH j AS (
+          SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ),
+        cent AS (
+          SELECT lang, i, avg(v[CAST(i AS BIGINT) + 1]) AS c
+          FROM j, unnest(range(0, 64)) AS t(i)
+          GROUP BY lang, i
+        ),
+        centv AS (
+          SELECT lang, list(c ORDER BY i) AS cv FROM cent GROUP BY lang
+        ),
+        sc AS (
+          SELECT j.lang, list_cosine_similarity(j.v, c.cv) AS cos
+          FROM j JOIN centv c USING (lang)
+        )
+        SELECT lang, count(*)::BIGINT AS n_vecs,
+               round(avg(cos), 6) AS mean_cos
+        FROM sc GROUP BY lang ORDER BY lang
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

@@ -1835,3 +1835,35 @@ def test_late_data_drop_planted(ray_session, tmp_path):
     assert got["event_id"].tolist() == [3, 7]
     assert got["behind_us"].tolist() == [15 * 60_000_000,
                                          100 * 60_000_000]
+
+
+def test_lang_embedding_coherence_planted(ray_session, tmp_path):
+    """Cross-modal join by hand: a language whose vectors share one
+    axis scores mean_cos ≈ 1; a language split across two orthogonal
+    axes scores ≈ cos(45°); embeddings without a matching doc_id and
+    docs without a vector are silently excluded by the inner join."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q114_lang_embedding_coherence,
+    )
+
+    dim = 4
+    def axis(i):
+        v = np.zeros(dim); v[i] = 1.0
+        return v.tolist()
+
+    _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 99],
+        "lang": ["en", "en", "xx", "xx", "de"]}))   # 99 has no vector
+    sf = _write_tbl(tmp_path, "embeddings", pd.DataFrame({
+        "vec_id": [1, 2, 3, 4, 500],                # 500 has no doc
+        "embedding": [axis(0), axis(0), axis(1), axis(2), axis(3)]}))
+    got = q114_lang_embedding_coherence(sf).set_index("lang")
+
+    assert "de" not in got.index and len(got) == 2
+    assert got.loc["en", "n_vecs"] == 2
+    assert got.loc["en", "mean_cos"] == 1.0
+    assert got.loc["xx", "n_vecs"] == 2
+    assert got.loc["xx", "mean_cos"] == round(1 / np.sqrt(2), 6)
