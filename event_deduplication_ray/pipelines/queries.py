@@ -4592,6 +4592,61 @@ def q114_lang_embedding_coherence(sf_dir: str) -> pd.DataFrame:
         .sort_values("lang").reset_index(drop=True)
 
 
+def q115_mixture_draw(sf_dir: str, n_target: int = 100) -> pd.DataFrame:
+    """Materialize a deterministic training mixture (the draw step
+    after q111's report): each source gets an integer quota
+    ⌊N·share_ppm/10⁶⌋ proportional to its EXACT token share, and its
+    quota is filled by the docs with the smallest fmix32 hash — a
+    reproducible 'random' draw with zero RNG state, stable under
+    resume and across engines.  Pass 1 reuses q111's tiny per-source
+    partials for the quotas; pass 2 streams once keeping per-batch
+    per-source bottom-quota partials (the q86 eviction-safe shape),
+    so at most P·Σquota rows reach the driver."""
+    from event_deduplication_ray.functions.hashing import (
+        sample_hash32,
+        tokenize_offsets,
+    )
+
+    rep = q111_domain_mix_report(sf_dir)
+    total = int(rep["n_tokens"].sum())
+    if total == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "source": pd.Series(dtype="object"),
+                             "h": pd.Series(dtype="int64")})
+    quota = {s: (n_target * int(p)) // 1_000_000
+             for s, p in zip(rep["source"], rep["share_ppm"])}
+    max_q = max(quota.values())
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def bottomq(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = sample_hash32(ids).astype(np.int64)
+        d = pd.DataFrame({"doc_id": ids,
+                          "source": df["source"].to_numpy(), "h": h})
+        d = d.sort_values(["h", "doc_id"])
+        return d.groupby("source", sort=False).head(max_q)
+
+    parts = _with_schema(
+        ds.map_batches(bottomq, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "source": "object", "h": "int64"})
+    parts = parts.sort_values(["h", "doc_id"])
+    out = []
+    for s, sub in parts.groupby("source", sort=False):
+        q = quota.get(s, 0)
+        if q > 0:
+            out.append(sub.head(q))
+    if not out:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "source": pd.Series(dtype="object"),
+                             "h": pd.Series(dtype="int64")})
+    res = pd.concat(out)
+    res["doc_id"] = res["doc_id"].astype("int64")
+    res["h"] = res["h"].astype("int64")
+    return res[["doc_id", "source", "h"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5123,6 +5178,7 @@ RAY_QUERIES = {
     "q112_semantic_outliers": q112_semantic_outliers,
     "q113_late_data_drop": q113_late_data_drop,
     "q114_lang_embedding_coherence": q114_lang_embedding_coherence,
+    "q115_mixture_draw": q115_mixture_draw,
 }
 
 
@@ -5672,6 +5728,45 @@ ORACLE_SQL = {
         SELECT lang, count(*)::BIGINT AS n_vecs,
                round(avg(cos), 6) AS mean_cos
         FROM sc GROUP BY lang ORDER BY lang
+    """,
+    "q115_mixture_draw": """
+        WITH tc AS (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(lower(coalesce(text, '')),
+                     '\\S+'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        per AS (
+          SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM tc GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+        qt AS (
+          SELECT source,
+                 (100 * ((n_tokens * 1000000) // tot.t)) // 1000000 AS q
+          FROM per CROSS JOIN tot
+        ),
+        f0 AS (
+          SELECT doc_id, source,
+                 xor(doc_id, doc_id // 4294967296) % 4294967296 AS v
+          FROM documents
+        ),
+        f1 AS (SELECT *, ((v::HUGEINT * 2246822507) % 4294967296)::BIGINT
+                          AS v1 FROM f0),
+        f2 AS (SELECT *, xor(v1, v1 // 8192)  AS v2 FROM f1),
+        f3 AS (SELECT *, ((v2::HUGEINT * 3266489909) % 4294967296)::BIGINT
+                          AS v3 FROM f2),
+        f4 AS (SELECT *, xor(v3, v3 // 65536) AS h  FROM f3),
+        r AS (
+          SELECT doc_id, source, h,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY h, doc_id) AS rk
+          FROM f4
+        )
+        SELECT doc_id, source, CAST(h AS BIGINT) AS h
+        FROM r JOIN qt USING (source)
+        WHERE rk <= qt.q
+        ORDER BY doc_id
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

@@ -1867,3 +1867,35 @@ def test_lang_embedding_coherence_planted(ray_session, tmp_path):
     assert got.loc["en", "mean_cos"] == 1.0
     assert got.loc["xx", "n_vecs"] == 2
     assert got.loc["xx", "mean_cos"] == round(1 / np.sqrt(2), 6)
+
+
+def test_mixture_draw_planted(ray_session, tmp_path):
+    """Quota arithmetic + deterministic draw by hand: a 90/10 token
+    split at N=100 gives quotas 90/10; each source's picks are its
+    lowest-fmix32-hash doc_ids (recomputed in the test with the same
+    primitive); a source smaller than its quota contributes all its
+    docs; repeated calls return the identical frame."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.functions.hashing import sample_hash32
+    from event_deduplication_ray.pipelines.queries import q115_mixture_draw
+
+    # big: 180 docs x 5 tokens = 900 tok; small: 10 docs x 10 = 100 tok
+    big_ids = list(range(1000, 1180))
+    small_ids = list(range(2000, 2010))
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": big_ids + small_ids,
+        "source": ["big"] * 180 + ["small"] * 10,
+        "text": ["a b c d e"] * 180 + ["x " * 10] * 10}))
+    got = q115_mixture_draw(sf)
+
+    assert (got[got.source == "big"].shape[0] == 90
+            and got[got.source == "small"].shape[0] == 10)
+    ids = np.array(big_ids, dtype=np.int64)
+    h = sample_hash32(ids).astype(np.int64)
+    want_big = sorted(ids[np.lexsort((ids, h))[:90]].tolist())
+    assert got[got.source == "big"]["doc_id"].tolist() == want_big
+    assert sorted(got[got.source == "small"]["doc_id"]) == small_ids
+    again = q115_mixture_draw(sf)
+    pd.testing.assert_frame_equal(got, again)
