@@ -4647,6 +4647,75 @@ def q115_mixture_draw(sf_dir: str, n_target: int = 100) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def q117_bpe_merges(sf_dir: str, n_merges: int = 20) -> pd.DataFrame:
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016
+    — the tokenizer-TRAINING verb beside q77's tokenizer-APPLICATION):
+    greedy top-pair merges over character sequences weighted by word
+    frequency.  The distributed part is the word-count pass (q71's
+    partials — at 100 TB the corpus streams, the distinct-word table
+    is vocab-bounded); the merge loop then runs on the driver over
+    that bounded frequency table, exactly like the contracted
+    union-find: per-iteration cost scales with |vocab|, never corpus
+    size.  Deterministic: ties break on the lexicographically
+    smallest (left, right) pair.  Rows-only (iterative algorithm —
+    no SQL equivalent); pytest pins the merge sequence on a
+    hand-worked corpus."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = tokenize_offsets(df["text"].str.lower())
+        if len(flat) == 0:
+            return pd.DataFrame({"word": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy(np.int64)})
+
+    def wc_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", as_index=False)["n"].sum()
+
+    wf = _with_schema(
+        partition_apply(ds.map_batches(wc_partial, batch_format="pandas"),
+                        ["word"], QCFG.join_num_partitions,
+                        wc_combine).to_pandas(),
+        {"word": "object", "n": "int64"})
+
+    words = [(tuple(w), int(n)) for w, n in zip(wf["word"], wf["n"])]
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l_s, r_s), cnt = best
+        merges.append({"rank": rank, "left": l_s, "right": r_s,
+                       "pair_count": cnt})
+        joined = l_s + r_s
+        new_words = []
+        for syms, n in words:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l_s
+                        and syms[i + 1] == r_s):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append((tuple(out), n))
+        words = new_words
+    out = pd.DataFrame(merges, columns=["rank", "left", "right",
+                                        "pair_count"])
+    out["rank"] = out["rank"].astype("int64")
+    out["pair_count"] = out["pair_count"].astype("int64")
+    return out
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5179,6 +5248,7 @@ RAY_QUERIES = {
     "q113_late_data_drop": q113_late_data_drop,
     "q114_lang_embedding_coherence": q114_lang_embedding_coherence,
     "q115_mixture_draw": q115_mixture_draw,
+    "q117_bpe_merges": q117_bpe_merges,
 }
 
 

@@ -1899,3 +1899,23 @@ def test_mixture_draw_planted(ray_session, tmp_path):
     assert sorted(got[got.source == "small"]["doc_id"]) == small_ids
     again = q115_mixture_draw(sf)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_bpe_merges_planted(ray_session, tmp_path):
+    """BPE learning by hand: corpus 'aaab'x3 + 'aab'x2 → pair counts
+    (a,a)=8, (a,b)=5 → first merge (a,a); after rewriting, (a,b)=3
+    ties (aa,a)=3 and the lexicographically smaller (a,b) wins the
+    second merge; merge ranks are contiguous and counts exact."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q117_bpe_merges
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["aaab aaab aaab", "aab aab"]}))
+    got = q117_bpe_merges(sf, n_merges=3)
+    assert got[["left", "right", "pair_count"]].values.tolist()[:2] == [
+        ["a", "a", 8],
+        ["a", "b", 3],
+    ]
+    assert got["rank"].tolist() == list(range(len(got)))
