@@ -4647,6 +4647,24 @@ def q115_mixture_draw(sf_dir: str, n_target: int = 100) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def q116_packed_shards(sf_dir: str) -> pd.DataFrame:
+    """Tokenize→ids→pack→shard sink (pipelines/tokenize_pack.py) run
+    over this tier's documents table into a scratch dir; returns the
+    per-lang shard summary.  Rows-only: the real gate is the
+    round-trip pytest (shards decode back to every doc's in-vocab
+    token stream in order, OOV holds position, budget respected)."""
+    import tempfile
+
+    from event_deduplication_ray.pipelines.tokenize_pack import (
+        write_packed_shards,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = tempfile.mkdtemp(prefix="edr_shards_", dir="/tmp")
+    return write_packed_shards(ds, out, budget=512,
+                               num_partitions=QCFG.join_num_partitions)
+
+
 def q117_bpe_merges(sf_dir: str, n_merges: int = 20) -> pd.DataFrame:
     """Learn a BPE merge table from the corpus (Sennrich et al. 2016
     — the tokenizer-TRAINING verb beside q77's tokenizer-APPLICATION):
@@ -5248,6 +5266,7 @@ RAY_QUERIES = {
     "q113_late_data_drop": q113_late_data_drop,
     "q114_lang_embedding_coherence": q114_lang_embedding_coherence,
     "q115_mixture_draw": q115_mixture_draw,
+    "q116_packed_shards": q116_packed_shards,
     "q117_bpe_merges": q117_bpe_merges,
 }
 

@@ -1919,3 +1919,72 @@ def test_bpe_merges_planted(ray_session, tmp_path):
         ["a", "b", 3],
     ]
     assert got["rank"].tolist() == list(range(len(got)))
+
+
+def test_packed_shards_roundtrip(ray_session, tmp_path):
+    """The packed-shard sink round-trips: reading the written shards
+    and decoding ids through the saved vocab reproduces every doc's
+    in-vocab tokens in doc_id order; OOV tokens hold their position
+    as UNK_ID; no pack exceeds the budget except a single oversized
+    doc; n_unk is exact."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from event_deduplication_ray.pipelines.tokenize_pack import (
+        UNK_ID,
+        write_packed_shards,
+    )
+
+    # 'common' appears 6x (in vocab at min_count 5); rare words are OOV
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "lang": ["en", "en", "en", "de", "de"],
+        "text": ["common common rare1",
+                 "common rare2 common",
+                 " ".join(["common"] * 2 + ["filler"] * 30),  # oversized
+                 "common rare3",
+                 ""]})
+    out = str(tmp_path / "shards")
+    summary = write_packed_shards(rd.from_pandas(docs), out,
+                                  budget=8, min_count=5)
+
+    vocab = pq.read_table(f"{out}/vocab.parquet").to_pandas()
+    assert set(vocab["token"]) == {"common", "filler"}
+    id_of = dict(zip(vocab["token_id"], vocab["token"]))
+
+    shards = []
+    for d in sorted(os.listdir(out)):
+        if d.startswith("lang="):
+            lang = d.split("=")[1]
+            for f in sorted(os.listdir(os.path.join(out, d))):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(out, d, f)).to_pandas()
+                    t["lang"] = lang
+                    shards.append(t)
+    packs = pd.concat(shards)
+
+    # budget invariant: oversized packs are single-doc
+    over = packs[packs["n_tok"] > 8]
+    assert (over["n_docs"] == 1).all()
+    # exact unk accounting: rare1..3 are the only OOV tokens
+    assert packs["n_unk"].sum() == 3
+    assert summary.set_index("lang")["n_unk"].sum() == 3
+
+    # round-trip: concatenating a lang's packs in pack order yields
+    # the docs' token streams in doc_id order, UNK holding position
+    for lang, want_docs in (("en", [1, 2, 3]), ("de", [4, 5])):
+        sub = packs[packs["lang"] == lang].sort_values("pack_id")
+        flat = [i for ids in sub["ids"] for i in ids]
+        expect = []
+        for d in want_docs:
+            toks = docs.set_index("doc_id").loc[d, "text"].lower().split()
+            expect.extend(
+                [UNK_ID if t not in {"common", "filler"} else t
+                 for t in toks])
+        got = [UNK_ID if i == UNK_ID else id_of[i] for i in flat]
+        assert got == expect, lang
+    assert summary.set_index("lang").loc["en", "n_docs"] == 3
