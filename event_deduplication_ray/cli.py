@@ -137,6 +137,95 @@ def cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_review(args: argparse.Namespace) -> int:
+    """Review surgery against a run dir (reference R1/R2 exposed as
+    commands): split detaches a doc (optionally onto a target
+    cluster), merge forces a donor cluster onto a survivor — both
+    append durably to the run dir's audit log — and apply replays the
+    audit trail over the computed assignments, writing the edited
+    assignment table to --output-dir."""
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+
+    from event_deduplication_ray.pipelines import review as RV
+
+    log = RV.AuditLog(args.run_dir)
+    audit = log.load()
+    edits = RV.edits_from_audit(audit)
+
+    if args.action == "split":
+        edits, audit = RV.split_doc(
+            edits, audit, args.doc_id,
+            target_cluster_id=args.target, operator=args.operator,
+            log=log)
+        print(json.dumps({"action": "split", "doc_id": args.doc_id,
+                          "n_edits": int(len(edits)),
+                          "n_audit_rows": int(len(audit))}))
+        return 0
+    asn = rd.read_parquet(f"{args.run_dir}/assignments")
+    if args.action == "merge":
+        edits, audit = RV.merge_clusters(
+            edits, audit, asn.to_pandas(), args.donor, args.survivor,
+            operator=args.operator, log=log)
+        print(json.dumps({"action": "merge", "donor": args.donor,
+                          "survivor": args.survivor,
+                          "n_edits": int(len(edits)),
+                          "n_audit_rows": int(len(audit))}))
+        return 0
+    # apply: replay audit over assignments into --output-dir
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.state.runstate import load_run_config
+
+    cfg = load_run_config(args.run_dir) or DedupConfig()
+    out = RV.apply_edits(asn, edits, cfg)
+    out.write_parquet(args.output_dir)
+    n = out.count()
+    print(json.dumps({"action": "apply", "n_rows": int(n),
+                      "n_edits": int(len(edits)),
+                      "output_dir": args.output_dir}))
+    return 0
+
+
+def cmd_config(args: argparse.Namespace) -> int:
+    """Run-config get/patch (reference Q8): get prints the persisted
+    config.json; patch deep-merges `key=json_value` pairs (dotted
+    keys nest) and writes it back — the config fingerprint then
+    invalidates stale checkpoints on the next run."""
+    from event_deduplication_ray.config import config_to_dict
+    from event_deduplication_ray.state.runstate import (
+        load_run_config,
+        patch_run_config,
+    )
+
+    if args.action == "get":
+        cfg = load_run_config(args.run_dir)
+        if cfg is None:
+            print(json.dumps({"error": "no config.json in run dir"}),
+                  file=sys.stderr)
+            return 2
+        print(json.dumps(config_to_dict(cfg), sort_keys=True))
+        return 0
+    patch: dict = {}
+    for item in args.set or []:
+        if "=" not in item:
+            print(json.dumps({"error": f"--set expects key=value: {item!r}"}),
+                  file=sys.stderr)
+            return 2
+        key, _, raw = item.partition("=")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        node = patch
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    cfg = patch_run_config(args.run_dir, patch)
+    print(json.dumps(config_to_dict(cfg), sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="event_deduplication_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -176,6 +265,23 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--mode", choices=["and", "or"], default="and")
     pi.add_argument("--limit", type=int, default=100)
     pi.set_defaults(fn=cmd_index)
+
+    prv = sub.add_parser("review")
+    prv.add_argument("action", choices=["split", "merge", "apply"])
+    prv.add_argument("--run-dir", required=True)
+    prv.add_argument("--doc-id", type=int, default=None)
+    prv.add_argument("--target", type=int, default=None)
+    prv.add_argument("--donor", type=int, default=None)
+    prv.add_argument("--survivor", type=int, default=None)
+    prv.add_argument("--operator", default="cli")
+    prv.add_argument("--output-dir", default=None)
+    prv.set_defaults(fn=cmd_review)
+
+    pc = sub.add_parser("config")
+    pc.add_argument("action", choices=["get", "patch"])
+    pc.add_argument("--run-dir", required=True)
+    pc.add_argument("--set", action="append", default=None)
+    pc.set_defaults(fn=cmd_config)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

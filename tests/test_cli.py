@@ -125,3 +125,59 @@ def test_cli_index_subcommand(tmp_path):
                         capture_output=True, text=True, env=env,
                         timeout=240)
     assert r2.returncode == 2
+
+
+def test_cli_review_and_config_subcommands(corpus_dir, tmp_path):
+    """Review + config surfaces end-to-end in subprocesses: run a
+    tiny pipeline, patch the config (deep-merge, persisted), split a
+    doc (audit row durably appended), then apply replays the audit
+    into an edited assignment table where the split doc sits in its
+    own forced cluster."""
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    run_dir = str(tmp_path / "rvrun")
+    base = [sys.executable, "-m", "event_deduplication_ray.cli",
+            "--num-cpus", "4"]
+
+    r = subprocess.run(
+        base + ["run", "--input", f"{corpus_dir}/docs",
+                "--run-dir", run_dir],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(base + ["config", "get", "--run-dir", run_dir],
+                       env=env, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-500:]
+    cfg = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "shingle_k" in cfg
+
+    r = subprocess.run(
+        base + ["config", "patch", "--run-dir", run_dir,
+                "--set", "min_text_chars=7"],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])[
+        "min_text_chars"] == 7
+
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pds
+    asn = pds.dataset(f"{run_dir}/assignments").to_table().to_pandas()
+    victim = int(asn["doc_id"].iloc[0])
+
+    r = subprocess.run(
+        base + ["review", "split", "--run-dir", run_dir,
+                "--doc-id", str(victim)],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_edits"] == 1
+
+    edited_dir = str(tmp_path / "edited")
+    r = subprocess.run(
+        base + ["review", "apply", "--run-dir", run_dir,
+                "--output-dir", edited_dir],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    edited = pds.dataset(edited_dir).to_table().to_pandas()
+    assert len(edited) == len(asn)
+    assert int(edited.set_index("doc_id").loc[victim, "cluster_id"]) \
+        == victim
