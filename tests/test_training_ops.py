@@ -1988,3 +1988,30 @@ def test_packed_shards_roundtrip(ray_session, tmp_path):
         got = [UNK_ID if i == UNK_ID else id_of[i] for i in flat]
         assert got == expect, lang
     assert summary.set_index("lang").loc["en", "n_docs"] == 3
+
+
+def test_corpus_diff_planted(ray_session):
+    """Snapshot diff by hand: one doc edited, one removed, one added,
+    one untouched — each lands in exactly its category with the right
+    sampled ids; diffing a snapshot against itself is all-unchanged."""
+    import pandas as pd
+
+    import ray.data as rd
+    from event_deduplication_ray.pipelines.snapshot import corpus_diff
+
+    old = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["alpha", "beta", "gamma"]})
+    new = pd.DataFrame({"doc_id": [1, 2, 4],
+                        "text": ["alpha", "beta EDITED", "delta"]})
+    d = corpus_diff(rd.from_pandas(old), rd.from_pandas(new))
+    s = d["summary"].set_index("status")["n"]
+    assert s.to_dict() == {"added": 1, "changed": 1,
+                           "removed": 1, "unchanged": 1}
+    by = d["samples"].groupby("status")["doc_id"].apply(list).to_dict()
+    assert by == {"added": [4], "changed": [2],
+                  "removed": [3], "unchanged": [1]}
+
+    same = corpus_diff(rd.from_pandas(old), rd.from_pandas(old))
+    s2 = same["summary"].set_index("status")["n"]
+    assert s2["unchanged"] == 3 and s2[["added", "removed",
+                                        "changed"]].sum() == 0
