@@ -224,3 +224,45 @@ def test_srp_index_add_identical_to_rebuild(tmp_path):
         assert gi["vec_id"].tolist() == gf["vec_id"].tolist(), qi
         assert np.allclose(gi["cos"], gf["cos"])
     assert 250 in set(srp_index_topk(inc, m[5], k=6)["vec_id"])
+
+
+def test_pca_fit_transform_planted(tmp_path):
+    """PCA on planted anisotropic data: variance lives on axes 0 (sd
+    3) and 1 (sd 1) with 0.01 noise elsewhere → the two components
+    recover those axes (up to sign, which the deterministic rule
+    fixes), explained variances order 9 : 1, projection reproduces
+    the centered coordinates, and batch-size choice doesn't change
+    the model (mergeable partials)."""
+    import ray.data as rd
+    from event_deduplication_ray.stages.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d = 600, 10
+    m = 0.01 * rng.standard_normal((n, d))
+    m[:, 0] += 3.0 * rng.standard_normal(n)
+    m[:, 1] += 1.0 * rng.standard_normal(n)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t)
+
+    model = pca_fit(ds, k=2)
+    c = model["components"]
+    assert abs(c[0, 0]) > 0.99 and abs(c[1, 1]) > 0.99
+    assert c[0, 0] > 0 and c[1, 1] > 0           # deterministic sign
+    ev = model["explained_var"]
+    assert 6.0 < ev[0] / ev[1] < 13.0            # ~9x, noise-tolerant
+
+    out = pca_transform(ds, model).to_pandas().sort_values("vec_id")
+    p = np.vstack(out["proj"].to_numpy())
+    want = (m - m.mean(axis=0)) @ c.T
+    assert np.allclose(p, want, atol=1e-9)
+
+    model_b = pca_fit(rd.from_arrow(t).repartition(7), k=2)
+    assert np.allclose(model_b["components"], c, atol=1e-8)
+    assert np.allclose(model_b["mean"], model["mean"], atol=1e-12)
