@@ -797,3 +797,57 @@ def pca_transform(embeddings: Dataset, model: dict,
         })
 
     return embeddings.map_batches(proj, batch_format="pyarrow")
+
+
+# ------------------------------------------- int8 quantization
+
+def quantize_fit(embeddings: Dataset,
+                 emb_col: str = "embedding") -> dict:
+    """Fit per-dimension affine int8 quantization bounds from
+    mergeable (min, max) partials — elementwise extrema fold exactly
+    in any order, so the model is batch-layout-independent (unlike
+    float sums).  The scale path that cuts index bytes 4× (float32)
+    to 8× (float64) ahead of ANN serving; pairs with `pca_fit` for
+    multiplicative savings."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t[emb_col])
+        return pa.table({
+            "lo": pa.array([m.min(axis=0).tobytes()], pa.binary()),
+            "hi": pa.array([m.max(axis=0).tobytes()], pa.binary()),
+        })
+
+    parts = embeddings.map_batches(partial,
+                                   batch_format="pyarrow").to_pandas()
+    lo = np.min(np.vstack([np.frombuffer(b, np.float64)
+                           for b in parts["lo"]]), axis=0)
+    hi = np.max(np.vstack([np.frombuffer(b, np.float64)
+                           for b in parts["hi"]]), axis=0)
+    scale = np.maximum(hi - lo, 1e-12) / 254.0   # codes -127..127
+    return {"lo": lo, "scale": scale}
+
+
+def quantize_transform(embeddings: Dataset, model: dict,
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> Dataset:
+    """Quantize vectors to int8 codes (``q8`` fixed-size list) in one
+    broadcast pass; `dequantize` inverts within half a step."""
+    ref = ray.put((model["lo"], model["scale"]))
+
+    def qz(t: pa.Table) -> pa.Table:
+        lo, scale = ray.get(ref)
+        m = _emb_matrix(t[emb_col])
+        codes = np.clip(np.round((m - lo) / scale) - 127, -127, 127) \
+            .astype(np.int8)
+        return pa.table({
+            id_col: t[id_col],
+            "q8": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.int8()), m.shape[1]),
+        })
+
+    return embeddings.map_batches(qz, batch_format="pyarrow")
+
+
+def dequantize(codes: np.ndarray, model: dict) -> np.ndarray:
+    """int8 codes (n, d) → float64 approximations."""
+    return (codes.astype(np.float64) + 127.0) * model["scale"] + model["lo"]
