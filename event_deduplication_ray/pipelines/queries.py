@@ -4734,6 +4734,139 @@ def q117_bpe_merges(sf_dir: str, n_merges: int = 20) -> pd.DataFrame:
     return out
 
 
+def q118_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6-style forecast-revenue change: one streaming
+    predicate pass (ship year 1997, discount 5–7 %, quantity < 24)
+    summing l_extendedprice·l_discount in EXACT int64 cents·pct
+    units — the simplest classic shape, zero shuffles, one tiny
+    partial per batch.  Discount bounds compare as exact integer
+    pct (the floats 0.05/0.07 are not exactly representable)."""
+    import pyarrow.compute as pc
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"],
+                                              pa.scalar(lo)),
+                             pc.less(t["l_shipdate"], pa.scalar(hi))))
+        pct = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = np.round(t["l_quantity"].to_numpy()).astype(np.int64)
+        keep = (pct >= 5) & (pct <= 7) & (qty < 24)
+        cents = np.round(t["l_extendedprice"].to_numpy()[keep]
+                         * 100).astype(np.int64)
+        return pa.table({"rev_u": [int((cents * pct[keep]).sum())]})
+
+    parts = _with_schema(
+        li.map_batches(partial, batch_format="pyarrow").to_pandas(),
+        {"rev_u": "int64"})
+    return pd.DataFrame({"revenue": [int(parts["rev_u"].sum()) / 10000.0]})
+
+
+def q119_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8-style market share: NATION_3's share of PROMO-part
+    revenue sold to customers of NATION_0–4 ("the region"), per order
+    year.  All the small sides (promo partkeys, region custkeys,
+    supplier→nation) broadcast; lineitem pre-aggregates (orderkey,
+    is_target_supp, rev) in the split wave; the ONLY big-big exchange
+    is the q50 orderkey cogroup against date-filtered orders.  The
+    share divides once per year on the driver from exact int64
+    units (the q85 rule)."""
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    region_nations = {0, 1, 2, 3, 4}
+    target_nation = 3
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo = np.unique(part["p_partkey"].to_numpy()[
+        np.asarray(part["p_type"].to_numpy(zero_copy_only=False)
+                   == "PROMO")])
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    target_supp = np.unique(sup["s_suppkey"].to_numpy()[
+        sup["s_nationkey"].to_numpy() == target_nation])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    region_cust = np.unique(cust["c_custkey"].to_numpy()[
+        np.isin(cust["c_nationkey"].to_numpy(),
+                sorted(region_nations))])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["l_partkey"].to_numpy(), promo)
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy()[keep],
+            "is_target": np.isin(t["l_suppkey"].to_numpy()[keep],
+                                 target_supp)})
+        cents = np.round(t["l_extendedprice"].to_numpy()[keep]
+                         * 100).astype(np.int64)
+        pct = np.round((1.0 - t["l_discount"].to_numpy()[keep])
+                       * 100).astype(np.int64)
+        df["rev_u"] = cents * pct
+        g = df.groupby(["l_orderkey", "is_target"],
+                       as_index=False)["rev_u"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_sh = shuffle_to(li, ["l_orderkey"], QCFG.join_num_partitions,
+                       pre_fn=lpart)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"],
+                                              pa.scalar(lo)),
+                             pc.less(t["o_orderdate"], pa.scalar(hi))))
+        keep = np.isin(t["o_custkey"].to_numpy(), region_cust)
+        df = t.to_pandas()[keep]
+        df["o_year"] = df["o_orderdate"].dt.strftime("%Y")
+        return pa.Table.from_pandas(df[["o_orderkey", "o_year"]],
+                                    preserve_index=False)
+
+    o_ds = orders.map_batches(ofilt, batch_format="pyarrow")
+
+    empty = {"o_year": pd.Series(dtype="object"),
+             "target_u": pd.Series(dtype="int64"),
+             "total_u": pd.Series(dtype="int64")}
+
+    def joinagg(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(empty)
+        m = r.merge(l, left_on="l_orderkey", right_on="o_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame(empty)
+        tgt = np.where(m["is_target"].to_numpy(bool),
+                       m["rev_u"].to_numpy(np.int64), 0)
+        g = pd.DataFrame({"o_year": m["o_year"], "target_u": tgt,
+                          "total_u": m["rev_u"].to_numpy(np.int64)})
+        return g.groupby("o_year", as_index=False).sum()
+
+    df = cogroup_apply(o_ds, li_sh, ["o_orderkey"], ["l_orderkey"],
+                       QCFG.join_num_partitions, joinagg).to_pandas()
+    df = _with_schema(df, {"o_year": "object", "target_u": "int64",
+                           "total_u": "int64"})
+    out = df.groupby("o_year", as_index=False).sum()
+    out["target_u"] = out["target_u"].astype("int64")
+    out["total_u"] = out["total_u"].astype("int64")
+    out["mkt_share"] = (out["target_u"] / out["total_u"]).round(6)
+    out = out.rename(columns={"target_u": "nation_u",
+                              "total_u": "region_u"})
+    return out[["o_year", "nation_u", "region_u", "mkt_share"]] \
+        .sort_values("o_year").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5268,6 +5401,8 @@ RAY_QUERIES = {
     "q115_mixture_draw": q115_mixture_draw,
     "q116_packed_shards": q116_packed_shards,
     "q117_bpe_merges": q117_bpe_merges,
+    "q118_forecast_revenue": q118_forecast_revenue,
+    "q119_market_share": q119_market_share,
 }
 
 
@@ -5856,6 +5991,41 @@ ORACLE_SQL = {
         FROM r JOIN qt USING (source)
         WHERE rk <= qt.q
         ORDER BY doc_id
+    """,
+    "q118_forecast_revenue": """
+        SELECT CAST(coalesce(sum(
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT)), 0)
+               AS BIGINT) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND CAST(round(l_quantity) AS BIGINT) < 24
+    """,
+    "q119_market_share": """
+        WITH j AS (
+          SELECT strftime(o_orderdate, '%Y') AS o_year,
+                 (s_nationkey = 3) AS is_target,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev_u
+          FROM lineitem
+          JOIN part     ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE p_type = 'PROMO'
+            AND c_nationkey IN (0, 1, 2, 3, 4)
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               CAST(sum(CASE WHEN is_target THEN rev_u ELSE 0 END)
+                    AS BIGINT) AS nation_u,
+               CAST(sum(rev_u) AS BIGINT) AS region_u,
+               round(sum(CASE WHEN is_target THEN rev_u ELSE 0 END)
+                     * 1.0 / sum(rev_u), 6) AS mkt_share
+        FROM j GROUP BY o_year ORDER BY o_year
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

@@ -2015,3 +2015,61 @@ def test_corpus_diff_planted(ray_session):
     s2 = same["summary"].set_index("status")["n"]
     assert s2["unchanged"] == 3 and s2[["added", "removed",
                                         "changed"]].sum() == 0
+
+
+def test_forecast_revenue_planted(ray_session, tmp_path):
+    """Q6 by hand: only the in-window, 5–7 % discount, qty<24 line
+    contributes price·discount; the 4 %-discount, qty-24 and
+    out-of-window lines all miss."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q118_forecast_revenue,
+    )
+
+    sf = _write_tbl(tmp_path, "lineitem", pd.DataFrame({
+        "l_shipdate": pd.to_datetime(
+            ["1997-06-01", "1997-06-01", "1997-06-01", "1996-06-01"]
+        ).astype("datetime64[us]"),
+        "l_discount": [0.06, 0.04, 0.06, 0.06],
+        "l_quantity": [10.0, 10.0, 24.0, 10.0],
+        "l_extendedprice": [100.0, 999.0, 999.0, 999.0]}))
+    got = q118_forecast_revenue(sf)
+    assert got["revenue"].tolist() == [6.0]     # 100 * 0.06
+
+
+def test_market_share_planted(ray_session, tmp_path):
+    """Q8 by hand: two PROMO lineitems to region customers in one
+    year, one from the target nation's supplier → share = its
+    revenue fraction; non-PROMO parts, out-of-region customers and
+    out-of-window orders all drop."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q119_market_share,
+    )
+
+    _write_tbl(tmp_path, "part", pd.DataFrame({
+        "p_partkey": [1, 2], "p_type": ["PROMO", "STANDARD"]}))
+    _write_tbl(tmp_path, "supplier", pd.DataFrame({
+        "s_suppkey": [10, 20], "s_nationkey": [3, 7]}))
+    _write_tbl(tmp_path, "customer", pd.DataFrame({
+        "c_custkey": [100, 200], "c_nationkey": [0, 9]}))
+    _write_tbl(tmp_path, "orders", pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": [100, 100, 200],
+        "o_orderdate": pd.to_datetime(
+            ["1996-05-01", "1995-05-01", "1996-05-01"]
+        ).astype("datetime64[us]")}))
+    sf = _write_tbl(tmp_path, "lineitem", pd.DataFrame({
+        # o1: target-supp promo 30, other-supp promo 10, non-promo 999
+        # o2: out of window; o3: out-of-region customer
+        "l_orderkey": [1, 1, 1, 2, 3],
+        "l_partkey": [1, 1, 2, 1, 1],
+        "l_suppkey": [10, 20, 10, 10, 10],
+        "l_extendedprice": [30.0, 10.0, 999.0, 999.0, 999.0],
+        "l_discount": [0.0] * 5}))
+    got = q119_market_share(sf)
+    assert got[["o_year", "mkt_share"]].values.tolist() == [
+        ["1996", 0.75]]
+    assert got["nation_u"].tolist() == [30 * 100 * 100]
