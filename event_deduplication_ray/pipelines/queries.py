@@ -4867,6 +4867,54 @@ def q119_market_share(sf_dir: str) -> pd.DataFrame:
         .sort_values("o_year").reset_index(drop=True)
 
 
+def q120_dup_degree_histogram(sf_dir: str) -> pd.DataFrame:
+    """Dup-graph degree distribution (graph diagnostics beside q91's
+    cluster sizes): how many docs carry 0, 1, 2… exact-Jaccard dup
+    edges — the readout that separates pairwise dups (degree 1) from
+    boilerplate hubs (high degree) and tells the hot-band capping
+    machinery what the real world looks like.  Engine: q28's exact
+    edge table (deterministic, hence SQL-checkable) → both directions
+    explode → per-batch per-doc degree partials → ONE compact doc_id
+    shuffle → histogram; degree-0 count is derived on the driver from
+    the table's row count (the q74 k=0 trick — no LEFT JOIN
+    materializes)."""
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.pairs import ngram_jaccard_match_pairs
+    from event_deduplication_ray.stages.shuffle import partition_apply
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    docs = _docs_from_documents(sf_dir).materialize()
+    n_docs = docs.count()
+    pairs = ngram_jaccard_match_pairs(
+        substring_fp_table(signature_stage(docs, cfg), cfg),
+        cfg, threshold=cfg.jaccard_match)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([df["id_a"].to_numpy(np.int64),
+                              df["id_b"].to_numpy(np.int64)])
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"doc_id": u, "deg": c.astype(np.int64)})
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)["deg"].sum()
+        h = g.groupby("deg", as_index=False).size()
+        return h.rename(columns={"size": "n_docs"})
+
+    parts = _with_schema(
+        partition_apply(pairs.map_batches(explode, batch_format="pandas"),
+                        ["doc_id"], QCFG.join_num_partitions,
+                        hist).to_pandas(),
+        {"deg": "int64", "n_docs": "int64"})
+    out = parts.groupby("deg", as_index=False)["n_docs"].sum()
+    n_with_edges = int(out["n_docs"].sum())
+    zero = pd.DataFrame({"deg": [0], "n_docs": [n_docs - n_with_edges]})
+    out = pd.concat([zero, out], ignore_index=True)
+    out["deg"] = out["deg"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("deg").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5403,6 +5451,7 @@ RAY_QUERIES = {
     "q117_bpe_merges": q117_bpe_merges,
     "q118_forecast_revenue": q118_forecast_revenue,
     "q119_market_share": q119_market_share,
+    "q120_dup_degree_histogram": q120_dup_degree_histogram,
 }
 
 
@@ -6026,6 +6075,17 @@ ORACLE_SQL = {
                round(sum(CASE WHEN is_target THEN rev_u ELSE 0 END)
                      * 1.0 / sum(rev_u), 6) AS mkt_share
         FROM j GROUP BY o_year ORDER BY o_year
+    """,
+    "q120_dup_degree_histogram": _NGRAM_CC_SQL + """
+        , deg AS (
+            SELECT src AS doc_id, count(*)::BIGINT AS deg
+            FROM bi GROUP BY src
+        ), dd AS (
+            SELECT coalesce(deg.deg, 0) AS deg
+            FROM documents d LEFT JOIN deg ON deg.doc_id = d.doc_id
+        )
+        SELECT CAST(deg AS BIGINT) AS deg, count(*)::BIGINT AS n_docs
+        FROM dd GROUP BY deg ORDER BY deg
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

@@ -30,7 +30,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q97_length_drift_psi", "q100_cross_source_dup_matrix",
           "q101_top_pmi_bigrams", "q108_bm25_topk",
           "q109_lexical_diversity", "q110_quality_mix_sample",
-          "q111_domain_mix_report", "q115_mixture_draw"]
+          "q111_domain_mix_report", "q115_mixture_draw",
+          "q120_dup_degree_histogram"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 

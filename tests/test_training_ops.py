@@ -2073,3 +2073,25 @@ def test_market_share_planted(ray_session, tmp_path):
     assert got[["o_year", "mkt_share"]].values.tolist() == [
         ["1996", 0.75]]
     assert got["nation_u"].tolist() == [30 * 100 * 100]
+
+
+def test_dup_degree_histogram_planted(ray_session, tmp_path):
+    """Degree semantics by hand: three exact copies form a triangle
+    (degree 2 each), one pairwise dup pair (degree 1 each), two
+    unique docs (degree 0) — bins exact and summing to the corpus."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q120_dup_degree_histogram,
+    )
+
+    tri = "the same exact words repeated here for this document body"
+    pair = "another shared body of text with plenty of tokens inside it"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "lang": ["en"] * 7,
+        "text": [tri, tri, tri, pair, pair,
+                 "totally unrelated first content string with many words",
+                 "equally unrelated second content string more words"]}))
+    got = q120_dup_degree_histogram(sf)
+    assert got.values.tolist() == [[0, 2], [1, 2], [2, 3]]
