@@ -4915,6 +4915,109 @@ def q120_dup_degree_histogram(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("deg").reset_index(drop=True)
 
 
+def q121_user_entropy(sf_dir: str) -> pd.DataFrame:
+    """Behavioral-diversity audit: per-user Shannon entropy of the
+    event-type distribution (bots/monitors sit at 0; organic users
+    spread).  Per-batch (user, type) count partials → ONE user
+    shuffle → H = ln(n) − Σc·ln(c)/n per user, evaluated from exact
+    integer counts so both engines ln the identical rationals (the
+    q64 summed-logs precedent: a handful of ln terms under round 6).
+    Output is one row per user."""
+    from event_deduplication_ray.stages.shuffle import partition_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+        c = g["c"].to_numpy(np.int64).astype(np.float64)
+        clnc = c * np.log(c)
+        per = pd.DataFrame({"user_id": g["user_id"], "clnc": clnc,
+                            "c": g["c"].to_numpy(np.int64)})
+        agg = per.groupby("user_id", as_index=False).agg(
+            n=("c", "sum"), s=("clnc", "sum"),
+            n_types=("c", "size"))
+        n = agg["n"].to_numpy(np.int64).astype(np.float64)
+        agg["entropy"] = np.round(np.log(n) - agg["s"].to_numpy() / n, 6)
+        agg["n"] = agg["n"].astype("int64")
+        agg["n_types"] = agg["n_types"].astype("int64")
+        return agg[["user_id", "n", "n_types", "entropy"]]
+
+    out = _with_schema(
+        partition_apply(ds.map_batches(partial, batch_format="pandas"),
+                        ["user_id"], QCFG.join_num_partitions,
+                        entropy).to_pandas(),
+        {"user_id": "int64", "n": "int64", "n_types": "int64",
+         "entropy": "float64"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["n_types"] = out["n_types"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q122_length_percentile(sf_dir: str) -> pd.DataFrame:
+    """Exact per-lang percent-rank normalization: each doc's token
+    count mapped to its in-language rank ppm ((n_smaller·10⁶)//(n−1)
+    — the window-function percent_rank made EXACT-integer so no
+    float rank can split the engines).  The per-lang value histogram
+    broadcasts (one row per distinct (lang, n_tok) — q34's compact
+    state), and the rank pass is a streaming searchsorted per batch;
+    no row-level sort shuffle anywhere (the q68 no-sort-barrier
+    shape, made per-group)."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+    from event_deduplication_ray.stages.shuffle import partition_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, lens = tokenize_offsets(df["text"].str.lower())
+        g = pd.DataFrame({"lang": df["lang"].to_numpy(),
+                          "n_tok": lens.astype(np.int64)})
+        out = g.groupby(["lang", "n_tok"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    hist = _with_schema(
+        partition_apply(ds.map_batches(tok_partial, batch_format="pandas"),
+                        ["lang", "n_tok"], QCFG.join_num_partitions,
+                        lambda df: df.groupby(["lang", "n_tok"],
+                                              as_index=False)["n"].sum())
+        .to_pandas(),
+        {"lang": "object", "n_tok": "int64", "n": "int64"})
+    cum = {}
+    for lang, sub in hist.groupby("lang"):
+        sub = sub.sort_values("n_tok")
+        vals = sub["n_tok"].to_numpy(np.int64)
+        below = np.concatenate([[0], np.cumsum(sub["n"].to_numpy())[:-1]]) \
+            .astype(np.int64)
+        cum[lang] = (vals, below, int(sub["n"].sum()))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        _, lens = tokenize_offsets(df["text"].str.lower())
+        n_tok = lens.astype(np.int64)
+        langs = df["lang"].to_numpy()
+        ppm = np.zeros(len(df), np.int64)
+        for lang in pd.unique(langs):
+            vals, below, n = cum[lang]
+            sel = langs == lang
+            pos = np.searchsorted(vals, n_tok[sel])
+            smaller = below[np.minimum(pos, len(below) - 1)]
+            ppm[sel] = (smaller * 1_000_000) // max(n - 1, 1)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "lang": langs, "n_tok": n_tok,
+                             "pr_ppm": ppm})
+
+    out = _with_schema(
+        ds.map_batches(rank, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "lang": "object", "n_tok": "int64",
+         "pr_ppm": "int64"})
+    for c in ("doc_id", "n_tok", "pr_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5452,6 +5555,8 @@ RAY_QUERIES = {
     "q118_forecast_revenue": q118_forecast_revenue,
     "q119_market_share": q119_market_share,
     "q120_dup_degree_histogram": q120_dup_degree_histogram,
+    "q121_user_entropy": q121_user_entropy,
+    "q122_length_percentile": q122_length_percentile,
 }
 
 
@@ -6086,6 +6191,40 @@ ORACLE_SQL = {
         )
         SELECT CAST(deg AS BIGINT) AS deg, count(*)::BIGINT AS n_docs
         FROM dd GROUP BY deg ORDER BY deg
+    """,
+    "q121_user_entropy": """
+        WITH c AS (
+          SELECT user_id, event_type, count(*)::BIGINT AS c
+          FROM events GROUP BY user_id, event_type
+        ),
+        per AS (
+          SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                 count(*)::BIGINT AS n_types,
+                 sum(c * ln(c)) AS s
+          FROM c GROUP BY user_id
+        )
+        SELECT user_id, n, n_types,
+               round(ln(n) - s / n, 6) AS entropy
+        FROM per ORDER BY user_id
+    """,
+    "q122_length_percentile": """
+        WITH tc AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(lower(coalesce(text, '')),
+                     '\\S+'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, lang, n_tok,
+                 (rank() OVER (PARTITION BY lang ORDER BY n_tok) - 1)
+                     AS n_smaller,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM tc
+        )
+        SELECT doc_id, lang, n_tok,
+               CAST((n_smaller * 1000000) // greatest(n - 1, 1)
+                    AS BIGINT) AS pr_ppm
+        FROM r ORDER BY doc_id
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

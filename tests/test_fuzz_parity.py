@@ -31,7 +31,7 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q101_top_pmi_bigrams", "q108_bm25_topk",
           "q109_lexical_diversity", "q110_quality_mix_sample",
           "q111_domain_mix_report", "q115_mixture_draw",
-          "q120_dup_degree_histogram"]
+          "q120_dup_degree_histogram", "q122_length_percentile"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 
@@ -118,7 +118,7 @@ EV_FUZZED = ["q06_user_hourly_windows", "q14_session_windows",
              "q62_event_debounce", "q76_user_running_total",
              "q83_value_quantiles", "q87_retention_cohorts",
              "q88_event_type_cooccurrence", "q99_event_transitions",
-             "q113_late_data_drop"]
+             "q113_late_data_drop", "q121_user_entropy"]
 
 
 def _events(seed: int) -> pd.DataFrame:

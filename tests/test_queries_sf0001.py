@@ -85,7 +85,8 @@ SQL_CHECKED = [
     "q111_domain_mix_report", "q112_semantic_outliers",
     "q113_late_data_drop", "q114_lang_embedding_coherence",
     "q115_mixture_draw", "q118_forecast_revenue", "q119_market_share",
-    "q120_dup_degree_histogram",
+    "q120_dup_degree_histogram", "q121_user_entropy",
+    "q122_length_percentile",
 ]
 
 

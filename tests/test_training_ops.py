@@ -2095,3 +2095,53 @@ def test_dup_degree_histogram_planted(ray_session, tmp_path):
                  "equally unrelated second content string more words"]}))
     got = q120_dup_degree_histogram(sf)
     assert got.values.tolist() == [[0, 2], [1, 2], [2, 3]]
+
+
+def test_user_entropy_planted(ray_session, tmp_path):
+    """Entropy by hand: a uniform 4-type user scores ln(4), a
+    single-type bot scores exactly 0, a 3:1 split matches the closed
+    form; counts and type cardinality ride along."""
+    import math
+
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q121_user_entropy
+
+    rows = ([(1, t) for t in ("a", "b", "c", "d")]
+            + [(2, "a")] * 5
+            + [(3, "a")] * 3 + [(3, "b")])
+    sf = _write_tbl(tmp_path, "events", pd.DataFrame(
+        rows, columns=["user_id", "event_type"]))
+    got = q121_user_entropy(sf).set_index("user_id")
+    assert got.loc[1, "entropy"] == round(math.log(4), 6)
+    assert got.loc[1, "n_types"] == 4
+    assert got.loc[2, "entropy"] == 0.0
+    h3 = math.log(4) - (3 * math.log(3) + 1 * math.log(1)) / 4
+    assert got.loc[3, "entropy"] == round(h3, 6)
+
+
+def test_length_percentile_planted(ray_session, tmp_path):
+    """Exact percent-rank by hand: five docs of 1..5 tokens → ppm
+    0/250000/500000/750000/1000000; ties share the min rank (two
+    3-token docs both at 2 smaller of n-1=5); a second lang ranks
+    independently; a single-doc lang is 0 (n-1 floor)."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q122_length_percentile,
+    )
+
+    rows = [(i, "en", " ".join(["w"] * i)) for i in range(1, 6)]
+    rows += [(10, "en", "w w w")]          # tie with doc 3
+    rows += [(20, "de", "w w")]            # singleton lang
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame(
+        rows, columns=["doc_id", "lang", "text"]))
+    got = q122_length_percentile(sf).set_index("doc_id")
+    n1 = 5  # en docs: 6 → n-1 = 5
+    assert got.loc[1, "pr_ppm"] == 0
+    assert got.loc[2, "pr_ppm"] == 1_000_000 // n1
+    assert got.loc[3, "pr_ppm"] == (2 * 1_000_000) // n1
+    assert got.loc[10, "pr_ppm"] == (2 * 1_000_000) // n1   # tie→min
+    assert got.loc[4, "pr_ppm"] == (4 * 1_000_000) // n1
+    assert got.loc[5, "pr_ppm"] == 1_000_000
+    assert got.loc[20, "pr_ppm"] == 0
