@@ -2145,3 +2145,30 @@ def test_length_percentile_planted(ray_session, tmp_path):
     assert got.loc[4, "pr_ppm"] == (4 * 1_000_000) // n1
     assert got.loc[5, "pr_ppm"] == 1_000_000
     assert got.loc[20, "pr_ppm"] == 0
+
+
+def test_new_ops_partition_count_invariant(ray_session, monkeypatch):
+    """Results must not depend on the shuffle fan-out: rerunning the
+    session's shuffle-dependent operators with join_num_partitions=3
+    instead of 16 yields identical frames on the sf0.001 tables (the
+    8-vs-32-width determinism argument at the operator level)."""
+    import pandas as pd
+
+    from event_deduplication_ray import config as C
+    from event_deduplication_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    names = ["q103_returned_item_revenue", "q106_lone_late_supplier",
+             "q110_quality_mix_sample", "q115_mixture_draw",
+             "q121_user_entropy", "q122_length_percentile"]
+    base = {n: Q.RAY_QUERIES[n](sf) for n in names}
+    monkeypatch.setattr(Q, "QCFG",
+                        C.DedupConfig(join_num_partitions=3))
+    try:
+        for n in names:
+            again = Q.RAY_QUERIES[n](sf)
+            pd.testing.assert_frame_equal(
+                base[n].reset_index(drop=True),
+                again.reset_index(drop=True), check_dtype=False), n
+    finally:
+        monkeypatch.undo()
