@@ -246,7 +246,10 @@ def sample_hash32(keys: np.ndarray) -> np.ndarray:
     (xor / integer division / HUGEINT multiply mod 4294967296) — see
     the q51 oracle — so a sample drawn by this engine and one drawn by
     a SQL warehouse select the SAME rows.  Uniformity is the fmix32
-    avalanche; keys are consumed as unsigned."""
+    avalanche; keys are consumed as unsigned.  SQL parity holds for
+    NONNEGATIVE keys (every table's id domain; property-tested):
+    negative bit patterns diverge because SQL's // floor-divides
+    where the unsigned view shifts."""
     x = np.asarray(keys).astype(np.int64).view(U64)
     m32 = U64(0xFFFFFFFF)
     v = (x ^ (x >> U64(32))) & m32

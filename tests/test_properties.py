@@ -89,3 +89,65 @@ def test_corpus_generator_stable_fingerprint():
         for chunk in docs[col].chunks:
             h.update(str(chunk).encode())
     assert h.hexdigest()[:16] == "376ee0b85e57d016"
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=50))
+@settings(max_examples=30, deadline=None)
+def test_sample_hash32_matches_duckdb_chain(keys):
+    """The fmix32 sampling hash must equal the exact-integer SQL
+    chain the oracles embed (q51/q110/q115) for every NONNEGATIVE
+    int64 key — the id domain of every table.  (Negative keys
+    diverge by design: the engine consumes the bit pattern unsigned
+    while SQL's // floor-divides — documented in sample_hash32.)"""
+    import duckdb
+
+    got = H.sample_hash32(np.array(keys, dtype=np.int64)).astype(np.int64)
+    con = duckdb.connect()
+    con.register("k", pd.DataFrame({"doc_id": pd.Series(keys,
+                                                        dtype="int64")}))
+    want = con.execute("""
+        WITH f0 AS (SELECT doc_id,
+                    xor(doc_id, doc_id // 4294967296) % 4294967296 AS v
+                    FROM k),
+        f1 AS (SELECT *, ((v::HUGEINT * 2246822507) % 4294967296)::BIGINT
+                          AS v1 FROM f0),
+        f2 AS (SELECT *, xor(v1, v1 // 8192)  AS v2 FROM f1),
+        f3 AS (SELECT *, ((v2::HUGEINT * 3266489909) % 4294967296)::BIGINT
+                          AS v3 FROM f2),
+        f4 AS (SELECT *, xor(v3, v3 // 65536) AS h  FROM f3)
+        SELECT h FROM f4
+    """).fetchdf()["h"].to_numpy(np.int64)
+    assert np.array_equal(got, want)
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "S"),
+        whitelist_characters=" \t\n\r",
+        max_codepoint=0x2FF).filter(lambda c: len(c.lower()) == 1),
+    max_size=60),
+    min_size=1, max_size=20))
+@settings(max_examples=30, deadline=None)
+def test_tokenize_matches_duckdb_regex(texts):
+    """tokenize_offsets (Python str.split) must agree with DuckDB's
+    regexp_extract_all(lower(...), '\\S+') token-for-token over
+    Latin letters/digits/punctuation/symbols + ordinary whitespace —
+    the domain real extracted text lives in.  Two known, documented
+    edges excluded by the domain: exotic control separators (\\x1f:
+    whitespace to str.split, \\S to RE2) and special-casing letters
+    (Turkish İ lowers to 2 codepoints in Python, 1 in DuckDB's
+    utf8proc); neither class survives extraction/normalization into
+    the oracles' inputs."""
+    import duckdb
+
+    s = pd.Series(texts, dtype="object")
+    flat, lens = H.tokenize_offsets(s.str.lower())
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"text": s}))
+    want = con.execute(
+        "SELECT regexp_extract_all(lower(coalesce(text, '')), '\\S+') "
+        "AS a FROM t").fetchdf()["a"]
+    want_flat = [tok for row in want for tok in row]
+    assert list(flat) == want_flat
+    assert lens.tolist() == [len(row) for row in want]
