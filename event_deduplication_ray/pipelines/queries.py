@@ -5018,6 +5018,88 @@ def q122_length_percentile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q123_dup_pagerank(sf_dir: str, n_iters: int = 8,
+                      damping: float = 0.85) -> pd.DataFrame:
+    """PageRank over the exact-Jaccard dup graph — the iterative
+    graph op beyond union-find's reachability: boilerplate hubs
+    accumulate rank that plain degree (q120) undersells when hubs
+    chain.  Shape: the bidirectional edge table hash-partitions ONCE
+    by src and stays resident (`shuffle_to`); each iteration
+    broadcasts the current (node → rank/degree) map (bounded by docs
+    WITH edges — the graph's vertex set, not the corpus), scatters
+    contributions inside the partitions, and folds per-partition
+    partial sums on the driver — the union-find round loop's shape
+    with float mass instead of min-labels.  Rows-only (iterative
+    float fixpoint); isolated docs hold the teleport floor by
+    construction and are reported via the n_isolated column of the
+    summary row."""
+    import ray
+
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.pairs import ngram_jaccard_match_pairs
+    from event_deduplication_ray.stages.shuffle import partition_apply, shuffle_to
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    docs = _docs_from_documents(sf_dir).materialize()
+    n_docs = docs.count()
+    pairs = ngram_jaccard_match_pairs(
+        substring_fp_table(signature_stage(docs, cfg), cfg),
+        cfg, threshold=cfg.jaccard_match)
+
+    def bidir(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    edges_sh = shuffle_to(pairs.map_batches(bidir, batch_format="pyarrow"),
+                          ["src"], QCFG.join_num_partitions)
+
+    deg = partition_apply(
+        edges_sh, ["src"], QCFG.join_num_partitions,
+        lambda df: df.groupby("src", as_index=False).size()
+        .rename(columns={"size": "deg"})).to_pandas()
+    deg = _with_schema(deg, {"src": "int64", "deg": "int64"})
+    if len(deg) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="float64"),
+                             "n_isolated": pd.Series(dtype="int64")})
+    nodes = deg["src"].to_numpy(np.int64)
+    degs = deg["deg"].to_numpy(np.int64)
+    order = np.argsort(nodes)
+    nodes, degs = nodes[order], degs[order]
+    n_nodes = len(nodes)
+    rank = np.full(n_nodes, 1.0 / n_nodes)
+
+    for _ in range(n_iters):
+        contrib = rank / degs
+        ref = ray.put((nodes, contrib))
+
+        def scatter(df: pd.DataFrame) -> pd.DataFrame:
+            nd, cb = ray.get(ref)
+            pos = np.searchsorted(nd, df["src"].to_numpy(np.int64))
+            g = pd.DataFrame({"dst": df["dst"].to_numpy(np.int64),
+                              "m": cb[pos]})
+            return g.groupby("dst", as_index=False)["m"].sum()
+
+        parts = partition_apply(edges_sh, ["src"],
+                                QCFG.join_num_partitions,
+                                scatter).to_pandas()
+        parts = _with_schema(parts, {"dst": "int64", "m": "float64"})
+        inc = parts.groupby("dst")["m"].sum()
+        mass = np.zeros(n_nodes)
+        pos = np.searchsorted(nodes, inc.index.to_numpy(np.int64))
+        mass[pos] = inc.to_numpy()
+        rank = (1 - damping) / n_nodes + damping * mass
+
+    out = pd.DataFrame({"doc_id": nodes, "rank": np.round(rank, 8)})
+    out = out.sort_values(["rank", "doc_id"],
+                          ascending=[False, True]).head(50)
+    out["n_isolated"] = np.int64(n_docs - n_nodes)
+    return out.reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5557,6 +5639,7 @@ RAY_QUERIES = {
     "q120_dup_degree_histogram": q120_dup_degree_histogram,
     "q121_user_entropy": q121_user_entropy,
     "q122_length_percentile": q122_length_percentile,
+    "q123_dup_pagerank": q123_dup_pagerank,
 }
 
 

@@ -107,7 +107,7 @@ ROWS_ONLY = [
     "q42_semantic_dedup", "q48_distinct_users_hll",
     "q54_neardup_decontaminate", "q80_video_dup_clusters",
     "q81_top_bigrams_cms", "q96_value_quantiles_kll",
-    "q116_packed_shards", "q117_bpe_merges",
+    "q116_packed_shards", "q117_bpe_merges", "q123_dup_pagerank",
 ]
 
 

@@ -2172,3 +2172,33 @@ def test_new_ops_partition_count_invariant(ray_session, monkeypatch):
                 again.reset_index(drop=True), check_dtype=False), n
     finally:
         monkeypatch.undo()
+
+
+def test_dup_pagerank_planted(ray_session, tmp_path):
+    """PageRank on a planted triangle + 2-clique + isolate: the
+    disconnected regular union has the exactly-uniform closed-form
+    solution under teleport, symmetric members tie exactly, total
+    graph mass is 1, and the isolated doc is counted out."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q123_dup_pagerank
+
+    clique = "one identical body of text shared by a triangle of docs"
+    pair = "a different duplicated body for the two-clique side here"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "lang": ["en"] * 6,
+        "text": [clique, clique, clique, pair, pair,
+                 "an isolated unique document with no duplicate at all"]}))
+    got = q123_dup_pagerank(sf)
+    r = got.set_index("doc_id")["rank"]
+    assert set(r.index) == {1, 2, 3, 4, 5}
+    # closed form: on a disconnected union of REGULAR components the
+    # teleport equation's unique solution is exactly uniform (1/5) —
+    # a sharp check of the rank/degree scatter (dropping the degree
+    # division, or leaking mass between components, breaks it)
+    assert r[1] == r[2] == r[3]
+    assert r[4] == r[5]
+    assert abs(r[1] - 0.2) < 1e-9 and abs(r[4] - 0.2) < 1e-9
+    assert got["n_isolated"].iloc[0] == 1
+    assert abs(r.sum() - 1.0) < 1e-6
