@@ -5100,6 +5100,90 @@ def q123_dup_pagerank(sf_dir: str, n_iters: int = 8,
     return out.reset_index(drop=True)
 
 
+def q124_cluster_labels(sf_dir: str) -> pd.DataFrame:
+    """Cluster labeling: the top-3 TF-IDF terms of every multi-doc
+    dup cluster — the explainability readout a reviewer sees next to
+    a merge decision (reference Q4's detail join, re-keyed to 'WHY
+    did these cluster').  Shape: q28's deterministic assignments
+    reduce to the multi-cluster membership (bounded by dup docs — a
+    small corpus fraction); one streaming pass counts (cluster,
+    term) for member docs; document frequencies are computed ONLY
+    for the cluster terms (their set broadcasts); score = n·ln(N/df)
+    from exact integer counts, ties break on the term."""
+    from event_deduplication_ray.functions.text import normalize_text
+    from event_deduplication_ray.stages.shuffle import partition_apply
+
+    asn = q28_ngram_jaccard_clusters(sf_dir)
+
+    def multi_members(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_id")["doc_id"].transform("size")
+        return df[g >= 2]
+
+    members = _with_schema(
+        partition_apply(asn, ["cluster_id"], QCFG.join_num_partitions,
+                        multi_members).to_pandas(),
+        {"doc_id": "int64", "cluster_id": "int64"})
+    if len(members) == 0:
+        return pd.DataFrame({"cluster_id": pd.Series(dtype="int64"),
+                             "token": pd.Series(dtype="object"),
+                             "score": pd.Series(dtype="float64")})
+    mem_map = dict(zip(members["doc_id"].astype(int),
+                       members["cluster_id"].astype(int)))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["doc_id"].isin(mem_map)
+        if not keep.any():
+            return pd.DataFrame({"cluster_id": pd.Series(dtype="int64"),
+                                 "token": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        sub = df[keep]
+        toks = normalize_text(sub["text"]).str.split()
+        rows = pd.DataFrame({
+            "cluster_id": np.repeat(
+                sub["doc_id"].map(mem_map).to_numpy(np.int64),
+                toks.str.len().to_numpy(np.int64)),
+            "token": np.concatenate([np.asarray(t, object)
+                                     for t in toks if len(t)])
+            if toks.str.len().sum() else np.array([], object)})
+        g = rows.groupby(["cluster_id", "token"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    tc = _with_schema(
+        docs.map_batches(term_counts, batch_format="pandas").to_pandas(),
+        {"cluster_id": "int64", "token": "object", "n": "int64"})
+    tc = tc.groupby(["cluster_id", "token"], as_index=False)["n"].sum()
+    needed = frozenset(tc["token"])
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = normalize_text(df["text"]).str.split()
+        uniq = [np.unique(np.asarray(t, object)) for t in toks if len(t)]
+        if not uniq:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64")})
+        flat = np.concatenate(uniq)
+        flat = flat[pd.Series(flat).isin(needed).to_numpy()]
+        u, c = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"token": u, "df": c.astype(np.int64)})
+
+    dfs = _with_schema(
+        docs.map_batches(df_partial, batch_format="pandas").to_pandas(),
+        {"token": "object", "df": "int64"})
+    dfs = dfs.groupby("token", as_index=False)["df"].sum()
+
+    sc = tc.merge(dfs, on="token")
+    sc["score"] = np.round(
+        sc["n"].to_numpy(np.int64)
+        * np.log(n_docs / sc["df"].to_numpy(np.int64)), 6)
+    sc = sc.sort_values(["cluster_id", "score", "token"],
+                        ascending=[True, False, True])
+    out = sc.groupby("cluster_id").head(3)
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return out[["cluster_id", "token", "score"]].reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5640,6 +5724,7 @@ RAY_QUERIES = {
     "q121_user_entropy": q121_user_entropy,
     "q122_length_percentile": q122_length_percentile,
     "q123_dup_pagerank": q123_dup_pagerank,
+    "q124_cluster_labels": q124_cluster_labels,
 }
 
 
@@ -6308,6 +6393,34 @@ ORACLE_SQL = {
                CAST((n_smaller * 1000000) // greatest(n - 1, 1)
                     AS BIGINT) AS pr_ppm
         FROM r ORDER BY doc_id
+    """,
+    "q124_cluster_labels": _NGRAM_CC_SQL + """
+        , multi AS (
+            SELECT cluster_id FROM assign
+            GROUP BY cluster_id HAVING count(*) >= 2
+        ), mem AS (
+            SELECT a.doc_id, a.cluster_id
+            FROM assign a JOIN multi USING (cluster_id)
+        ), tokc AS (
+            SELECT m.cluster_id, t.tok AS token, count(*)::BIGINT AS n
+            FROM toks JOIN mem m USING (doc_id), unnest(toks.ws) AS t(tok)
+            GROUP BY m.cluster_id, t.tok
+        ), dfreq AS (
+            SELECT tok AS token, count(DISTINCT doc_id)::BIGINT AS df
+            FROM (SELECT doc_id, unnest(ws) AS tok FROM toks)
+            WHERE tok IN (SELECT DISTINCT token FROM tokc)
+            GROUP BY tok
+        ), nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+        sc AS (
+            SELECT cluster_id, token,
+                   round(tokc.n * ln(nd.n * 1.0 / dfreq.df), 6) AS score
+            FROM tokc JOIN dfreq USING (token) CROSS JOIN nd
+        )
+        SELECT cluster_id, token, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY score DESC, token) AS rk FROM sc
+        ) WHERE rk <= 3
+        ORDER BY cluster_id, score DESC, token
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

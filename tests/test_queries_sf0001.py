@@ -86,7 +86,7 @@ SQL_CHECKED = [
     "q113_late_data_drop", "q114_lang_embedding_coherence",
     "q115_mixture_draw", "q118_forecast_revenue", "q119_market_share",
     "q120_dup_degree_histogram", "q121_user_entropy",
-    "q122_length_percentile",
+    "q122_length_percentile", "q124_cluster_labels",
 ]
 
 

@@ -2202,3 +2202,29 @@ def test_dup_pagerank_planted(ray_session, tmp_path):
     assert abs(r[1] - 0.2) < 1e-9 and abs(r[4] - 0.2) < 1e-9
     assert got["n_isolated"].iloc[0] == 1
     assert abs(r.sum() - 1.0) < 1e-6
+
+
+def test_cluster_labels_planted(ray_session, tmp_path):
+    """Label semantics by hand: a 2-doc cluster whose members share a
+    distinctive token ranks it above corpus-wide stopwords (df
+    drives the idf down); singletons produce no labels; <= 3 rows
+    per cluster with (score desc, token) order."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q124_cluster_labels
+
+    import math
+
+    dup = "zebra common filler"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en"] * 4,
+        "text": [dup, dup,
+                 "common filler words unrelated body here",
+                 "common filler words another unrelated body there"]}))
+    got = q124_cluster_labels(sf)
+    assert got["cluster_id"].nunique() == 1       # only the dup pair
+    # zebra: n=2 in-cluster, df=2 of 4 → 2·ln 2; common/filler: df=4
+    # → idf 0, tie broken alphabetically
+    assert got["token"].tolist() == ["zebra", "common", "filler"]
+    assert got["score"].tolist() == [round(2 * math.log(2), 6), 0.0, 0.0]
