@@ -5184,6 +5184,61 @@ def q124_cluster_labels(sf_dir: str) -> pd.DataFrame:
     return out[["cluster_id", "token", "score"]].reset_index(drop=True)
 
 
+def q125_effective_tokens(sf_dir: str) -> pd.DataFrame:
+    """Dedup-adjusted corpus size — the 'how much data do I really
+    have' readout a pretraining plan is built on: total tokens vs
+    tokens surviving exact-Jaccard dedup (one representative = min
+    doc_id per cluster), and the duplicated share in exact ppm.
+    Shape: q28's assignments reduce to the NON-representative member
+    set (bounded by dup docs); one streaming token-count pass emits
+    (total, dropped) partials per batch with the member set
+    broadcast; a single summary row leaves the driver."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+    from event_deduplication_ray.stages.shuffle import partition_apply
+
+    asn = q28_ngram_jaccard_clusters(sf_dir)
+
+    def non_reps(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df.groupby("cluster_id")["doc_id"].transform("min")
+        out = df[df["doc_id"] != rep]
+        return out[["doc_id"]]
+
+    nr = _with_schema(
+        partition_apply(asn, ["cluster_id"], QCFG.join_num_partitions,
+                        non_reps).to_pandas(),
+        {"doc_id": "int64"})
+    dropped_ids = frozenset(nr["doc_id"].astype(int))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, lens = tokenize_offsets(df["text"].str.lower())
+        n_tok = lens.astype(np.int64)
+        dropped = df["doc_id"].isin(dropped_ids).to_numpy()
+        return pd.DataFrame({
+            "n_docs": [len(df)],
+            "total_tokens": [int(n_tok.sum())],
+            "dropped_tokens": [int(n_tok[dropped].sum())],
+            "n_dropped_docs": [int(dropped.sum())]})
+
+    parts = _with_schema(
+        docs.map_batches(tok_partial, batch_format="pandas").to_pandas(),
+        {"n_docs": "int64", "total_tokens": "int64",
+         "dropped_tokens": "int64", "n_dropped_docs": "int64"})
+    n_docs = int(parts["n_docs"].sum())
+    total = int(parts["total_tokens"].sum())
+    dropped = int(parts["dropped_tokens"].sum())
+    n_dropped = int(parts["n_dropped_docs"].sum())
+    return pd.DataFrame({
+        "n_docs": pd.Series([n_docs], dtype="int64"),
+        "n_kept_docs": pd.Series([n_docs - n_dropped], dtype="int64"),
+        "total_tokens": pd.Series([total], dtype="int64"),
+        "kept_tokens": pd.Series([total - dropped], dtype="int64"),
+        "dup_token_ppm": pd.Series(
+            [(dropped * 1_000_000) // total if total else 0],
+            dtype="int64")})
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5725,6 +5780,7 @@ RAY_QUERIES = {
     "q122_length_percentile": q122_length_percentile,
     "q123_dup_pagerank": q123_dup_pagerank,
     "q124_cluster_labels": q124_cluster_labels,
+    "q125_effective_tokens": q125_effective_tokens,
 }
 
 
@@ -6421,6 +6477,32 @@ ORACLE_SQL = {
                       ORDER BY score DESC, token) AS rk FROM sc
         ) WHERE rk <= 3
         ORDER BY cluster_id, score DESC, token
+    """,
+    "q125_effective_tokens": _NGRAM_CC_SQL + """
+        , reps AS (
+            SELECT cluster_id, min(doc_id) AS rep
+            FROM assign GROUP BY cluster_id
+        ), tok2 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(coalesce(text, '')),
+                       '\\S+'))::BIGINT AS n_tok
+            FROM documents
+        ), j AS (
+            SELECT t.doc_id, t.n_tok, (a.doc_id <> r.rep) AS dropped
+            FROM tok2 t
+            JOIN assign a USING (doc_id)
+            JOIN reps r USING (cluster_id)
+        )
+        SELECT count(*)::BIGINT AS n_docs,
+               CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_kept_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN dropped THEN 0 ELSE n_tok END)
+                    AS BIGINT) AS kept_tokens,
+               CAST((sum(CASE WHEN dropped THEN n_tok ELSE 0 END)
+                     * 1000000) // greatest(sum(n_tok), 1)
+                    AS BIGINT) AS dup_token_ppm
+        FROM j
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

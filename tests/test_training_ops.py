@@ -2228,3 +2228,25 @@ def test_cluster_labels_planted(ray_session, tmp_path):
     # → idf 0, tie broken alphabetically
     assert got["token"].tolist() == ["zebra", "common", "filler"]
     assert got["score"].tolist() == [round(2 * math.log(2), 6), 0.0, 0.0]
+
+
+def test_effective_tokens_planted(ray_session, tmp_path):
+    """Arithmetic by hand: a 3-copy cluster (4 tokens each) keeps one
+    representative (min doc_id) and drops 8 of 12 tokens; a unique
+    doc keeps its 5; dup_token_ppm = 8/17 exactly floored."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q125_effective_tokens,
+    )
+
+    dup = "four tokens exactly here"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en"] * 4,
+        "text": [dup, dup, dup, "five more tokens right here"]}))
+    got = q125_effective_tokens(sf)
+    assert got.iloc[0].to_dict() == {
+        "n_docs": 4, "n_kept_docs": 2,
+        "total_tokens": 17, "kept_tokens": 9,
+        "dup_token_ppm": (8 * 1_000_000) // 17}
