@@ -166,3 +166,133 @@ def test_fuzz_parity_events(name, seed, ray_session, tmp_path):
     a, b = _canon(got), _canon(want)
     assert len(a) == len(b), f"{name} seed={seed}: rows {len(a)} vs {len(b)}"
     pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
+
+
+TPCH_FUZZED = [
+    "q15_customers_without_orders", "q53_big_spenders",
+    "q74_order_count_histogram", "q75_priority_shipments",
+    "q84_customer_order_counts", "q85_promo_revenue_share",
+    "q86_top_orders_per_segment", "q94_late_orders_by_priority",
+    "q102_nation_trade_volume", "q103_returned_item_revenue",
+    "q104_small_qty_order_revenue", "q105_disjunctive_part_revenue",
+    "q106_lone_late_supplier", "q107_rich_idle_customers",
+    "q118_forecast_revenue", "q119_market_share",
+]
+
+
+def _tpch(seed: int) -> dict:
+    """Randomized TPC-H-shaped tables with planted join/predicate
+    edge cases: exact +60/+90-day lateness boundaries, the 5–7 %
+    discount and qty-24 edges, Q19's size/quantity range corners,
+    window-boundary order dates (1996-01-01 / 1996-03-31 /
+    1996-04-01 / 1999-01-01), customers without orders, and
+    multi-supplier F-orders with exactly-one-late vs both-late."""
+    rng = np.random.default_rng(seed)
+
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(6, dtype=np.int64),
+        "n_name": [f"NATION_{i}" for i in range(6)],
+        "n_regionkey": np.array([0, 0, 1, 1, 2, 2], dtype=np.int64)})
+    region = pd.DataFrame({
+        "r_regionkey": np.arange(3, dtype=np.int64),
+        "r_name": ["REGION_0", "REGION_1", "REGION_2"]})
+    supplier = pd.DataFrame({
+        "s_suppkey": np.arange(1, 6, dtype=np.int64),
+        "s_name": [f"Supplier#{i}" for i in range(1, 6)],
+        "s_nationkey": np.array([1, 2, 3, 3, 5], dtype=np.int64),
+        "s_acctbal": np.round(rng.uniform(-100, 1000, 5), 2)})
+    part = pd.DataFrame({
+        "p_partkey": np.arange(1, 13, dtype=np.int64),
+        "p_name": [f"part{i}" for i in range(1, 13)],
+        "p_brand": rng.choice(["Brand#1", "Brand#2", "Brand#3",
+                               "Brand#9"], 12).tolist(),
+        "p_type": rng.choice(["PROMO", "STANDARD", "ECONOMY"],
+                             12).tolist(),
+        # straddle every q105 size corner
+        "p_size": np.array([1, 5, 6, 10, 11, 15, 16, 30, 50, 2, 7,
+                            12], dtype=np.int64)})
+    n_cust = 14
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(1, n_cust + 1, dtype=np.int64),
+        "c_name": [f"Customer#{i:09d}" for i in range(1, n_cust + 1)],
+        "c_nationkey": rng.integers(0, 6, n_cust).astype(np.int64),
+        "c_acctbal": np.round(rng.uniform(-500, 5000, n_cust), 2),
+        "c_mktsegment": rng.choice(["BUILDING", "MACHINERY"],
+                                   n_cust).tolist()})
+
+    n_ord = 40
+    dates = pd.to_datetime(rng.integers(
+        pd.Timestamp("1995-01-01").value // 10**9,
+        pd.Timestamp("2001-06-01").value // 10**9, n_ord), unit="s") \
+        .floor("D")
+    dates = dates.to_numpy()
+    # plant window boundaries
+    for i, d in enumerate(["1996-01-01", "1996-03-31", "1996-04-01",
+                           "1999-01-01", "1998-12-31"]):
+        dates[i] = np.datetime64(d)
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(1, n_ord + 1, dtype=np.int64),
+        # custkeys 13/14 never order → q15/q107 anti-join rows
+        "o_custkey": rng.integers(1, n_cust - 1, n_ord).astype(np.int64),
+        "o_orderstatus": rng.choice(["P", "O", "F"], n_ord).tolist(),
+        "o_totalprice": np.round(rng.uniform(10, 3000, n_ord), 2),
+        "o_orderdate": pd.Series(dates).astype("datetime64[us]"),
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "3-MEDIUM", "5-LOW"], n_ord).tolist()})
+
+    n_li = 120
+    ok = rng.integers(1, n_ord + 1, n_li).astype(np.int64)
+    od = orders.set_index("o_orderkey")["o_orderdate"]
+    ship = (od.loc[ok].reset_index(drop=True)
+            + pd.to_timedelta(rng.integers(1, 200, n_li), unit="D"))
+    ship = ship.to_numpy()
+    base = od.loc[ok].reset_index(drop=True).to_numpy()
+    # exact lateness boundaries: +60 and +90 days, and one-late vs
+    # both-late F-orders (orderkeys 1 and 2 forced below)
+    ship[0] = base[0] + np.timedelta64(60, "D")
+    ship[1] = base[1] + np.timedelta64(90, "D")
+    ship[2] = base[2] + np.timedelta64(61, "D")
+    ship[3] = base[3] + np.timedelta64(91, "D")
+    qty = rng.integers(1, 51, n_li).astype(float)
+    qty[:8] = [24, 23, 11, 12, 20, 21, 30, 31]  # q118/q105 corners
+    disc = rng.integers(0, 11, n_li) / 100.0
+    disc[:4] = [0.05, 0.07, 0.04, 0.08]         # q118 corners
+    lineitem = pd.DataFrame({
+        "l_orderkey": ok,
+        "l_partkey": rng.integers(1, 13, n_li).astype(np.int64),
+        "l_suppkey": rng.integers(1, 6, n_li).astype(np.int64),
+        "l_linenumber": np.arange(n_li, dtype=np.int64),
+        "l_quantity": qty,
+        "l_extendedprice": np.round(rng.uniform(10, 5000, n_li), 2),
+        "l_discount": disc,
+        "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+        "l_returnflag": rng.choice(["R", "N", "A"], n_li).tolist(),
+        "l_linestatus": rng.choice(["O", "F"], n_li).tolist(),
+        "l_shipdate": pd.Series(ship).astype("datetime64[us]")})
+    return {"nation": nation, "region": region, "supplier": supplier,
+            "part": part, "customer": customer, "orders": orders,
+            "lineitem": lineitem}
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+@pytest.mark.parametrize("name", TPCH_FUZZED)
+def test_fuzz_parity_tpch(name, seed, ray_session, tmp_path):
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        RAY_QUERIES,
+    )
+
+    tables = _tpch(seed * 100 + sum(map(ord, name)) % 97)
+    con = duckdb.connect()
+    for tname, df in tables.items():
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / f"{tname}.parquet"))
+        con.register(f"_{tname}", df)
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM _{tname}")
+    got = RAY_QUERIES[name](str(tmp_path))
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = con.execute(ORACLE_SQL[name]).fetchdf()
+    a, b = _canon(got), _canon(want)
+    assert len(a) == len(b), f"{name} seed={seed}: rows {len(a)} vs {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
