@@ -296,3 +296,82 @@ def test_fuzz_parity_tpch(name, seed, ray_session, tmp_path):
     a, b = _canon(got), _canon(want)
     assert len(a) == len(b), f"{name} seed={seed}: rows {len(a)} vs {len(b)}"
     pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
+
+
+EMB_FUZZED = [
+    "q11_embedding_topk", "q26_embedding_dup_pairs",
+    "q31_embedding_topk_batch", "q32_ivf_topk",
+    "q92_centroid_confusion", "q98_embedding_audit",
+    "q112_semantic_outliers", "q114_lang_embedding_coherence",
+]
+
+
+def _embeddings(seed: int, with_zeros: bool = False):
+    """Randomized label-clustered embeddings + a matching documents
+    table: per-label gaussian clumps (stable centroid geometry for
+    the confusion/outlier audits), planted near-dup pairs for q26,
+    and a handful of docs/vecs without a cross-table partner so
+    q114's inner join is exercised.  ``with_zeros`` plants two
+    zero-norm vectors — ONLY for q98, whose oracle counts them;
+    DuckDB's list_cosine_similarity ERRORS on zero vectors where the
+    engine guards the norm, so the cosine queries' fuzz domain
+    matches their oracle contract (the driver table has no zeros)."""
+    rng = np.random.default_rng(seed)
+    # d = 64 is part of the embeddings-table contract the oracles
+    # encode (range(0, 64) per-dim centroids)
+    n_labels, per, d = 4, 15, 64
+    rows, labels = [], []
+    centers = rng.standard_normal((n_labels, d)) * 3
+    for li in range(n_labels):
+        # noise sized so WITHIN-cluster cosines sit well below q26's
+        # dup threshold (its SRP candidate generation is approximate
+        # near the threshold by design — the oracle-equality domain
+        # is planted tight pairs + sub-threshold background)
+        m = centers[li] + 1.2 * rng.standard_normal((per, d))
+        rows.extend(m)
+        labels.extend([li] * per)
+    m = np.vstack(rows)
+    m[7] = m[3] + 0.001 * rng.standard_normal(d)   # planted near-dup
+    if with_zeros:
+        m[20] = 0.0
+        m[41] = 0.0
+    n = len(m)
+    emb = pd.DataFrame({
+        # ids from 0: q11/q31 derive their query vectors from the
+        # low fixed ids (vec_id 0 and < 3), mirroring the driver table
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [r.astype(np.float32).tolist() for r in m],
+        "label": np.array(labels, dtype=np.int32)})
+    docs = pd.DataFrame({
+        # ids 0..n-4 match vectors; n+10.. are docless on the vec side
+        "doc_id": np.concatenate([np.arange(0, n - 3),
+                                  np.arange(n + 10, n + 13)]).astype(np.int64),
+        "lang": rng.choice(["en", "de", "fr"], n).tolist(),
+        "text": ["body"] * n})
+    return emb, docs
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+@pytest.mark.parametrize("name", EMB_FUZZED)
+def test_fuzz_parity_embeddings(name, seed, ray_session, tmp_path):
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        RAY_QUERIES,
+    )
+
+    emb, docs = _embeddings(seed * 1000 + sum(map(ord, name)) % 997,
+                            with_zeros=(name == "q98_embedding_audit"))
+    pq.write_table(pa.Table.from_pandas(emb, preserve_index=False),
+                   str(tmp_path / "embeddings.parquet"))
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = RAY_QUERIES[name](str(tmp_path))
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM emb")
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = con.execute(ORACLE_SQL[name]).fetchdf()
+    a, b = _canon(got), _canon(want)
+    assert len(a) == len(b), f"{name} seed={seed}: rows {len(a)} vs {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6)
