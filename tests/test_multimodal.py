@@ -319,3 +319,26 @@ def test_resize_stage_stub_raises():
     with _pytest.raises(Exception):
         MM.resize_media(rd.from_arrow(t), decoder="stub",
                         concurrency=1).to_pandas()
+
+
+def test_resize_preserves_phash():
+    """The resize and dedup stages compose: a block-mean downscale
+    must leave the block-mean phash essentially unchanged (Hamming
+    <= 6 of 64), so media dedup still clusters a resized variant
+    with its original — the real-world re-encoded-copy case."""
+    import numpy as np
+    import ray.data as rd
+
+    t = MM.make_fake_media_table(n_groups=3, members=1, singletons=2,
+                                 width=32, height=32)
+    ds = rd.from_arrow(t)
+    resized = MM.resize_media(ds, decoder="fake", max_w=16, max_h=16,
+                              concurrency=1).to_pandas()
+    orig = t.to_pandas()
+    for mid in orig["media_id"]:
+        h0 = MM.phash64(MM._fake_decode(
+            orig.set_index("media_id").loc[mid, "payload"]))
+        h1 = MM.phash64(MM._fake_decode(
+            resized.set_index("media_id").loc[mid, "payload"]))
+        dist = bin(int(h0) ^ int(h1)).count("1")
+        assert dist <= 6, (mid, dist)
