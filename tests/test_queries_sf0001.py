@@ -104,7 +104,9 @@ def test_sql_checked_query(name, sf_dir, con):
 
 ROWS_ONLY = [
     "q20_minhash_clusters", "q21_simhash_pairs", "q22_substring_pairs",
-    "q23_doc_fingerprints", "q25_lsh_topk", "q29_media_dup_clusters",
+    "q23_doc_fingerprints", "q25_lsh_topk", "q27_flagship_dedup",
+    "q29_media_dup_clusters", "q66_pack_sequences",
+    "q69_top_bigrams_mg", "q73_mixed_media_dedup",
     "q42_semantic_dedup", "q48_distinct_users_hll",
     "q54_neardup_decontaminate", "q80_video_dup_clusters",
     "q81_top_bigrams_cms", "q96_value_quantiles_kll",
@@ -122,3 +124,25 @@ def test_rows_only_query_runs(name, sf_dir):
     # empty dataset); non-empty results must carry columns
     if len(got) > 0:
         assert len(got.columns) > 0
+
+
+def test_battery_registry_consistent():
+    """Every queries() entry is gated exactly once: SQL_CHECKED ∪
+    ROWS_ONLY covers RAY_QUERIES with no overlap, every SQL-checked
+    name has an oracle, and no oracle is orphaned — the registration
+    drift this file would otherwise silently allow."""
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        RAY_QUERIES,
+    )
+
+    sqlc, rows = set(SQL_CHECKED), set(ROWS_ONLY)
+    assert not (sqlc & rows), sqlc & rows
+    missing = set(RAY_QUERIES) - sqlc - rows
+    assert not missing, f"unregistered in any gate: {sorted(missing)}"
+    unknown = (sqlc | rows) - set(RAY_QUERIES)
+    assert not unknown, f"gate names without a query: {sorted(unknown)}"
+    no_oracle = sqlc - set(ORACLE_SQL)
+    assert not no_oracle, f"SQL-checked without oracle: {sorted(no_oracle)}"
+    orphaned = set(ORACLE_SQL) - set(RAY_QUERIES)
+    assert not orphaned, f"oracle without query: {sorted(orphaned)}"
