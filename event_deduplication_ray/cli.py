@@ -137,6 +137,27 @@ def cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_add(args: argparse.Namespace) -> int:
+    """Incremental ingest (reference S5 watcher analog): fold a new
+    docs batch into a checkpointed run WITHOUT re-scoring the world —
+    candidate generation is semi-joined to the new docs' band keys,
+    so cost scales with the batch.  Loads the run's persisted config
+    unless overridden."""
+    _ray_init(args.num_cpus)
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.incremental import incremental_add
+    from event_deduplication_ray.state.runstate import load_run_config
+
+    cfg = load_run_config(args.run_dir) or DedupConfig()
+    res = incremental_add(args.run_dir, args.input, cfg)
+    asn = res.assignments.to_pandas()
+    print(json.dumps({
+        "n_docs": int(len(asn)),
+        "n_clusters": int(asn["cluster_id"].nunique()),
+    }))
+    return 0
+
+
 def cmd_review(args: argparse.Namespace) -> int:
     """Review surgery against a run dir (reference R1/R2 exposed as
     commands): split detaches a doc (optionally onto a target
@@ -265,6 +286,11 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--mode", choices=["and", "or"], default="and")
     pi.add_argument("--limit", type=int, default=100)
     pi.set_defaults(fn=cmd_index)
+
+    pa_ = sub.add_parser("add")
+    pa_.add_argument("--run-dir", required=True)
+    pa_.add_argument("--input", required=True)
+    pa_.set_defaults(fn=cmd_add)
 
     prv = sub.add_parser("review")
     prv.add_argument("action", choices=["split", "merge", "apply"])

@@ -28,6 +28,7 @@ clustering/synthesis over the combined graph.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -146,6 +147,12 @@ def incremental_add(
             touching_new, batch_format="pyarrow"
         ).materialize()
         pair_id_cols = cands_new.select_columns(["id_a", "id_b"]).to_pandas()
+        if "id_a" not in pair_id_cols.columns:
+            # Ray's to_pandas drops a 0-row Dataset's schema — an
+            # all-new unique batch legitimately yields zero candidates
+            pair_id_cols = pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64")})
         pair_ids = np.unique(
             np.concatenate([
                 pair_id_cols["id_a"].to_numpy(), pair_id_cols["id_b"].to_numpy(),

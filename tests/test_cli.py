@@ -181,3 +181,44 @@ def test_cli_review_and_config_subcommands(corpus_dir, tmp_path):
     assert len(edited) == len(asn)
     assert int(edited.set_index("doc_id").loc[victim, "cluster_id"]) \
         == victim
+
+
+def test_cli_add_subcommand(corpus_dir, tmp_path):
+    """Incremental ingest from the shell: run the pipeline, then add
+    a second small batch of fresh docs; the combined assignment count
+    is the union and the reported cluster count grows by the new
+    singletons."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    run_dir = str(tmp_path / "addrun")
+    base = [sys.executable, "-m", "event_deduplication_ray.cli",
+            "--num-cpus", "4"]
+
+    r = subprocess.run(
+        base + ["run", "--input", f"{corpus_dir}/docs",
+                "--run-dir", run_dir, "--substring"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m0 = json.loads(r.stdout.strip().splitlines()[-1])
+
+    newdocs = str(tmp_path / "new.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "url": [f"https://new.example/{i}" for i in range(4)],
+        "warc_ts": pd.Series(
+            pd.to_datetime(["2026-01-01"] * 4)).astype("datetime64[us]"),
+        "text": [f"entirely fresh document number {i} with plenty of "
+                 f"unique tokens to stand alone in the corpus {i}"
+                 for i in range(4)],
+        "lang": ["en"] * 4,
+    }), preserve_index=False), newdocs)
+
+    r2 = subprocess.run(
+        base + ["add", "--run-dir", run_dir, "--input", newdocs],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m1 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert m1["n_docs"] == m0["n_docs"] + 4
+    assert m1["n_clusters"] == m0["n_clusters"] + 4
