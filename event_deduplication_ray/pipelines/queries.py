@@ -5239,6 +5239,89 @@ def q125_effective_tokens(sf_dir: str) -> pd.DataFrame:
             dtype="int64")})
 
 
+def q126_doc_neighbors(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-doc near-dup lookup — the review-surface query 'show me
+    THIS doc's nearest neighbors' (reference Q4's detail view,
+    re-keyed to MinHash space).  Query docs = the 3 lowest doc_ids
+    (deterministic, self-contained).  Shape: the signature stage's
+    precomputed band keys select candidate buckets (the query docs'
+    key set broadcasts — genuinely small); only colliding docs'
+    folded signatures are compared, estimated Jaccard ranks the
+    top-k per query with (sim desc, doc_id) tie-break.  Rows-only:
+    MinHash estimates are hash-seeded (q20's class)."""
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    cfg = QCFG
+    docs = _docs_from_documents(sf_dir).materialize()
+    sigs = signature_stage(docs, cfg).materialize()
+
+    qids = sorted(
+        sigs.select_columns(["doc_id"]).to_pandas()["doc_id"]
+    )[:3]
+    qset = set(int(i) for i in qids)
+
+    qrows = sigs.map_batches(
+        lambda df: df[df["doc_id"].isin(qset)],
+        batch_format="pandas").to_pandas()
+    qrows = _with_schema(qrows, {"doc_id": "int64", "band_keys": "object",
+                                 "sig8": "object"})
+    qkeys = {}
+    qsig = {}
+    for _, r in qrows.iterrows():
+        qkeys[int(r["doc_id"])] = set(np.asarray(r["band_keys"]).tolist())
+        qsig[int(r["doc_id"])] = np.asarray(r["sig8"], dtype=np.uint8)
+    all_qkeys = frozenset().union(*qkeys.values()) if qkeys else frozenset()
+
+    empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          "doc_id": pd.Series(dtype="int64"),
+                          "sim": pd.Series(dtype="float64")})
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        bk = df["band_keys"].to_numpy()
+        lens = np.fromiter((len(b) for b in bk), dtype=np.int64,
+                           count=len(bk))
+        flat = (np.concatenate([np.asarray(b) for b in bk])
+                if lens.sum() else np.array([], dtype=np.uint64))
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        ids = df["doc_id"].to_numpy(np.int64)
+        frames = []
+        for qid, keys in qkeys.items():
+            karr = np.fromiter(keys, dtype=flat.dtype if len(flat)
+                               else np.uint64)
+            hitf = np.isin(flat, karr)
+            c = np.concatenate([[0], np.cumsum(hitf)]).astype(np.int64)
+            hit_docs = np.flatnonzero((c[ends] - c[starts]) > 0)
+            hit_docs = hit_docs[ids[hit_docs] != qid]
+            if len(hit_docs) == 0:
+                continue
+            sigm = np.vstack([np.asarray(df["sig8"].iloc[i],
+                                         dtype=np.uint8)
+                              for i in hit_docs])
+            sim = (sigm == qsig[qid]).mean(axis=1)
+            frames.append(pd.DataFrame({
+                "query_id": qid, "doc_id": ids[hit_docs], "sim": sim}))
+        if not frames:
+            return empty
+        out = pd.concat(frames, ignore_index=True)
+        return (out.sort_values(["query_id", "sim", "doc_id"],
+                                ascending=[True, False, True])
+                .groupby("query_id").head(k))
+
+    parts = _with_schema(
+        sigs.map_batches(candidates, batch_format="pandas").to_pandas(),
+        {"query_id": "int64", "doc_id": "int64", "sim": "float64"})
+    out = (parts.sort_values(["query_id", "sim", "doc_id"],
+                             ascending=[True, False, True])
+           .groupby("query_id").head(k))
+    out["sim"] = out["sim"].round(6)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5781,6 +5864,7 @@ RAY_QUERIES = {
     "q123_dup_pagerank": q123_dup_pagerank,
     "q124_cluster_labels": q124_cluster_labels,
     "q125_effective_tokens": q125_effective_tokens,
+    "q126_doc_neighbors": q126_doc_neighbors,
 }
 
 

@@ -111,6 +111,7 @@ ROWS_ONLY = [
     "q54_neardup_decontaminate", "q80_video_dup_clusters",
     "q81_top_bigrams_cms", "q96_value_quantiles_kll",
     "q116_packed_shards", "q117_bpe_merges", "q123_dup_pagerank",
+    "q126_doc_neighbors",
 ]
 
 

@@ -2250,3 +2250,31 @@ def test_effective_tokens_planted(ray_session, tmp_path):
         "n_docs": 4, "n_kept_docs": 2,
         "total_tokens": 17, "kept_tokens": 9,
         "dup_token_ppm": (8 * 1_000_000) // 17}
+
+
+def test_doc_neighbors_planted(ray_session, tmp_path):
+    """Neighbor lookup by hand: a query doc's exact copy ranks first
+    with estimated similarity 1.0; an unrelated doc never appears in
+    its neighbor list; a query with no dups returns no rows for that
+    query_id."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q126_doc_neighbors
+
+    dup = ("a long enough shared body of text for banding to engage "
+           "with well over twenty distinct tokens present so shingles "
+           "and minhash bands are all defined properly here")
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 50],
+        "lang": ["en"] * 4,
+        "text": [dup,                      # query 1
+                 "a second unique document with its own words entirely "
+                 "different from everything else in this tiny corpus",
+                 "third query document also fully unique in content and "
+                 "sharing nothing with the other texts at all today",
+                 dup]}))                   # dup of doc 1
+    got = q126_doc_neighbors(sf)
+    n1 = got[got.query_id == 1]
+    assert n1["doc_id"].tolist() == [50]
+    assert n1["sim"].iloc[0] == 1.0
+    assert set(got["query_id"]) == {1}     # 2 and 3 have no neighbors
