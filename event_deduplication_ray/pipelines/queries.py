@@ -5255,10 +5255,65 @@ def q126_doc_neighbors(sf_dir: str, k: int = 5) -> pd.DataFrame:
     docs = _docs_from_documents(sf_dir).materialize()
     sigs = signature_stage(docs, cfg).materialize()
 
-    qids = sorted(
-        sigs.select_columns(["doc_id"]).to_pandas()["doc_id"]
-    )[:3]
-    qset = set(int(i) for i in qids)
+    # query docs: members of the SMALLEST colliding band key —
+    # deterministic, and guarantees the lookup exercises a real
+    # neighbor wherever any near-dup exists (the 3 lowest doc_ids of
+    # a mostly-unique corpus would gate nothing); falls back to the
+    # lowest doc_ids on a collision-free corpus
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bk = df["band_keys"].to_numpy()
+        lens = np.fromiter((len(b) for b in bk), dtype=np.int64,
+                           count=len(bk))
+        if lens.sum() == 0:
+            return pd.DataFrame({"key": pd.Series(dtype="uint64"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "key": np.concatenate([np.asarray(b) for b in bk]),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), lens)})
+
+    def min_colliding(df: pd.DataFrame) -> pd.DataFrame:
+        # per partition: the smallest key with >= 2 distinct docs
+        # (plus the partition's min doc_id as the fallback seed) —
+        # only ONE tiny row per partition reaches the driver
+        out = {"key": [], "doc_a": [], "doc_b": [], "doc_c": [],
+               "min_doc": []}
+        md = int(df["doc_id"].min()) if len(df) else -1
+        g = df.drop_duplicates(["key", "doc_id"]).groupby("key")
+        sizes = g["doc_id"].nunique()
+        coll = sizes[sizes >= 2]
+        if len(coll):
+            kmin = coll.index.min()
+            ids = sorted(df.loc[df["key"] == kmin, "doc_id"].unique())
+            ids = (ids + [-1, -1, -1])[:3]
+            out["key"].append(np.uint64(kmin))
+            out["doc_a"].append(ids[0])
+            out["doc_b"].append(ids[1])
+            out["doc_c"].append(ids[2])
+            out["min_doc"].append(md)
+        else:
+            out["key"].append(np.uint64(0xFFFFFFFFFFFFFFFF))
+            out["doc_a"].append(-1)
+            out["doc_b"].append(-1)
+            out["doc_c"].append(-1)
+            out["min_doc"].append(md)
+        return pd.DataFrame(out)
+
+    from event_deduplication_ray.stages.shuffle import partition_apply as _pa
+
+    kd = _with_schema(
+        _pa(sigs.map_batches(key_partial, batch_format="pandas"),
+            ["key"], QCFG.join_num_partitions, min_colliding).to_pandas(),
+        {"key": "uint64", "doc_a": "int64", "doc_b": "int64",
+         "doc_c": "int64", "min_doc": "int64"})
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    hits = kd[kd["key"] != sentinel]
+    if len(hits):
+        best = hits.sort_values("key").iloc[0]
+        qids = [int(i) for i in (best["doc_a"], best["doc_b"],
+                                 best["doc_c"]) if i >= 0]
+    else:
+        qids = sorted(int(i) for i in kd["min_doc"] if i >= 0)[:3]
+    qset = set(qids)
 
     qrows = sigs.map_batches(
         lambda df: df[df["doc_id"].isin(qset)],

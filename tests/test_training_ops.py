@@ -2253,10 +2253,10 @@ def test_effective_tokens_planted(ray_session, tmp_path):
 
 
 def test_doc_neighbors_planted(ray_session, tmp_path):
-    """Neighbor lookup by hand: a query doc's exact copy ranks first
-    with estimated similarity 1.0; an unrelated doc never appears in
-    its neighbor list; a query with no dups returns no rows for that
-    query_id."""
+    """Neighbor lookup by hand: the query set is the smallest
+    colliding band bucket — here the planted dup pair — and each
+    member finds the other at estimated similarity 1.0; unrelated
+    docs never appear in any neighbor list."""
     import pandas as pd
 
     from event_deduplication_ray.pipelines.queries import q126_doc_neighbors
@@ -2274,7 +2274,10 @@ def test_doc_neighbors_planted(ray_session, tmp_path):
                  "sharing nothing with the other texts at all today",
                  dup]}))                   # dup of doc 1
     got = q126_doc_neighbors(sf)
+    assert set(got["query_id"]) == {1, 50}   # the colliding pair
     n1 = got[got.query_id == 1]
     assert n1["doc_id"].tolist() == [50]
     assert n1["sim"].iloc[0] == 1.0
-    assert set(got["query_id"]) == {1}     # 2 and 3 have no neighbors
+    n50 = got[got.query_id == 50]
+    assert n50["doc_id"].tolist() == [1]
+    assert set(got["doc_id"]) <= {1, 50}     # 2 and 3 never appear
