@@ -5377,6 +5377,68 @@ def q126_doc_neighbors(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q127_quality_representatives(sf_dir: str) -> pd.DataFrame:
+    """Quality-aware representative selection: per exact-Jaccard dup
+    cluster keep the member with the MOST tokens (doc_id tie-break) —
+    the reference's 'longest/most-complete field wins' synthesis
+    strategy (C3a) applied at cluster granularity, and the policy a
+    real pipeline prefers over keep-first when copies differ in
+    completeness.  Shape: q28's assignments cogroup with a narrow
+    (doc_id, n_tok) table on doc_id; ONE cluster-keyed shuffle picks
+    per-cluster argmax; output one row per cluster."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    asn = q28_ngram_jaccard_clusters(sf_dir)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ntok(df: pd.DataFrame) -> pd.DataFrame:
+        _, lens = tokenize_offsets(df["text"].str.lower())
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "n_tok": lens.astype(np.int64)})
+
+    tok_sh = shuffle_to(docs.map_batches(ntok, batch_format="pandas"),
+                        ["doc_id"], QCFG.join_num_partitions)
+
+    empty = {"cluster_id": pd.Series(dtype="int64"),
+             "rep_doc_id": pd.Series(dtype="int64"),
+             "rep_n_tok": pd.Series(dtype="int64"),
+             "n_members": pd.Series(dtype="int64")}
+
+    def attach(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"cluster_id": pd.Series(dtype="int64"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "n_tok": pd.Series(dtype="int64")})
+        return l.merge(r, on="doc_id")
+
+    tagged = cogroup_apply(asn, tok_sh, ["doc_id"], ["doc_id"],
+                           QCFG.join_num_partitions, attach,
+                           out_keys=["cluster_id"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(empty)
+        df = df.sort_values(["cluster_id", "n_tok", "doc_id"],
+                            ascending=[True, False, True])
+        g = df.groupby("cluster_id", as_index=False)
+        best = g.head(1).rename(columns={"doc_id": "rep_doc_id",
+                                         "n_tok": "rep_n_tok"})
+        sizes = df.groupby("cluster_id", as_index=False).size() \
+            .rename(columns={"size": "n_members"})
+        return best.merge(sizes, on="cluster_id")[list(empty)]
+
+    from event_deduplication_ray.stages.shuffle import partition_apply as _pa
+
+    out = _with_schema(
+        _pa(tagged, ["cluster_id"], QCFG.join_num_partitions,
+            pick).to_pandas(), {k: str(v.dtype) for k, v in empty.items()})
+    for c in empty:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cluster_id").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5920,6 +5982,7 @@ RAY_QUERIES = {
     "q124_cluster_labels": q124_cluster_labels,
     "q125_effective_tokens": q125_effective_tokens,
     "q126_doc_neighbors": q126_doc_neighbors,
+    "q127_quality_representatives": q127_quality_representatives,
 }
 
 
@@ -6642,6 +6705,26 @@ ORACLE_SQL = {
                      * 1000000) // greatest(sum(n_tok), 1)
                     AS BIGINT) AS dup_token_ppm
         FROM j
+    """,
+    "q127_quality_representatives": _NGRAM_CC_SQL + """
+        , tok2 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(coalesce(text, '')),
+                       '\\S+'))::BIGINT AS n_tok
+            FROM documents
+        ), j AS (
+            SELECT a.cluster_id, a.doc_id, t.n_tok
+            FROM assign a JOIN tok2 t USING (doc_id)
+        ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY n_tok DESC, doc_id) AS rk,
+                      count(*) OVER (PARTITION BY cluster_id)
+                          AS n_members
+            FROM j
+        )
+        SELECT cluster_id, doc_id AS rep_doc_id, n_tok AS rep_n_tok,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM r WHERE rk = 1 ORDER BY cluster_id
     """,
     "q100_cross_source_dup_matrix": _NGRAM_CC_SQL + """
         , tagged AS (

@@ -87,7 +87,7 @@ SQL_CHECKED = [
     "q115_mixture_draw", "q118_forecast_revenue", "q119_market_share",
     "q120_dup_degree_histogram", "q121_user_entropy",
     "q122_length_percentile", "q124_cluster_labels",
-    "q125_effective_tokens",
+    "q125_effective_tokens", "q127_quality_representatives",
 ]
 
 

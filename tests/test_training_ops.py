@@ -2281,3 +2281,32 @@ def test_doc_neighbors_planted(ray_session, tmp_path):
     n50 = got[got.query_id == 50]
     assert n50["doc_id"].tolist() == [1]
     assert set(got["doc_id"]) <= {1, 50}     # 2 and 3 never appear
+
+
+def test_quality_representatives_planted(ray_session, tmp_path):
+    """Keep-the-best-copy by hand: a dup pair where the LATER doc is
+    the longer one → it wins representation (not keep-first); a
+    singleton represents itself; member counts exact."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q127_quality_representatives,
+    )
+
+    short = ("shared body of duplicated text content here with many "
+             "more tokens so the five gram shingle sets overlap well "
+             "above threshold")
+    longer = short + " extra"      # J = 16/17 ≈ 0.94 ≥ 0.75
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 9],
+        "lang": ["en"] * 3,
+        "text": [short, longer,
+                 "an unrelated singleton document entirely its own"]}))
+    got = q127_quality_representatives(sf).set_index("cluster_id")
+    # cluster of {1, 2}: doc 2 is longer → representative despite
+    # the higher id
+    dup_row = got.loc[1]
+    assert dup_row["rep_doc_id"] == 2
+    assert dup_row["n_members"] == 2
+    sing = got.loc[9]
+    assert sing["rep_doc_id"] == 9 and sing["n_members"] == 1
