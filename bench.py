@@ -137,7 +137,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q82_dsir_weights", "q87_retention_cohorts", "q93_gopher_rules",
         "q102_nation_trade_volume", "q103_returned_item_revenue",
         "q106_lone_late_supplier", "q108_bm25_topk",
-        "q109_lexical_diversity",
+        "q109_lexical_diversity", "q110_quality_mix_sample",
+        "q115_mixture_draw", "q119_market_share",
+        "q122_length_percentile", "q125_effective_tokens",
     ]
     out: dict[str, float] = {}
     for name in names:
