@@ -105,3 +105,59 @@ def test_cogroup_pyarrow_mode_int64_fidelity():
     assert set(out["k"]) == {2**62 + 3, 2**62 + 5}
     assert (out["a"] == out["k"]).all()
     assert (out["b"] == -out["k"]).all()
+
+
+def test_shuffle_property_random_tables(ray_session):
+    """Property sweep over the shuffle core: for random tables of
+    varied size (including fewer rows than partitions, all-one-key
+    skew, and negative keys), partition_apply with an identity fn
+    preserves the exact multiset of rows, co-locates every key, and
+    cogroup_apply reproduces a pandas inner join — at P = 3 and 16."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from event_deduplication_ray.stages.shuffle import (
+        cogroup_apply,
+        partition_apply,
+        shuffle_to,
+    )
+
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        n = int(rng.integers(1, 40))
+        keys = rng.integers(-5, 6, n).astype(np.int64)
+        if trial == 3:
+            keys[:] = 7          # all-one-key skew
+        df = pd.DataFrame({"k": keys,
+                           "v": rng.integers(0, 100, n).astype(np.int64)})
+        for P in (3, 16):
+            out = partition_apply(rd.from_pandas(df), ["k"], P,
+                                  lambda d: d).to_pandas()
+            a = df.sort_values(["k", "v"]).reset_index(drop=True)
+            b = out.sort_values(["k", "v"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b[["k", "v"]],
+                                          check_dtype=False)
+
+        other = pd.DataFrame({"k": rng.integers(-5, 6, 20).astype(np.int64),
+                              "w": np.arange(20, dtype=np.int64)})
+        r_sh = shuffle_to(rd.from_pandas(other), ["k"], 5)
+
+        def join(l, r):
+            if len(l) == 0 or len(r) == 0:
+                return pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                     "v": pd.Series(dtype="int64"),
+                                     "w": pd.Series(dtype="int64")})
+            return l.merge(r, on="k")
+
+        got = cogroup_apply(rd.from_pandas(df), r_sh, ["k"], ["k"],
+                            5, join).to_pandas()
+        want = df.merge(other, on="k")
+        if "k" not in got.columns:
+            got = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                "v": pd.Series(dtype="int64"),
+                                "w": pd.Series(dtype="int64")})
+        a = got.sort_values(["k", "v", "w"]).reset_index(drop=True)
+        b = want.sort_values(["k", "v", "w"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[["k", "v", "w"]], b,
+                                      check_dtype=False)
