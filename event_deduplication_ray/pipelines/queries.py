@@ -5439,6 +5439,140 @@ def q127_quality_representatives(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("cluster_id").reset_index(drop=True)
 
 
+def q128_repetition_signals(sf_dir: str) -> pd.DataFrame:
+    """Gopher repetition-REMOVAL signals (Rae et al. 2021, §A1.1
+    "repetitious documents") — the line/char-mass companion to q39's
+    token-fraction rules and q93's quality rules: per doc the
+    duplicate-line fraction, duplicate-line CHARACTER fraction,
+    top-bigram character mass and duplicate-5-gram character mass,
+    each an exact integer ppm ((num*1_000_000)//den — float division
+    is tie-sensitive across engines), plus ``keep`` evaluated in exact
+    integer cross-multiplication (thresholds 0.30/0.20/0.20/0.15).
+    Two deliberate, documented divergences from the paper's prose:
+    ``top2_char_ppm`` maximizes freq·charlen (repeated character MASS,
+    deterministic) rather than the charlen of the argmax-by-freq
+    bigram (tie-ambiguous across engines), and ``dup5_char_ppm``
+    counts overlapping occurrences without de-overlap (may exceed
+    1e6; still monotone in repetition).  Lines are space-trimmed with
+    empties dropped (q63 recipe); tokens are lower + whitespace split
+    (module convention).  Pure map stage — one tokenization + one
+    line split per batch, nothing shuffles, trivially 100 TB-safe."""
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    cols = ["doc_id", "dup_line_ppm", "dup_line_char_ppm",
+            "top2_char_ppm", "dup5_char_ppm", "keep"]
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        text = df["text"].fillna("")
+        idx = np.arange(n, dtype=np.int64)
+
+        def seg(series_by_doc: pd.Series, default: int = 0) -> np.ndarray:
+            out = np.full(n, default, dtype=np.int64)
+            if len(series_by_doc):
+                out[series_by_doc.index.to_numpy(np.int64)] = \
+                    series_by_doc.to_numpy(np.int64)
+            return out
+
+        # ---- lines: trimmed (spaces only), empties dropped
+        lines = text.str.split("\n")
+        nl_raw = lines.str.len().to_numpy(np.int64)
+        flat_l = pd.Series(
+            np.concatenate([np.asarray(v, object) for v in lines])
+            if n else np.array([], object)).str.strip(" ")
+        ldoc = np.repeat(idx, nl_raw)
+        nonempty = (flat_l.to_numpy(object) != "") if len(flat_l) \
+            else np.zeros(0, bool)
+        lf = flat_l[nonempty]
+        ldf = pd.DataFrame({
+            "d": ldoc[nonempty], "s": lf.to_numpy(object),
+            "c": lf.str.len().to_numpy(np.int64)})
+        if len(ldf):
+            g = ldf.groupby(["d", "s"], sort=False) \
+                .agg(cnt=("c", "size"), c=("c", "first")).reset_index()
+            d = g["d"]
+            n_lines = seg(g["cnt"].groupby(d).sum())
+            dup_lines = n_lines - seg(g.groupby("d").size())
+            dup_lchars = seg(((g["cnt"] - 1) * g["c"]).groupby(d).sum())
+            tot_lchars = seg((g["cnt"] * g["c"]).groupby(d).sum())
+        else:
+            n_lines = dup_lines = dup_lchars = tot_lchars = \
+                np.zeros(n, np.int64)
+
+        # ---- tokens
+        flat, lens = tokenize_offsets(text.str.lower())
+        doc_of = np.repeat(idx, lens)
+        tok_len = pd.Series(flat).str.len().to_numpy(np.int64) \
+            if len(flat) else np.zeros(0, np.int64)
+        ends = np.cumsum(lens)
+        c = np.concatenate([[0], np.cumsum(tok_len)]).astype(np.int64)
+        n_chars = c[ends] - c[ends - lens]
+
+        # ---- bigrams: max repeated character mass per doc
+        if len(flat) >= 2:
+            same = doc_of[1:] == doc_of[:-1]
+            bdf = pd.DataFrame({
+                "d": doc_of[:-1][same],
+                "w1": flat[:-1][same], "w2": flat[1:][same],
+                "c": (tok_len[:-1] + tok_len[1:])[same]})
+        else:
+            bdf = pd.DataFrame({"d": [], "w1": [], "w2": [], "c": []})
+        if len(bdf):
+            bg = bdf.groupby(["d", "w1", "w2"], sort=False) \
+                .agg(f=("c", "size"), c=("c", "first")).reset_index()
+            top2 = seg((bg["f"] * bg["c"]).groupby(bg["d"]).max())
+        else:
+            top2 = np.zeros(n, np.int64)
+
+        # ---- 5-grams: duplicated character mass (overlap-unaware)
+        if len(flat) >= 5:
+            m5 = doc_of[4:] == doc_of[:-4]
+            clen5 = (tok_len[:-4] + tok_len[1:-3] + tok_len[2:-2]
+                     + tok_len[3:-1] + tok_len[4:])
+            gdf = pd.DataFrame({
+                "d": doc_of[:-4][m5],
+                "w1": flat[:-4][m5], "w2": flat[1:-3][m5],
+                "w3": flat[2:-2][m5], "w4": flat[3:-1][m5],
+                "w5": flat[4:][m5], "c": clen5[m5]})
+        else:
+            gdf = pd.DataFrame()
+        if len(gdf):
+            g5 = gdf.groupby(["d", "w1", "w2", "w3", "w4", "w5"],
+                             sort=False) \
+                .agg(f=("c", "size"), c=("c", "first")).reset_index()
+            dupm = g5[g5["f"] > 1]
+            dup5 = seg((dupm["f"] * dupm["c"]).groupby(dupm["d"]).sum())
+        else:
+            dup5 = np.zeros(n, np.int64)
+
+        M = np.int64(1_000_000)
+        keep = ((10 * dup_lines <= 3 * n_lines)
+                & (5 * dup_lchars <= tot_lchars)
+                & (5 * top2 <= n_chars)
+                & (20 * dup5 <= 3 * n_chars))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "dup_line_ppm": np.where(
+                n_lines > 0, dup_lines * M // np.maximum(n_lines, 1), 0),
+            "dup_line_char_ppm": np.where(
+                tot_lchars > 0,
+                dup_lchars * M // np.maximum(tot_lchars, 1), 0),
+            "top2_char_ppm": np.where(
+                n_chars > 0, top2 * M // np.maximum(n_chars, 1), 0),
+            "dup5_char_ppm": np.where(
+                n_chars > 0, dup5 * M // np.maximum(n_chars, 1), 0),
+            "keep": keep.astype(np.int64)})
+
+    out = _with_schema(
+        ds.map_batches(rep, batch_format="pandas").to_pandas(),
+        {k: "int64" for k in cols})
+    for col in cols:
+        out[col] = out[col].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -5983,6 +6117,7 @@ RAY_QUERIES = {
     "q125_effective_tokens": q125_effective_tokens,
     "q126_doc_neighbors": q126_doc_neighbors,
     "q127_quality_representatives": q127_quality_representatives,
+    "q128_repetition_signals": q128_repetition_signals,
 }
 
 
@@ -7838,6 +7973,95 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
           SELECT 1 FROM q WHERE NOT list_contains(tok.a, q.token)
         )
+        ORDER BY doc_id
+    """,
+    # integer ppm via // (floor division of exact int64 numerators);
+    # lines = q63 recipe (trim spaces, drop empties); keep uses exact
+    # integer cross-multiplication so no float boundary exists
+    "q128_repetition_signals": """
+        WITH arrs AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a
+          FROM documents
+        ),
+        toklen AS (
+          SELECT doc_id,
+                 coalesce(list_sum(list_transform(a, x -> len(x))), 0)::BIGINT
+                     AS n_chars
+          FROM arrs
+        ),
+        lns AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   list_transform(string_split(coalesce(text, ''), chr(10)),
+                                  x -> trim(x)),
+                   x -> x <> '')) AS line
+          FROM documents
+        ),
+        lc AS (SELECT doc_id, line, count(*)::BIGINT AS cnt,
+                      len(line)::BIGINT AS c
+               FROM lns GROUP BY doc_id, line),
+        lagg AS (SELECT doc_id,
+                        sum(cnt)::BIGINT            AS n_lines,
+                        sum(cnt - 1)::BIGINT        AS dup_lines,
+                        sum((cnt - 1) * c)::BIGINT  AS dup_lchars,
+                        sum(cnt * c)::BIGINT        AS tot_lchars
+                 FROM lc GROUP BY doc_id),
+        bge AS (
+          SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(a)),
+                              i -> struct_pack(w1 := a[i], w2 := a[i+1])))
+                           AS bg
+                FROM arrs WHERE len(a) >= 2)
+        ),
+        bc AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS f,
+                      (len(w1) + len(w2))::BIGINT AS c
+               FROM bge GROUP BY doc_id, w1, w2),
+        bagg AS (SELECT doc_id, max(f * c)::BIGINT AS top2
+                 FROM bc GROUP BY doc_id),
+        g5e AS (
+          SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+                 g.w4 AS w4, g.w5 AS w5
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(a) - 3),
+                              i -> struct_pack(w1 := a[i], w2 := a[i+1],
+                                               w3 := a[i+2], w4 := a[i+3],
+                                               w5 := a[i+4]))) AS g
+                FROM arrs WHERE len(a) >= 5)
+        ),
+        g5c AS (SELECT doc_id, count(*)::BIGINT AS f,
+                       (len(w1) + len(w2) + len(w3) + len(w4)
+                        + len(w5))::BIGINT AS c
+                FROM g5e GROUP BY doc_id, w1, w2, w3, w4, w5),
+        g5agg AS (SELECT doc_id,
+                         sum(CASE WHEN f > 1 THEN f * c ELSE 0 END)::BIGINT
+                             AS dup5
+                  FROM g5c GROUP BY doc_id)
+        SELECT t.doc_id,
+               (CASE WHEN coalesce(l.n_lines, 0) > 0
+                     THEN coalesce(l.dup_lines, 0) * 1000000 // l.n_lines
+                     ELSE 0 END)::BIGINT AS dup_line_ppm,
+               (CASE WHEN coalesce(l.tot_lchars, 0) > 0
+                     THEN coalesce(l.dup_lchars, 0) * 1000000 // l.tot_lchars
+                     ELSE 0 END)::BIGINT AS dup_line_char_ppm,
+               (CASE WHEN t.n_chars > 0
+                     THEN coalesce(b.top2, 0) * 1000000 // t.n_chars
+                     ELSE 0 END)::BIGINT AS top2_char_ppm,
+               (CASE WHEN t.n_chars > 0
+                     THEN coalesce(g.dup5, 0) * 1000000 // t.n_chars
+                     ELSE 0 END)::BIGINT AS dup5_char_ppm,
+               CAST(10 * coalesce(l.dup_lines, 0)
+                        <= 3 * coalesce(l.n_lines, 0)
+                    AND 5 * coalesce(l.dup_lchars, 0)
+                        <= coalesce(l.tot_lchars, 0)
+                    AND 5 * coalesce(b.top2, 0) <= t.n_chars
+                    AND 20 * coalesce(g.dup5, 0) <= 3 * t.n_chars
+                    AS BIGINT) AS keep
+        FROM toklen t
+        LEFT JOIN lagg  l USING (doc_id)
+        LEFT JOIN bagg  b USING (doc_id)
+        LEFT JOIN g5agg g USING (doc_id)
         ORDER BY doc_id
     """,
 }

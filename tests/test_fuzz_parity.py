@@ -31,7 +31,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q101_top_pmi_bigrams", "q108_bm25_topk",
           "q109_lexical_diversity", "q110_quality_mix_sample",
           "q111_domain_mix_report", "q115_mixture_draw",
-          "q120_dup_degree_histogram", "q122_length_percentile"]
+          "q120_dup_degree_histogram", "q122_length_percentile",
+          "q128_repetition_signals"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 
@@ -68,6 +69,9 @@ def _corpus(seed: int) -> pd.DataFrame:
     head = " ".join(rng.choice(VOCAB, 8))
     texts.append(head + " " + " ".join(rng.choice(VOCAB, 5)))
     texts.append(head + " " + " ".join(rng.choice(VOCAB, 9)))
+    # duplicate-line doc (q128 repetition signals): 3x one line
+    dl = " ".join(rng.choice(VOCAB, 6))
+    texts.append("\n".join([dl, dl, " ".join(rng.choice(VOCAB, 12)), dl]))
     return pd.DataFrame({
         "doc_id": np.arange(1, len(texts) + 1, dtype=np.int64),
         "lang": rng.choice(["en", "de", "fr"], len(texts)),

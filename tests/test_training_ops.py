@@ -2310,3 +2310,55 @@ def test_quality_representatives_planted(ray_session, tmp_path):
     assert dup_row["n_members"] == 2
     sing = got.loc[9]
     assert sing["rep_doc_id"] == 9 and sing["n_members"] == 1
+
+
+def test_repetition_signals_planted(ray_session, tmp_path):
+    """The driver corpus is newline-free token soup (no dup lines, no
+    repeated 5-grams), so oracle parity alone only proves the no-op
+    path — plant each signal and check hand-computed ppm values plus
+    full DuckDB parity on the planted frame.
+
+    doc 1 trips everything: 'a b c' x3 + 'd e f' → dup_line 2/4,
+    dup-line chars 10/20, top bigram mass 3*2/12, dup 5-gram mass
+    20/12 (overlap-unaware > 1e6 by design);
+    doc 3 trips top2 (and dup5) with one line;
+    doc 5 trips ONLY dup5 (run repeated far apart, bigram mass small);
+    doc 2 (30 distinct tokens) and doc 4 (empty) keep."""
+    import duckdb
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        q128_repetition_signals,
+    )
+
+    run = "r0 r1 r2 r3 r4"
+    filler = " ".join(f"f{i}" for i in range(20))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "a b c\na b c\na b c\nd e f",
+            " ".join(f"t{i}" for i in range(30)),
+            "x y x y x y x y",
+            "",
+            run + " " + filler + " " + run,
+        ],
+    })
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q128_repetition_signals(sf)
+
+    assert got["dup_line_ppm"].tolist() == [500_000, 0, 0, 0, 0]
+    assert got["dup_line_char_ppm"].tolist() == [500_000, 0, 0, 0, 0]
+    assert got["top2_char_ppm"].iloc[0] == 500_000         # 6*1e6//12
+    assert got["top2_char_ppm"].iloc[2] == 1_000_000       # 8*1e6//8
+    assert got["dup5_char_ppm"].iloc[0] == 1_666_666       # 20*1e6//12
+    assert got["dup5_char_ppm"].iloc[4] == 285_714         # 20*1e6//70
+    # doc 5: bigram mass 2*4=8, 5*8 <= 70 → top2 rule passes there
+    assert 5 * 8 <= 70 and got["keep"].tolist() == [0, 1, 0, 1, 0]
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = con.execute(ORACLE_SQL["q128_repetition_signals"]).fetchdf()
+    for c in got.columns:
+        assert got[c].astype("int64").tolist() == \
+            want[c].astype("int64").tolist(), c
