@@ -5573,6 +5573,161 @@ def q128_repetition_signals(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_SUBSTR_B = np.uint64(0x100000001B3)            # odd → invertible mod 2^64
+_SUBSTR_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def q129_exact_substring_spans(sf_dir: str, win: int = 64) -> pd.DataFrame:
+    """Character-EXACT cross-document substring duplication — the
+    north rule's 'suffix-array substring pass for exact-substring
+    dupes' re-expressed for a streaming shuffle engine: per doc, the
+    characters covered by length-``win`` substrings that also occur
+    VERBATIM in at least one other document (the span-coverage metric
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", whose single-machine tool builds a corpus suffix
+    array — a global sorted structure a distributed engine should not
+    build; reference analog: the substring tier,
+    /root/reference/src/event_dedup/matching/candidate_pairs.py).
+    Exactly the same answer comes from three bounded shuffles:
+
+      1. every window position emits an 8-byte ROLLING HASH (u64
+         polynomial over code points via prefix sums + the modular
+         inverse of an odd base — O(chars) fully vectorized, windows
+         never cross doc boundaries); a hash-keyed pass keeps
+         positions whose hash occurs in >= 2 distinct docs.  Hash
+         collisions only ADD candidates, never lose one;
+      2. candidates cogroup back to their docs to slice the actual
+         window STRING; a string-keyed pass keeps positions whose
+         window occurs verbatim in >= 2 distinct docs (exactness —
+         hash quality affects cost, never the answer);
+      3. a doc-keyed interval union (same-length windows merge while
+         consecutive starts gap <= win) yields dup_chars / n_spans.
+
+    Pass 1 shuffles 24 B per character — the honest cost of exact
+    substring dedup (the suffix array is likewise O(corpus)); passes
+    2-3 touch only candidate positions.  ppm = dup_chars*1e6 //
+    n_chars in exact int64.  q22/q30 remain the sampled token-level
+    production tier; this is the character-exact audit beside them."""
+    from event_deduplication_ray.stages.shuffle import (
+        cogroup_apply,
+        partition_apply,
+    )
+
+    P = QCFG.join_num_partitions
+    W = int(win)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _empty_hdp() -> pd.DataFrame:
+        return pd.DataFrame({"h": pd.Series(dtype="uint64"),
+                             "doc_id": pd.Series(dtype="int64"),
+                             "pos": pd.Series(dtype="int64")})
+
+    def win_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        lens = text.str.len().to_numpy(np.int64)
+        N = int(lens.sum())
+        if len(df) == 0 or N < W:
+            return _empty_hdp()
+        c = np.frombuffer("".join(text.tolist()).encode("utf-32-le"),
+                          dtype="<u4").astype(np.uint64)
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        with np.errstate(over="ignore"):
+            Bp = np.concatenate([
+                [np.uint64(1)],
+                np.multiply.accumulate(
+                    np.full(N - 1, _SUBSTR_B, dtype=np.uint64))])
+            Binvp = np.concatenate([
+                [np.uint64(1)],
+                np.multiply.accumulate(
+                    np.full(N - 1, _SUBSTR_BINV, dtype=np.uint64))])
+            S = np.concatenate([[np.uint64(0)],
+                                np.cumsum(c * Bp[::-1], dtype=np.uint64)])
+            # H_i = (S[i+W]-S[i]) * B^-(N-W-i)  — window hash at i
+            h = (S[W:] - S[:-W]) * Binvp[: N - W + 1][::-1]
+        valid = doc_of[: N - W + 1] == doc_of[W - 1:]
+        starts = np.cumsum(lens) - lens
+        gpos = np.arange(N - W + 1, dtype=np.int64)
+        d = doc_of[: N - W + 1][valid]
+        return pd.DataFrame({
+            "h": h[valid],
+            "doc_id": df["doc_id"].to_numpy(np.int64)[d],
+            "pos": gpos[valid] - starts[d] + 1})
+
+    def hash_cands(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        nd = df.drop_duplicates(["h", "doc_id"]).groupby("h")["doc_id"].size()
+        return df[df["h"].isin(nd[nd >= 2].index)][["doc_id", "pos"]]
+
+    def extract(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"win": pd.Series(dtype=object),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        m = l.merge(r[["doc_id", "text"]], on="doc_id")
+        # candidate rows only (post-prefilter) — bounded Python zip
+        wins = [t[p - 1:p - 1 + W] for t, p in
+                zip(m["text"].to_numpy(object), m["pos"].to_numpy())]
+        return pd.DataFrame({"win": np.asarray(wins, dtype=object),
+                             "doc_id": m["doc_id"].to_numpy(np.int64),
+                             "pos": m["pos"].to_numpy(np.int64)})
+
+    def str_cands(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        nd = df.drop_duplicates(["win", "doc_id"]) \
+            .groupby("win")["doc_id"].size()
+        return df[df["win"].isin(nd[nd >= 2].index)][["doc_id", "pos"]]
+
+    cov_empty = {"doc_id": pd.Series(dtype="int64"),
+                 "dup_chars": pd.Series(dtype="int64"),
+                 "n_spans": pd.Series(dtype="int64")}
+
+    def coverage(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(cov_empty)
+        df = df.drop_duplicates(["doc_id", "pos"]) \
+            .sort_values(["doc_id", "pos"])
+        d = df["doc_id"].to_numpy(np.int64)
+        p = df["pos"].to_numpy(np.int64)
+        brk = np.ones(len(d), dtype=bool)
+        brk[1:] = (d[1:] != d[:-1]) | (p[1:] - p[:-1] > W)
+        first = np.flatnonzero(brk)
+        last = np.concatenate([first[1:] - 1, [len(d) - 1]])
+        span = p[last] + W - p[first]
+        out = pd.DataFrame({"doc_id": d[first], "span": span})
+        return out.groupby("doc_id", as_index=False) \
+            .agg(dup_chars=("span", "sum"), n_spans=("span", "size"))
+
+    cands = partition_apply(ds.map_batches(win_hashes, batch_format="pandas",
+                                           batch_size=1024),
+                            ["h"], P, hash_cands, out_keys=["doc_id"])
+    strs = cogroup_apply(cands, ds, ["doc_id"], ["doc_id"], P, extract,
+                         out_keys=["win"])
+    final = partition_apply(strs, ["win"], P, str_cands,
+                            out_keys=["doc_id"])
+    cov = _with_schema(
+        partition_apply(final, ["doc_id"], P, coverage).to_pandas(),
+        {k: "int64" for k in cov_empty})
+
+    lens_df = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_chars": df["text"].fillna("").str.len()
+            .to_numpy(np.int64)}),
+        batch_format="pandas").to_pandas()
+    out = lens_df.merge(cov, on="doc_id", how="left").fillna(0)
+    out["dup_char_ppm"] = np.where(
+        out["n_chars"] > 0,
+        out["dup_chars"].astype(np.int64) * np.int64(1_000_000)
+        // np.maximum(out["n_chars"].to_numpy(np.int64), 1), 0)
+    for c in ("doc_id", "n_chars", "dup_chars", "n_spans", "dup_char_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -6118,6 +6273,7 @@ RAY_QUERIES = {
     "q126_doc_neighbors": q126_doc_neighbors,
     "q127_quality_representatives": q127_quality_representatives,
     "q128_repetition_signals": q128_repetition_signals,
+    "q129_exact_substring_spans": q129_exact_substring_spans,
 }
 
 
@@ -8063,5 +8219,50 @@ ORACLE_SQL = {
         LEFT JOIN bagg  b USING (doc_id)
         LEFT JOIN g5agg g USING (doc_id)
         ORDER BY doc_id
+    """,
+    # every 64-char window (1-based char positions, code-point
+    # semantics on both engines); shared = verbatim in >= 2 distinct
+    # docs; interval union via gaps-and-islands (same-length windows:
+    # same island while consecutive starts gap <= 64)
+    "q129_exact_substring_spans": """
+        WITH w AS (
+          SELECT doc_id, i AS pos, substr(coalesce(text, ''), i, 64) AS win
+          FROM documents,
+               unnest(range(1, len(coalesce(text, '')) - 62)) AS t(i)
+        ),
+        shared AS (
+          SELECT win FROM w GROUP BY win
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        m AS (SELECT DISTINCT doc_id, pos FROM w JOIN shared USING (win)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos) > 64
+                      OR lag(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+          FROM m),
+        isl2 AS (SELECT doc_id, pos,
+                        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS g
+                 FROM isl),
+        sp AS (SELECT doc_id, g,
+                      (max(pos) + 64 - min(pos))::BIGINT AS span
+               FROM isl2 GROUP BY doc_id, g),
+        cov AS (SELECT doc_id, sum(span)::BIGINT AS dup_chars,
+                       count(*)::BIGINT AS n_spans
+                FROM sp GROUP BY doc_id)
+        SELECT d.doc_id,
+               len(coalesce(d.text, ''))::BIGINT AS n_chars,
+               coalesce(c.dup_chars, 0)::BIGINT AS dup_chars,
+               coalesce(c.n_spans, 0)::BIGINT AS n_spans,
+               (CASE WHEN len(coalesce(d.text, '')) > 0
+                     THEN coalesce(c.dup_chars, 0) * 1000000
+                          // len(coalesce(d.text, ''))
+                     ELSE 0 END)::BIGINT AS dup_char_ppm
+        FROM documents d
+        LEFT JOIN cov c USING (doc_id)
+        ORDER BY d.doc_id
     """,
 }

@@ -88,7 +88,7 @@ SQL_CHECKED = [
     "q120_dup_degree_histogram", "q121_user_entropy",
     "q122_length_percentile", "q124_cluster_labels",
     "q125_effective_tokens", "q127_quality_representatives",
-    "q128_repetition_signals",
+    "q128_repetition_signals", "q129_exact_substring_spans",
 ]
 
 

@@ -2362,3 +2362,53 @@ def test_repetition_signals_planted(ray_session, tmp_path):
     for c in got.columns:
         assert got[c].astype("int64").tolist() == \
             want[c].astype("int64").tolist(), c
+
+
+def test_exact_substring_spans_planted(ray_session, tmp_path):
+    """Character-exact substring coverage (q129): two docs sharing an
+    85-char run flanked by spaces on both sides → one island of 87
+    covered chars in each; two docs sharing EXACTLY 64 chars → one
+    64-char island; unrelated/short/empty docs → 0.  Hand-computed
+    values + full DuckDB parity (the oracle enumerates every window
+    via lateral unnest + gaps-and-islands)."""
+    import duckdb
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        q129_exact_substring_spans,
+    )
+
+    run = ("the quick brown fox jumps over the lazy dog while the "
+           "band plays on through the night")
+    ex64 = "0123456789" * 6 + "abcd"
+    assert len(ex64) == 64
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "text": [
+            "PREFIX one " + run + " SUFFIX alpha",
+            "different lead-in text " + run + " and a different tail",
+            "totally unrelated content that shares nothing with the "
+            "others at all, long enough to have windows",
+            "short",
+            "",
+            "AA" + ex64 + "BB",
+            "CCC" + ex64 + "DDD",
+        ]})
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q129_exact_substring_spans(sf).set_index("doc_id")
+    # shared region = " " + run + " " (flanking spaces match too)
+    assert got.loc[1, "dup_chars"] == len(run) + 2
+    assert got.loc[2, "dup_chars"] == len(run) + 2
+    assert got.loc[1, "n_spans"] == 1
+    assert got.loc[6, "dup_chars"] == 64 and got.loc[7, "dup_chars"] == 64
+    assert got.loc[3, "dup_chars"] == 0
+    assert got.loc[4, "dup_chars"] == 0 and got.loc[5, "n_chars"] == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = con.execute(ORACLE_SQL["q129_exact_substring_spans"]).fetchdf()
+    g = got.reset_index()
+    for c in g.columns:
+        assert g[c].astype("int64").tolist() == \
+            want[c].astype("int64").tolist(), c
