@@ -140,6 +140,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q109_lexical_diversity", "q110_quality_mix_sample",
         "q115_mixture_draw", "q119_market_share",
         "q122_length_percentile", "q125_effective_tokens",
+        "q128_repetition_signals", "q129_exact_substring_spans",
     ]
     out: dict[str, float] = {}
     for name in names:
