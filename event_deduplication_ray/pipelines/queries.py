@@ -5577,6 +5577,76 @@ _SUBSTR_B = np.uint64(0x100000001B3)            # odd → invertible mod 2^64
 _SUBSTR_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
 
 
+def _empty_hdp() -> pd.DataFrame:
+    return pd.DataFrame({"h": pd.Series(dtype="uint64"),
+                         "doc_id": pd.Series(dtype="int64"),
+                         "pos": pd.Series(dtype="int64")})
+
+
+def _win_hash_frame(df: pd.DataFrame, W: int) -> pd.DataFrame:
+    """(h, doc_id, pos) for every length-W window: u64 polynomial
+    rolling hash over code points via prefix sums + the modular
+    inverse of the odd base — O(chars), no per-window loop; windows
+    never cross doc boundaries.  pos is the 1-based char index
+    (matches SQL substr)."""
+    text = df["text"].fillna("")
+    lens = text.str.len().to_numpy(np.int64)
+    N = int(lens.sum())
+    if len(df) == 0 or N < W:
+        return _empty_hdp()
+    c = np.frombuffer("".join(text.tolist()).encode("utf-32-le"),
+                      dtype="<u4").astype(np.uint64)
+    doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    with np.errstate(over="ignore"):
+        Bp = np.concatenate([
+            [np.uint64(1)],
+            np.multiply.accumulate(
+                np.full(N - 1, _SUBSTR_B, dtype=np.uint64))])
+        Binvp = np.concatenate([
+            [np.uint64(1)],
+            np.multiply.accumulate(
+                np.full(N - 1, _SUBSTR_BINV, dtype=np.uint64))])
+        S = np.concatenate([[np.uint64(0)],
+                            np.cumsum(c * Bp[::-1], dtype=np.uint64)])
+        # H_i = (S[i+W]-S[i]) * B^-(N-W-i)  — window hash at i
+        h = (S[W:] - S[:-W]) * Binvp[: N - W + 1][::-1]
+    valid = doc_of[: N - W + 1] == doc_of[W - 1:]
+    starts = np.cumsum(lens) - lens
+    gpos = np.arange(N - W + 1, dtype=np.int64)
+    d = doc_of[: N - W + 1][valid]
+    return pd.DataFrame({
+        "h": h[valid],
+        "doc_id": df["doc_id"].to_numpy(np.int64)[d],
+        "pos": gpos[valid] - starts[d] + 1})
+
+
+def _substr_hash_cands(df: pd.DataFrame) -> pd.DataFrame:
+    """Positions whose window HASH occurs in >= 2 distinct docs — a
+    candidate superset (collisions only add, never lose)."""
+    if len(df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "pos": pd.Series(dtype="int64")})
+    nd = df.drop_duplicates(["h", "doc_id"]).groupby("h")["doc_id"].size()
+    return df[df["h"].isin(nd[nd >= 2].index)][["doc_id", "pos"]]
+
+
+def _substr_extract(W: int):
+    """Cogroup fn: slice the actual window string for each candidate
+    (bounded Python zip — candidates only, post-prefilter)."""
+    def extract(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"win": pd.Series(dtype=object),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        m = l.merge(r[["doc_id", "text"]], on="doc_id")
+        wins = [t[p - 1:p - 1 + W] for t, p in
+                zip(m["text"].to_numpy(object), m["pos"].to_numpy())]
+        return pd.DataFrame({"win": np.asarray(wins, dtype=object),
+                             "doc_id": m["doc_id"].to_numpy(np.int64),
+                             "pos": m["pos"].to_numpy(np.int64)})
+    return extract
+
+
 def q129_exact_substring_spans(sf_dir: str, win: int = 64) -> pd.DataFrame:
     """Character-EXACT cross-document substring duplication — the
     north rule's 'suffix-array substring pass for exact-substring
@@ -5617,61 +5687,11 @@ def q129_exact_substring_spans(sf_dir: str, win: int = 64) -> pd.DataFrame:
     W = int(win)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def _empty_hdp() -> pd.DataFrame:
-        return pd.DataFrame({"h": pd.Series(dtype="uint64"),
-                             "doc_id": pd.Series(dtype="int64"),
-                             "pos": pd.Series(dtype="int64")})
-
     def win_hashes(df: pd.DataFrame) -> pd.DataFrame:
-        text = df["text"].fillna("")
-        lens = text.str.len().to_numpy(np.int64)
-        N = int(lens.sum())
-        if len(df) == 0 or N < W:
-            return _empty_hdp()
-        c = np.frombuffer("".join(text.tolist()).encode("utf-32-le"),
-                          dtype="<u4").astype(np.uint64)
-        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
-        with np.errstate(over="ignore"):
-            Bp = np.concatenate([
-                [np.uint64(1)],
-                np.multiply.accumulate(
-                    np.full(N - 1, _SUBSTR_B, dtype=np.uint64))])
-            Binvp = np.concatenate([
-                [np.uint64(1)],
-                np.multiply.accumulate(
-                    np.full(N - 1, _SUBSTR_BINV, dtype=np.uint64))])
-            S = np.concatenate([[np.uint64(0)],
-                                np.cumsum(c * Bp[::-1], dtype=np.uint64)])
-            # H_i = (S[i+W]-S[i]) * B^-(N-W-i)  — window hash at i
-            h = (S[W:] - S[:-W]) * Binvp[: N - W + 1][::-1]
-        valid = doc_of[: N - W + 1] == doc_of[W - 1:]
-        starts = np.cumsum(lens) - lens
-        gpos = np.arange(N - W + 1, dtype=np.int64)
-        d = doc_of[: N - W + 1][valid]
-        return pd.DataFrame({
-            "h": h[valid],
-            "doc_id": df["doc_id"].to_numpy(np.int64)[d],
-            "pos": gpos[valid] - starts[d] + 1})
+        return _win_hash_frame(df, W)
 
-    def hash_cands(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "pos": pd.Series(dtype="int64")})
-        nd = df.drop_duplicates(["h", "doc_id"]).groupby("h")["doc_id"].size()
-        return df[df["h"].isin(nd[nd >= 2].index)][["doc_id", "pos"]]
-
-    def extract(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame({"win": pd.Series(dtype=object),
-                                 "doc_id": pd.Series(dtype="int64"),
-                                 "pos": pd.Series(dtype="int64")})
-        m = l.merge(r[["doc_id", "text"]], on="doc_id")
-        # candidate rows only (post-prefilter) — bounded Python zip
-        wins = [t[p - 1:p - 1 + W] for t, p in
-                zip(m["text"].to_numpy(object), m["pos"].to_numpy())]
-        return pd.DataFrame({"win": np.asarray(wins, dtype=object),
-                             "doc_id": m["doc_id"].to_numpy(np.int64),
-                             "pos": m["pos"].to_numpy(np.int64)})
+    hash_cands = _substr_hash_cands
+    extract = _substr_extract(W)
 
     def str_cands(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -5725,6 +5745,118 @@ def q129_exact_substring_spans(sf_dir: str, win: int = 64) -> pd.DataFrame:
         // np.maximum(out["n_chars"].to_numpy(np.int64), 1), 0)
     for c in ("doc_id", "n_chars", "dup_chars", "n_spans", "dup_char_ppm"):
         out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q130_substring_dedup_rewrite(sf_dir: str, win: int = 64) -> pd.DataFrame:
+    """Exact-substring dedup as a document REWRITE (Lee et al. 2022's
+    actual transform; the q129 detector's q78-style counterpart):
+    every length-``win`` window occurring verbatim in >= 2 distinct
+    docs keeps exactly its FIRST occurrence (global min (doc_id,pos) —
+    deterministic keep-first, including within-owner-doc repeats) and
+    every other occurrence is cut; per doc the cut positions union
+    into maximal spans and the doc is reassembled from the kept
+    segments.  Passes 1-2 are q129's (rolling-hash prefilter →
+    string-verify); pass 3 ranks occurrences per window INSIDE the
+    window's partition (no global sort — the window string is the
+    shuffle key, so its occurrences co-locate); pass 4 cogroups the
+    loser POSITIONS with the docs by doc_id — islands are computed
+    there, where a doc's full position set co-locates — and only
+    affected docs re-slice, the rest pass through untouched.  Text
+    crosses the wire once (the rewrite cogroup); all span arithmetic
+    exact int64."""
+    from event_deduplication_ray.stages.shuffle import (
+        cogroup_apply,
+        partition_apply,
+        shuffle_to,
+    )
+
+    P = QCFG.join_num_partitions
+    W = int(win)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        nd = df.drop_duplicates(["win", "doc_id"]) \
+            .groupby("win")["doc_id"].size()
+        sh = df[df["win"].isin(nd[nd >= 2].index)]
+        sh = sh.sort_values(["win", "doc_id", "pos"])
+        return sh[sh.duplicated("win", keep="first")][["doc_id", "pos"]]
+
+    span_empty = {"doc_id": pd.Series(dtype="int64"),
+                  "s": pd.Series(dtype="int64"),
+                  "e": pd.Series(dtype="int64")}
+
+    def cut_spans(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(span_empty)
+        df = df.drop_duplicates(["doc_id", "pos"]) \
+            .sort_values(["doc_id", "pos"])
+        d = df["doc_id"].to_numpy(np.int64)
+        p = df["pos"].to_numpy(np.int64)
+        brk = np.ones(len(d), dtype=bool)
+        brk[1:] = (d[1:] != d[:-1]) | (p[1:] - p[:-1] > W)
+        first = np.flatnonzero(brk)
+        last = np.concatenate([first[1:] - 1, [len(d) - 1]])
+        return pd.DataFrame({"doc_id": d[first], "s": p[first],
+                             "e": p[last] + W})
+
+    out_empty = {"doc_id": pd.Series(dtype="int64"),
+                 "n_chars": pd.Series(dtype="int64"),
+                 "cut_chars": pd.Series(dtype="int64"),
+                 "text_clean": pd.Series(dtype=object)}
+
+    def rewrite(lpos: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(r) == 0:
+            return pd.DataFrame(out_empty)
+        # islands from THIS doc-partition's full position set (the
+        # cogroup co-locates every loser position of a doc)
+        l = cut_spans(lpos) if len(lpos) else pd.DataFrame(span_empty)
+        text = r["text"].fillna("").to_numpy(object)
+        clean = text.copy()
+        if len(l):
+            pos_of = {int(did): i for i, did in
+                      enumerate(r["doc_id"].to_numpy())}
+            # bounded Python loop: AFFECTED docs only
+            for did, grp in l.sort_values(["doc_id", "s"]) \
+                    .groupby("doc_id", sort=False):
+                i = pos_of.get(int(did))
+                if i is None:
+                    continue
+                t = text[i]
+                parts, prev = [], 1
+                for s, e in zip(grp["s"].to_numpy(), grp["e"].to_numpy()):
+                    parts.append(t[prev - 1:s - 1])
+                    prev = int(e)
+                parts.append(t[prev - 1:])
+                clean[i] = "".join(parts)
+        n_chars = np.asarray([len(t) for t in text], dtype=np.int64)
+        kept = np.asarray([len(t) for t in clean], dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": r["doc_id"].to_numpy(np.int64),
+            "n_chars": n_chars,
+            "cut_chars": n_chars - kept,
+            "text_clean": clean})
+
+    docs_sh = shuffle_to(ds, ["doc_id"], P)
+    cands = partition_apply(ds.map_batches(
+        lambda df: _win_hash_frame(df, W),
+        batch_format="pandas", batch_size=1024),
+        ["h"], P, _substr_hash_cands, out_keys=["doc_id"])
+    strs = cogroup_apply(cands, docs_sh, ["doc_id"], ["doc_id"], P,
+                         _substr_extract(W), out_keys=["win"])
+    lose = partition_apply(strs, ["win"], P, losers,
+                           out_keys=["doc_id"])
+    out = _with_schema(
+        cogroup_apply(lose, docs_sh, ["doc_id"], ["doc_id"], P,
+                      rewrite).to_pandas(),
+        {"doc_id": "int64", "n_chars": "int64", "cut_chars": "int64",
+         "text_clean": "object"})
+    for c in ("doc_id", "n_chars", "cut_chars"):
+        out[c] = out[c].astype("int64")
+    out["text_clean"] = out["text_clean"].fillna("").astype(str)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -6274,6 +6406,7 @@ RAY_QUERIES = {
     "q127_quality_representatives": q127_quality_representatives,
     "q128_repetition_signals": q128_repetition_signals,
     "q129_exact_substring_spans": q129_exact_substring_spans,
+    "q130_substring_dedup_rewrite": q130_substring_dedup_rewrite,
 }
 
 
@@ -8263,6 +8396,71 @@ ORACLE_SQL = {
                      ELSE 0 END)::BIGINT AS dup_char_ppm
         FROM documents d
         LEFT JOIN cov c USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    # keep-first = global min (doc_id,pos) per shared window string
+    # (row_number over the window); kept segments assembled with
+    # string_agg ORDER BY segment start — all char arithmetic exact
+    "q130_substring_dedup_rewrite": """
+        WITH w AS (
+          SELECT doc_id, i AS pos, substr(coalesce(text, ''), i, 64) AS win
+          FROM documents,
+               unnest(range(1, len(coalesce(text, '')) - 62)) AS t(i)
+        ),
+        shared AS (
+          SELECT win FROM w GROUP BY win
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        occ AS (
+          SELECT w.doc_id, w.pos,
+                 row_number() OVER (PARTITION BY w.win
+                                    ORDER BY w.doc_id, w.pos) AS rn
+          FROM w JOIN shared USING (win)
+        ),
+        m AS (SELECT DISTINCT doc_id, pos FROM occ WHERE rn > 1),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos) > 64
+                      OR lag(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+          FROM m),
+        isl2 AS (SELECT doc_id, pos,
+                        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS g
+                 FROM isl),
+        sp AS (SELECT doc_id, min(pos)::BIGINT AS s,
+                      (max(pos) + 64)::BIGINT AS e
+               FROM isl2 GROUP BY doc_id, g),
+        segs AS (
+          SELECT doc_id,
+                 coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+                          1) AS ks,
+                 s AS ke
+          FROM sp
+          UNION ALL
+          SELECT d.doc_id, coalesce(mx.e, 1) AS ks,
+                 len(coalesce(d.text, '')) + 1 AS ke
+          FROM documents d
+          LEFT JOIN (SELECT doc_id, max(e) AS e FROM sp
+                     GROUP BY doc_id) mx USING (doc_id)
+        ),
+        clean AS (
+          SELECT s.doc_id,
+                 string_agg(substr(coalesce(d.text, ''), s.ks::INT,
+                                   (s.ke - s.ks)::INT),
+                            '' ORDER BY s.ks) AS text_clean
+          FROM segs s JOIN documents d USING (doc_id)
+          GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               len(coalesce(d.text, ''))::BIGINT AS n_chars,
+               (len(coalesce(d.text, ''))
+                - len(coalesce(c.text_clean, '')))::BIGINT AS cut_chars,
+               coalesce(c.text_clean, '') AS text_clean
+        FROM documents d
+        LEFT JOIN clean c USING (doc_id)
         ORDER BY d.doc_id
     """,
 }

@@ -32,7 +32,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q109_lexical_diversity", "q110_quality_mix_sample",
           "q111_domain_mix_report", "q115_mixture_draw",
           "q120_dup_degree_histogram", "q122_length_percentile",
-          "q128_repetition_signals", "q129_exact_substring_spans"]
+          "q128_repetition_signals", "q129_exact_substring_spans",
+          "q130_substring_dedup_rewrite"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 

@@ -2412,3 +2412,48 @@ def test_exact_substring_spans_planted(ray_session, tmp_path):
     for c in g.columns:
         assert g[c].astype("int64").tolist() == \
             want[c].astype("int64").tolist(), c
+
+
+def test_substring_dedup_rewrite_planted(ray_session, tmp_path):
+    """Keep-first rewrite semantics (q130): global min (doc_id, pos)
+    occurrence of each shared 64-char window survives; every other
+    occurrence is cut (including a second occurrence INSIDE a later
+    doc); unaffected/short/empty docs pass through byte-identical.
+    Hand-checked cuts + full DuckDB parity (string_agg reassembly)."""
+    import duckdb
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        q130_substring_dedup_rewrite,
+    )
+
+    run = ("the quick brown fox jumps over the lazy dog while the "
+           "band plays on through the night")
+    ex64 = "0123456789" * 6 + "abcd"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "PREFIX one " + run + " SUFFIX alpha",
+            "different lead-in text " + run + " and a tail",
+            "short",
+            "",
+            "AA" + ex64 + "BB",
+            "CCC" + ex64 + "DDD" + ex64 + "EEE",
+        ]})
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q130_substring_dedup_rewrite(sf)
+    g = got.set_index("doc_id")
+    assert g.loc[1, "cut_chars"] == 0                 # owner untouched
+    assert g.loc[1, "text_clean"] == docs["text"][0]
+    assert g.loc[2, "cut_chars"] == len(run) + 2      # flanked run cut
+    assert g.loc[3, "cut_chars"] == 0 and g.loc[4, "n_chars"] == 0
+    assert g.loc[5, "cut_chars"] == 0                 # ex64 owner
+    assert g.loc[6, "cut_chars"] == 128               # BOTH later occurrences
+    assert g.loc[6, "text_clean"] == "CCCDDDEEE"
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = con.execute(ORACLE_SQL["q130_substring_dedup_rewrite"]).fetchdf()
+    for c in got.columns:
+        assert got[c].tolist() == want[c].tolist(), c
