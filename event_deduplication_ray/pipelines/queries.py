@@ -5860,6 +5860,101 @@ def q130_substring_dedup_rewrite(sf_dir: str, win: int = 64) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q131_global_range_join(sf_dir: str) -> pd.DataFrame:
+    """GLOBAL range join (NO equality key): every purchase counts the
+    view events of ALL users in the 10 minutes before it — window
+    [ts-10min, ts), inclusive lower / strict upper.  q61 is the
+    banded per-user variant (user_id gives the shuffle an equi-key);
+    with no equi-key the distributed technique is TIME-BUCKET
+    REPLICATION: time splits into window-sized buckets, each purchase
+    replicates to the <= 2 buckets its window overlaps, views shuffle
+    by their own bucket, and inside a co-located bucket one sorted
+    searchsorted pair counts matches vectorized (q61's shifted-
+    timeline trick, keyed by bucket code).  Each replica counts only
+    the intersection of its window with ITS bucket's time range, so
+    summing replica partials per purchase never double-counts.  One
+    events read, one bucket shuffle (replication factor 2 on the
+    purchase side only), one event_id combine; all boundary
+    arithmetic exact int64 µs."""
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.shuffle import partition_apply
+
+    P = QCFG.join_num_partitions
+    W = np.int64(600_000_000)              # 10 min in µs
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["view", "purchase"])))
+        df = t.to_pandas()
+        if len(df) == 0:
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "is_p": pd.Series(dtype="int64"),
+                                 "ts_us": pd.Series(dtype="int64"),
+                                 "event_id": pd.Series(dtype="int64")})
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy(np.int64)
+        is_p = (df["event_type"].to_numpy() == "purchase")
+        v_ts, p_ts, p_eid = ts_us[~is_p], ts_us[is_p], eid[is_p]
+        # purchase replicas: window [p-W, p) overlaps buckets
+        # (p-W)//W and (p-1)//W (equal when p ≡ 0 mod W)
+        b0, b1 = (p_ts - W) // W, (p_ts - 1) // W
+        dup = b1 != b0
+        out = pd.DataFrame({
+            "bucket": np.concatenate([v_ts // W, b0, b1[dup]]),
+            "is_p": np.concatenate([
+                np.zeros(len(v_ts), np.int64),
+                np.ones(len(p_ts), np.int64),
+                np.ones(int(dup.sum()), np.int64)]),
+            "ts_us": np.concatenate([v_ts, p_ts, p_ts[dup]]),
+            "event_id": np.concatenate([
+                np.zeros(len(v_ts), np.int64), p_eid, p_eid[dup]])})
+        return out
+
+    part_empty = {"event_id": pd.Series(dtype="int64"),
+                  "n": pd.Series(dtype="int64")}
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["is_p"] == 1]
+        if len(p) == 0:
+            return pd.DataFrame(part_empty)
+        v = df[df["is_p"] == 0]
+        # shared bucket codes; per-bucket offset stays in [0, W]
+        codes, uniq = pd.factorize(
+            np.concatenate([v["bucket"].to_numpy(np.int64),
+                            p["bucket"].to_numpy(np.int64)]), sort=False)
+        span = np.int64(W + 2)
+        vc, pc_ = codes[:len(v)], codes[len(v):]
+        vb = uniq[vc] * W
+        vkey = np.sort(vc * span + (v["ts_us"].to_numpy(np.int64) - vb))
+        pb = uniq[pc_] * W
+        pts = p["ts_us"].to_numpy(np.int64)
+        lo = np.maximum(pts - W, pb) - pb
+        hi = np.minimum(pts, pb + W) - pb
+        n = (np.searchsorted(vkey, pc_ * span + hi, side="left")
+             - np.searchsorted(vkey, pc_ * span + lo, side="left"))
+        return pd.DataFrame({"event_id": p["event_id"].to_numpy(np.int64),
+                             "n": n.astype(np.int64)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "n_views_10m": pd.Series(dtype="int64")})
+        return df.groupby("event_id", as_index=False)["n"].sum() \
+            .rename(columns={"n": "n_views_10m"})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    parts = partition_apply(tagged, ["bucket"], P, count_bucket,
+                            out_keys=["event_id"])
+    out = _with_schema(
+        partition_apply(parts, ["event_id"], P, combine).to_pandas(),
+        {"event_id": "int64", "n_views_10m": "int64"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ------------------------------------------- TPC-H join shapes (batch 2)
 
 def q102_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
@@ -6407,6 +6502,7 @@ RAY_QUERIES = {
     "q128_repetition_signals": q128_repetition_signals,
     "q129_exact_substring_spans": q129_exact_substring_spans,
     "q130_substring_dedup_rewrite": q130_substring_dedup_rewrite,
+    "q131_global_range_join": q131_global_range_join,
 }
 
 
@@ -8462,5 +8558,19 @@ ORACLE_SQL = {
         FROM documents d
         LEFT JOIN clean c USING (doc_id)
         ORDER BY d.doc_id
+    """,
+    # inequality-only join (DuckDB IEJoin); [ts-10min, ts) window,
+    # inclusive lower / strict upper — mirrors the exact µs boundaries
+    "q131_global_range_join": """
+        SELECT p.event_id,
+               count(v.event_id)::BIGINT AS n_views_10m
+        FROM events p
+        LEFT JOIN events v
+          ON v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 10 MINUTE
+         AND v.ts <  p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+        ORDER BY p.event_id
     """,
 }

@@ -123,7 +123,8 @@ EV_FUZZED = ["q06_user_hourly_windows", "q14_session_windows",
              "q62_event_debounce", "q76_user_running_total",
              "q83_value_quantiles", "q87_retention_cohorts",
              "q88_event_type_cooccurrence", "q99_event_transitions",
-             "q113_late_data_drop", "q121_user_entropy"]
+             "q113_late_data_drop", "q121_user_entropy",
+             "q131_global_range_join"]
 
 
 def _events(seed: int) -> pd.DataFrame:
@@ -141,7 +142,7 @@ def _events(seed: int) -> pd.DataFrame:
         for _ in range(int(rng.integers(1, 12))):
             rows.append((u, t, str(rng.choice(types)),
                          round(float(rng.normal()) * 10, 3)))
-            step = int(rng.choice([0, 1, 7, 1800, 1801, 3600, 86400]))
+            step = int(rng.choice([0, 1, 7, 599, 600, 1800, 1801, 3600, 86400]))
             t = t + pd.Timedelta(seconds=step)
     df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
     df["event_id"] = (rng.permutation(len(df)) + 1).astype(np.int64)

@@ -89,7 +89,7 @@ SQL_CHECKED = [
     "q122_length_percentile", "q124_cluster_labels",
     "q125_effective_tokens", "q127_quality_representatives",
     "q128_repetition_signals", "q129_exact_substring_spans",
-    "q130_substring_dedup_rewrite",
+    "q130_substring_dedup_rewrite", "q131_global_range_join",
 ]
 
 

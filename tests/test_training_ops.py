@@ -2457,3 +2457,52 @@ def test_substring_dedup_rewrite_planted(ray_session, tmp_path):
     want = con.execute(ORACLE_SQL["q130_substring_dedup_rewrite"]).fetchdf()
     for c in got.columns:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_global_range_join_planted(ray_session, tmp_path):
+    """q131 boundary + replication semantics: a view exactly 600 s
+    before a purchase COUNTS (inclusive lower), a view at the
+    purchase's own ts does NOT (strict upper), cross-user views count
+    (no equi-key), a purchase exactly on a bucket boundary (ts ≡ 0
+    mod 10 min) takes the single-replica path, and both replicas of a
+    straddling window sum without double-counting."""
+    import duckdb
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        q131_global_range_join,
+    )
+
+    T = pd.Timestamp("2024-03-01 00:00:00")
+    S = pd.Timedelta(seconds=1)
+    ev = pd.DataFrame([
+        # purchase 1 at +1000s (window [400, 1000) straddles buckets)
+        (1, T + 1000 * S, 1, "purchase", 0.0),
+        (2, T + 400 * S, 2, "view", 0.0),      # == lower bound: counts
+        (3, T + 399 * S, 2, "view", 0.0),      # just below: no
+        (4, T + 999 * S, 3, "view", 0.0),      # inside: counts
+        (5, T + 1000 * S, 3, "view", 0.0),     # == purchase ts: no
+        (6, T + 550 * S, 4, "view", 0.0),      # bucket 0 side: counts
+        # purchase 7 at exactly +1200s (≡ 0 mod 600 → one replica)
+        (7, T + 1200 * S, 5, "purchase", 0.0),
+        (8, T + 600 * S, 6, "view", 0.0),      # == lower bound: counts
+        (9, T + 1199 * S, 6, "view", 0.0),     # inside: counts
+        # purchase 10 with no views around it
+        (10, T + 90000 * S, 7, "purchase", 0.0),
+    ], columns=["event_id", "ts", "user_id", "event_type", "value"])
+    ev["props"] = "{}"
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write_tbl(tmp_path, "events", ev)
+    got = q131_global_range_join(sf).set_index("event_id")
+    assert got.loc[1, "n_views_10m"] == 4     # ids 2, 4, 6, 8
+    assert got.loc[7, "n_views_10m"] == 4     # ids 4, 5, 8, 9
+    assert got.loc[10, "n_views_10m"] == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM ev")
+    want = con.execute(ORACLE_SQL["q131_global_range_join"]).fetchdf()
+    g = got.reset_index()
+    for c in g.columns:
+        assert g[c].astype("int64").tolist() == \
+            want[c].astype("int64").tolist(), c
