@@ -5577,13 +5577,18 @@ _SUBSTR_B = np.uint64(0x100000001B3)            # odd → invertible mod 2^64
 _SUBSTR_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
 
 
-def _empty_hdp() -> pd.DataFrame:
-    return pd.DataFrame({"h": pd.Series(dtype="uint64"),
-                         "doc_id": pd.Series(dtype="int64"),
-                         "pos": pd.Series(dtype="int64")})
+# h carried as int64 (bit view of the u64 hash — equality and
+# partition hashing are bit-pattern based, so the view is lossless);
+# a fixed Arrow schema keeps empty and non-empty batches identical
+_HDP_SCHEMA = pa.schema([("h", pa.int64()), ("doc_id", pa.int64()),
+                         ("pos", pa.int64())])
 
 
-def _win_hash_frame(df: pd.DataFrame, W: int) -> pd.DataFrame:
+def _empty_hdp() -> pa.Table:
+    return _HDP_SCHEMA.empty_table()
+
+
+def _win_hash_frame(df: pd.DataFrame, W: int) -> pa.Table:
     """(h, doc_id, pos) for every length-W window: u64 polynomial
     rolling hash over code points via prefix sums + the modular
     inverse of the odd base — O(chars), no per-window loop; windows
@@ -5614,10 +5619,10 @@ def _win_hash_frame(df: pd.DataFrame, W: int) -> pd.DataFrame:
     starts = np.cumsum(lens) - lens
     gpos = np.arange(N - W + 1, dtype=np.int64)
     d = doc_of[: N - W + 1][valid]
-    return pd.DataFrame({
-        "h": h[valid],
-        "doc_id": df["doc_id"].to_numpy(np.int64)[d],
-        "pos": gpos[valid] - starts[d] + 1})
+    return pa.table({
+        "h": pa.array(h[valid].view(np.int64)),
+        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)[d]),
+        "pos": pa.array(gpos[valid] - starts[d] + 1)})
 
 
 def _substr_hash_cands(df: pd.DataFrame) -> pd.DataFrame:
