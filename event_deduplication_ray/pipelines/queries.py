@@ -6380,6 +6380,148 @@ def q107_rich_idle_customers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def q132_dup_triangles(sf_dir: str) -> pd.DataFrame:
+    """Dup-graph triangle counts per doc — the transitivity readout
+    beside q120's degrees and q123's PageRank: a doc in many triangles
+    sits inside a tight mutual-duplicate clique (template families),
+    while bridge docs (high degree, zero triangles) are the hub
+    artifacts the hot-band caps worry about.  Engine: q28's exact
+    edge table (deterministic, hence SQL-checkable) → ONE shuffle by
+    the LOWER endpoint (the apex) emits wedges (apex, v, w) over each
+    apex's higher neighbors (all pairs per apex — the audit-mode
+    caveat shared with q28: dup-cluster degrees are bounded, and the
+    production tiers cap hot groups upstream) → wedges union the edge
+    table and ONE (w_a, w_b) shuffle closes them (a wedge is a
+    triangle iff its far edge exists in the same partition) → corner
+    explode, per-partition count partials, small driver combine.
+    Each triangle a<b<c is generated exactly once (apex=a, wedge
+    (b,c)) and credited to all three corners."""
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.pairs import ngram_jaccard_match_pairs
+    from event_deduplication_ray.stages.shuffle import cogroup_apply
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    docs = _docs_from_documents(sf_dir)
+    pairs = ngram_jaccard_match_pairs(
+        substring_fp_table(signature_stage(docs, cfg), cfg),
+        cfg, threshold=cfg.jaccard_match)
+    P = QCFG.join_num_partitions
+    _triu_cache: dict = {}
+
+    def _triu(g: int):
+        if g not in _triu_cache:
+            _triu_cache[g] = np.triu_indices(g, 1)
+        return _triu_cache[g]
+
+    def _wedge_frame(apex, w_a, w_b) -> pd.DataFrame:
+        return pd.DataFrame({
+            "apex": np.asarray(apex, np.int64),
+            "w_a": np.asarray(w_a, np.int64),
+            "w_b": np.asarray(w_b, np.int64)})
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        # sees EVERY edge of each apex: upstream shuffle keys on id_a,
+        # the canonical lower endpoint
+        if len(df) == 0:
+            return _wedge_frame([], [], [])
+        ida = df["id_a"].to_numpy(np.int64)
+        idb = df["id_b"].to_numpy(np.int64)
+        a = np.minimum(ida, idb)
+        b = np.maximum(ida, idb)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[starts[1:], len(a)]
+        oa, ow, ov = [], [], []
+        for s, e in zip(starts, ends):   # loop over APEX groups, not rows
+            g = int(e - s)
+            if g < 2:
+                continue
+            nb = b[s:e]
+            iu, ju = _triu(g)
+            oa.append(np.full(iu.size, a[s], np.int64))
+            ow.append(nb[iu])
+            ov.append(nb[ju])
+        if not oa:
+            return _wedge_frame([], [], [])
+        return _wedge_frame(np.concatenate(oa), np.concatenate(ow),
+                            np.concatenate(ov))
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ida = df["id_a"].to_numpy(np.int64)
+        idb = df["id_b"].to_numpy(np.int64)
+        return pd.DataFrame({"w_a": np.minimum(ida, idb),
+                             "w_b": np.maximum(ida, idb)})
+
+    pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
+    wedge_ds = partition_apply(pairs, ["id_a"], P, wedges)
+    edge_ds = pairs.map_batches(edge_rows, batch_format="pandas")
+
+    def close(w: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        if len(w) == 0 or len(e) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        m = w.merge(e[["w_a", "w_b"]].drop_duplicates(),
+                    on=["w_a", "w_b"], how="inner")
+        corners = np.concatenate([m["apex"].to_numpy(np.int64),
+                                  m["w_a"].to_numpy(np.int64),
+                                  m["w_b"].to_numpy(np.int64)])
+        u, c = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"doc_id": u, "n": c.astype(np.int64)})
+
+    parts = _with_schema(
+        cogroup_apply(wedge_ds, edge_ds, ["w_a", "w_b"], ["w_a", "w_b"],
+                      P, close).to_pandas(),
+        {"doc_id": "int64", "n": "int64"})
+    out = parts.groupby("doc_id", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_tri"})
+    out = _with_schema(out, {"doc_id": "int64", "n_tri": "int64"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tri"] = out["n_tri"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q133_compression_gate(sf_dir: str) -> pd.DataFrame:
+    """zlib compression-ratio quality gate (the classic web-text
+    entropy proxy: boilerplate/repetitive spam compresses far below
+    normal prose, while mis-decoded binary / base64 junk barely
+    compresses at all).  Rows-only: SQL has no deflate.  Per-batch
+    map; the per-row loop only drives zlib's C entry point (same
+    contract as the textstats scorers); the ratio is exact integer
+    ppm.  The gate applies to docs of >= ``min_len`` raw bytes —
+    zlib's ~8-byte header makes short-doc ratios meaningless (the
+    driver corpus's short docs 'expand' past 1.0) — shorter docs pass
+    ungated.  Defaults bracket the measured long-doc corpus band
+    (398k–560k ppm): keep 100k <= ratio <= 750k."""
+    import zlib
+
+    LO, HI, MIN_LEN = 100_000, 750_000, 256
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        raws = [t.encode("utf-8") if isinstance(t, str) else b""
+                for t in df["text"]]
+        n = len(raws)
+        rl = np.fromiter((len(r) for r in raws), np.int64, n)
+        cl = np.fromiter((len(zlib.compress(r, 6)) for r in raws),
+                         np.int64, n)
+        ratio = cl * 1_000_000 // np.maximum(rl, 1)
+        keep = (rl < MIN_LEN) | ((ratio >= LO) & (ratio <= HI))
+        return pd.DataFrame({"doc_id": ids, "raw_len": rl, "comp_len": cl,
+                             "ratio_ppm": ratio, "keep": keep})
+
+    out = _with_schema(
+        ds.map_batches(score, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "raw_len": "int64", "comp_len": "int64",
+         "ratio_ppm": "int64", "keep": "bool"})
+    for c in ("doc_id", "raw_len", "comp_len", "ratio_ppm"):
+        out[c] = out[c].astype("int64")
+    out["keep"] = out["keep"].astype(bool)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -6508,6 +6650,8 @@ RAY_QUERIES = {
     "q129_exact_substring_spans": q129_exact_substring_spans,
     "q130_substring_dedup_rewrite": q130_substring_dedup_rewrite,
     "q131_global_range_join": q131_global_range_join,
+    "q132_dup_triangles": q132_dup_triangles,
+    "q133_compression_gate": q133_compression_gate,
 }
 
 
@@ -7142,6 +7286,20 @@ ORACLE_SQL = {
         )
         SELECT CAST(deg AS BIGINT) AS deg, count(*)::BIGINT AS n_docs
         FROM dd GROUP BY deg ORDER BY deg
+    """,
+    "q132_dup_triangles": _NGRAM_CC_SQL + """
+        , tri AS (
+            SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.id_a = e1.id_b
+            JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        ), corners AS (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_tri
+        FROM corners GROUP BY doc_id ORDER BY doc_id
     """,
     "q121_user_entropy": """
         WITH c AS (

@@ -90,6 +90,7 @@ SQL_CHECKED = [
     "q125_effective_tokens", "q127_quality_representatives",
     "q128_repetition_signals", "q129_exact_substring_spans",
     "q130_substring_dedup_rewrite", "q131_global_range_join",
+    "q132_dup_triangles",
 ]
 
 
@@ -113,7 +114,7 @@ ROWS_ONLY = [
     "q54_neardup_decontaminate", "q80_video_dup_clusters",
     "q81_top_bigrams_cms", "q96_value_quantiles_kll",
     "q116_packed_shards", "q117_bpe_merges", "q123_dup_pagerank",
-    "q126_doc_neighbors",
+    "q126_doc_neighbors", "q133_compression_gate",
 ]
 
 

@@ -2506,3 +2506,60 @@ def test_global_range_join_planted(ray_session, tmp_path):
     for c in g.columns:
         assert g[c].astype("int64").tolist() == \
             want[c].astype("int64").tolist(), c
+
+
+def test_dup_triangles_planted(ray_session, tmp_path):
+    """Triangle semantics by hand: four exact copies form a K4 (four
+    triangles; each corner sits in C(3,2)=3 of them), a pairwise dup
+    pair has an edge but no triangle, and unique docs are absent from
+    the output entirely."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q132_dup_triangles
+
+    k4 = "the same exact words repeated here for this document body"
+    pair = "another shared body of text with plenty of tokens inside it"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "lang": ["en"] * 7,
+        "text": [k4, k4, k4, k4, pair, pair,
+                 "totally unrelated first content string with many words"]}))
+    got = q132_dup_triangles(sf)
+    assert got.values.tolist() == [[1, 3], [2, 3], [3, 3], [4, 3]]
+
+
+def test_compression_gate_planted(ray_session, tmp_path):
+    """Gate semantics by hand: a long repetitive doc compresses far
+    below the keep band (flagged), a long high-entropy base64 doc
+    barely compresses (flagged), a long prose doc lands inside the
+    band (kept), and a short doc passes ungated regardless of its
+    ratio (zlib header overhead dominates short payloads)."""
+    import base64
+    import hashlib
+
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q133_compression_gate
+
+    prose = ("The quick brown fox jumps over the lazy dog while two "
+             "engineers argue about shuffle partitioning strategies "
+             "and the merits of exact integer arithmetic in oracles. ") * 4
+    rep = "spam " * 200
+    junk = base64.b64encode(b"".join(
+        hashlib.sha256(bytes([i])).digest() for i in range(40))).decode()
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en"] * 4,
+        "text": [prose, rep, junk, "tiny"]}))
+    got = q133_compression_gate(sf).set_index("doc_id")
+    assert len(got) == 4
+    assert bool(got.loc[1, "keep"]) is True
+    assert bool(got.loc[2, "keep"]) is False      # ratio below 100k ppm
+    assert got.loc[2, "ratio_ppm"] < 100_000
+    assert bool(got.loc[3, "keep"]) is False      # ratio above 750k ppm
+    assert got.loc[3, "ratio_ppm"] > 750_000
+    assert bool(got.loc[4, "keep"]) is True       # short doc: ungated
+    assert got.loc[4, "raw_len"] < 256
+    # exact integer ppm invariant
+    row = got.loc[1]
+    assert row["ratio_ppm"] == row["comp_len"] * 1_000_000 // row["raw_len"]
