@@ -141,6 +141,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q115_mixture_draw", "q119_market_share",
         "q122_length_percentile", "q125_effective_tokens",
         "q128_repetition_signals", "q129_exact_substring_spans",
+        "q132_dup_triangles", "q133_compression_gate",
     ]
     out: dict[str, float] = {}
     for name in names:

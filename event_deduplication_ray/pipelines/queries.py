@@ -6522,6 +6522,59 @@ def q133_compression_gate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q134_event_rate_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Per-type hourly event-rate anomaly — the stream-health monitor
+    beside q44's per-doc quality z: hours whose event count is
+    anomalous FOR THEIR TYPE (ingest gaps, bot bursts, replayed
+    feeds).  Per-batch (type, hour) count partials → ONE compact
+    shuffle combine → tiny per-type moments (count rows = types ×
+    observed hours) on the driver → vectorized z.  Float parity: the
+    q44 recipe — moments from exact integer sums, z rounded to 6 dp
+    on BOTH sides, the flag computed from the ROUNDED z, sd == 0
+    types define z = 0.  Hours with zero events don't exist on either
+    side (z is over OBSERVED hours; a gap shows up as a missing row,
+    not a negative z — documented contract)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["ts"].dt.strftime("%Y-%m-%d %H:00:00")})
+        return g.groupby(["event_type", "hour"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                                 "hour": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        return df.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+
+    c = _with_schema(
+        partition_apply(ds.map_batches(partial, batch_format="pandas"),
+                        ["event_type", "hour"], QCFG.join_num_partitions,
+                        combine).to_pandas(),
+        {"event_type": "object", "hour": "object", "n": "int64"})
+    n = c["n"].to_numpy(np.int64).astype(np.float64)
+    agg = pd.DataFrame({"event_type": c["event_type"], "n": n,
+                        "n2": n * n}).groupby(
+        "event_type", as_index=False).agg(
+        cnt=("n", "size"), s=("n", "sum"), s2=("n2", "sum"))
+    mu = (agg["s"] / agg["cnt"]).to_numpy()
+    sd = np.sqrt(np.maximum(
+        agg["s2"].to_numpy() / agg["cnt"].to_numpy() - mu * mu, 0.0))
+    mu_d = dict(zip(agg["event_type"], mu))
+    sd_d = dict(zip(agg["event_type"], sd))
+    mus = c["event_type"].map(mu_d).to_numpy(np.float64)
+    sds = c["event_type"].map(sd_d).to_numpy(np.float64)
+    z = np.round(np.where(sds == 0, 0.0,
+                          (n - mus) / np.where(sds == 0, 1.0, sds)), 6)
+    out = pd.DataFrame({"event_type": c["event_type"], "hour": c["hour"],
+                        "n": c["n"].astype("int64"), "z": z,
+                        "anomaly": (np.abs(z) > 3).astype(np.int64)})
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -6652,6 +6705,7 @@ RAY_QUERIES = {
     "q131_global_range_join": q131_global_range_join,
     "q132_dup_triangles": q132_dup_triangles,
     "q133_compression_gate": q133_compression_gate,
+    "q134_event_rate_anomaly": q134_event_rate_anomaly,
 }
 
 
@@ -7300,6 +7354,27 @@ ORACLE_SQL = {
         )
         SELECT doc_id, count(*)::BIGINT AS n_tri
         FROM corners GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q134_event_rate_anomaly": """
+        WITH c AS (
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:00:00') AS hour,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd
+            FROM c GROUP BY event_type
+        ), z AS (
+            SELECT c.event_type, c.hour, c.n,
+                   round(CASE WHEN s.sd = 0 THEN 0.0
+                              ELSE (c.n - s.mu) / s.sd END, 6) AS z
+            FROM c JOIN s USING (event_type)
+        )
+        SELECT event_type, hour, n, z,
+               CAST(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS BIGINT)
+                   AS anomaly
+        FROM z ORDER BY event_type, hour
     """,
     "q121_user_entropy": """
         WITH c AS (

@@ -90,7 +90,7 @@ SQL_CHECKED = [
     "q125_effective_tokens", "q127_quality_representatives",
     "q128_repetition_signals", "q129_exact_substring_spans",
     "q130_substring_dedup_rewrite", "q131_global_range_join",
-    "q132_dup_triangles",
+    "q132_dup_triangles", "q134_event_rate_anomaly",
 ]
 
 

@@ -2563,3 +2563,58 @@ def test_compression_gate_planted(ray_session, tmp_path):
     # exact integer ppm invariant
     row = got.loc[1]
     assert row["ratio_ppm"] == row["comp_len"] * 1_000_000 // row["raw_len"]
+
+
+def test_event_rate_anomaly_planted(ray_session, tmp_path):
+    """Anomaly semantics by hand: a constant-rate type has sd=0 →
+    z=0 everywhere, never anomalous; a type with 24 quiet hours and
+    one 40-event spike puts only the spike past |z|>3; hours with no
+    events produce NO row (documented observed-hours contract)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        ORACLE_SQL,
+        q134_event_rate_anomaly,
+    )
+
+    T = pd.Timestamp("2024-03-01 00:30:00")
+    H = pd.Timedelta(hours=1)
+    rows = []
+    # 'steady': exactly 2 events in each of 10 consecutive hours
+    for h in range(10):
+        rows += [(T + h * H, "steady")] * 2
+    # 'bursty': 1 event in each of 24 hours, then a 40-event spike
+    for h in range(24):
+        rows.append((T + h * H, "bursty"))
+    rows += [(T + 26 * H, "bursty")] * 40   # hour 25 empty: no row
+    ev = pd.DataFrame(rows, columns=["ts", "event_type"])
+    ev["event_id"] = np.arange(1, len(ev) + 1, dtype=np.int64)
+    ev["user_id"] = 1
+    ev["value"] = 0.0
+    ev["props"] = "{}"
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write_tbl(tmp_path, "events",
+                    ev[["event_id", "ts", "user_id", "event_type",
+                        "value", "props"]])
+    got = q134_event_rate_anomaly(sf)
+    st = got[got["event_type"] == "steady"]
+    assert len(st) == 10 and (st["z"] == 0.0).all() \
+        and (st["anomaly"] == 0).all()
+    bu = got[got["event_type"] == "bursty"]
+    assert len(bu) == 25               # 24 quiet + spike; empty hour absent
+    mu = (24 * 1 + 40) / 25
+    sd = np.sqrt((24 * 1 + 1600) / 25 - mu * mu)
+    spike = bu[bu["n"] == 40].iloc[0]
+    assert spike["anomaly"] == 1
+    assert spike["z"] == round((40 - mu) / sd, 6)
+    assert (bu[bu["n"] == 1]["anomaly"] == 0).all()
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM ev")
+    want = con.execute(ORACLE_SQL["q134_event_rate_anomaly"]).fetchdf()
+    g = got.reset_index(drop=True)
+    assert g["z"].tolist() == want["z"].tolist()
+    assert g["n"].astype("int64").tolist() == \
+        want["n"].astype("int64").tolist()
