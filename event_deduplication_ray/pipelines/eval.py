@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -221,3 +222,79 @@ def bcubed_metrics(
     f1 = 2 * p * r / (p + r) if (p + r) else 0.0
     return {"bcubed_precision": round(p, 6), "bcubed_recall": round(r, 6),
             "bcubed_f1": round(f1, 6), "n_items": n}
+
+
+def compare_runs(a: pd.DataFrame, b: pd.DataFrame) -> dict:
+    """Run-to-run clustering drift: Adjusted Rand Index plus
+    split/merge counts between two assignment tables over the same
+    corpus — the audit readout for C8-style re-clustering (did a
+    config patch, an incremental add, or review surgery move the
+    clustering, and how: splits vs merges vs churn).  Reference
+    analog: the reference re-clusters after review edits
+    (review/operations.py) but never quantifies drift; this is the
+    batch-engine form.
+
+    a/b: (doc_id, cluster_id) frames.  ARI closed form (Hubert &
+    Arabie 1985) from the contingency cells: index = Σ C(n_ij,2),
+    expected = Σ C(a_i,2)·Σ C(b_j,2)/C(n,2), max = (ΣC(a_i,2)+
+    ΣC(b_j,2))/2; denominator 0 (both partitions trivial) defines
+    ARI = 1.  All counts are exact int64; only the final division is
+    float.  Driver-side over the bounded assignment tables (the
+    E1/B-cubed pattern); the cells are one groupby, so the
+    distributed swap-in is a (cluster_a, cluster_b) key shuffle
+    emitting cell partials.
+
+    Split/merge semantics: a cluster of A (with >= 2 docs in common)
+    counts as SPLIT if its docs land in more than one B cluster;
+    symmetric for MERGED.  Docs present in only one run are counted
+    (n_only_a/n_only_b) and excluded from the overlap metrics.
+    """
+    m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    n = len(m)
+    out = {
+        "n_common": int(n),
+        "n_only_a": int(len(a) - n),
+        "n_only_b": int(len(b) - n),
+    }
+    if n == 0:
+        out.update({"ari": 1.0, "n_clusters_a": 0, "n_clusters_b": 0,
+                    "n_split_a": 0, "n_merged_b": 0, "n_moved": 0})
+        return out
+
+    def _comb2(x: np.ndarray) -> int:
+        x = x.astype(np.int64)
+        return int((x * (x - 1) // 2).sum())
+
+    cells = m.groupby(["cluster_id_a", "cluster_id_b"]).size() \
+        .rename("n_ab").reset_index()
+    a_sizes = cells.groupby("cluster_id_a")["n_ab"].sum().to_numpy()
+    b_sizes = cells.groupby("cluster_id_b")["n_ab"].sum().to_numpy()
+    index = _comb2(cells["n_ab"].to_numpy())
+    sum_a = _comb2(a_sizes)
+    sum_b = _comb2(b_sizes)
+    total = n * (n - 1) // 2
+    expected = (sum_a * sum_b / total) if total else 0.0
+    max_index = (sum_a + sum_b) / 2.0
+    denom = max_index - expected
+    ari = 1.0 if denom == 0 else (index - expected) / denom
+
+    # splits/merges among non-singleton overlap clusters
+    fan_a = cells.groupby("cluster_id_a").agg(
+        k=("n_ab", "size"), sz=("n_ab", "sum"))
+    fan_b = cells.groupby("cluster_id_b").agg(
+        k=("n_ab", "size"), sz=("n_ab", "sum"))
+    n_split_a = int(((fan_a["k"] > 1) & (fan_a["sz"] >= 2)).sum())
+    n_merged_b = int(((fan_b["k"] > 1) & (fan_b["sz"] >= 2)).sum())
+    # docs whose A-cluster majority partner changed: docs outside the
+    # largest cell of their A cluster (churn size, not cluster count)
+    largest = cells.groupby("cluster_id_a")["n_ab"].max()
+    n_moved = int(n - largest.sum())
+    out.update({
+        "ari": round(float(ari), 6),
+        "n_clusters_a": int(len(fan_a)),
+        "n_clusters_b": int(len(fan_b)),
+        "n_split_a": n_split_a,
+        "n_merged_b": n_merged_b,
+        "n_moved": n_moved,
+    })
+    return out

@@ -155,3 +155,65 @@ def test_bcubed_on_golden_fixture(ray_session, tmp_path):
     assert m["n_items"] == len(gold)
     assert m["bcubed_precision"] >= 0.99
     assert m["bcubed_recall"] >= 0.98
+
+
+def test_compare_runs_identical_is_one():
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.eval import compare_runs
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                      "cluster_id": [1, 1, 2, 2, 3]})
+    m = compare_runs(a, a.copy())
+    assert m["ari"] == 1.0
+    assert m["n_split_a"] == 0 and m["n_merged_b"] == 0
+    assert m["n_moved"] == 0
+    assert m["n_common"] == 5 and m["n_only_a"] == 0
+
+
+def test_compare_runs_hand_ari():
+    """sklearn's doc example: true=[0,0,1,1], pred=[0,0,1,2] →
+    ARI = 4/7 (index 1, expected 1/3, max 3/2), one split, zero
+    merges, one doc moved out of its majority cell."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.eval import compare_runs
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3, 4], "cluster_id": [0, 0, 1, 1]})
+    b = pd.DataFrame({"doc_id": [1, 2, 3, 4], "cluster_id": [0, 0, 1, 2]})
+    m = compare_runs(a, b)
+    assert m["ari"] == round(4 / 7, 6)
+    assert m["n_split_a"] == 1          # A cluster 1 → B {1, 2}
+    assert m["n_merged_b"] == 0
+    assert m["n_moved"] == 1
+    assert m["n_clusters_a"] == 2 and m["n_clusters_b"] == 3
+
+
+def test_compare_runs_merge_and_disjoint_docs():
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.eval import compare_runs
+
+    # B merges A's two clusters; doc 9 only in A, doc 10 only in B
+    a = pd.DataFrame({"doc_id": [1, 2, 3, 4, 9],
+                      "cluster_id": [1, 1, 2, 2, 5]})
+    b = pd.DataFrame({"doc_id": [1, 2, 3, 4, 10],
+                      "cluster_id": [7, 7, 7, 7, 8]})
+    m = compare_runs(a, b)
+    assert m["n_merged_b"] == 1
+    assert m["n_split_a"] == 0
+    assert m["n_only_a"] == 1 and m["n_only_b"] == 1
+    assert m["n_common"] == 4
+    # ARI by hand: index=2, sum_a=2, sum_b=6, total=6, exp=2, max=4
+    assert m["ari"] == 0.0
+
+
+def test_compare_runs_trivial_denominator():
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.eval import compare_runs
+
+    # all docs in ONE cluster on both sides: denom 0 → ARI 1
+    a = pd.DataFrame({"doc_id": [1, 2, 3], "cluster_id": [1, 1, 1]})
+    b = pd.DataFrame({"doc_id": [1, 2, 3], "cluster_id": [9, 9, 9]})
+    assert compare_runs(a, b)["ari"] == 1.0
