@@ -2618,3 +2618,87 @@ def test_event_rate_anomaly_planted(ray_session, tmp_path):
     assert g["z"].tolist() == want["z"].tolist()
     assert g["n"].astype("int64").tolist() == \
         want["n"].astype("int64").tolist()
+
+
+def test_winnow_dedup_guarantee_and_cap(ray_session, tmp_path):
+    """The MOSS guarantee by construction: a shared chunk of exactly
+    w+k-1 = 47 chars MUST yield >= 1 shared fingerprint (pair found
+    at min_shared=1); a 200-char shared chunk clears min_shared=2;
+    unrelated docs never pair; and a chunk shared by MORE than
+    max_fp_docs docs is dropped as boilerplate while reappearing
+    when the cap is lifted."""
+    import hashlib
+
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q135_winnow_dedup
+
+    def junk(tag: str, n: int) -> str:
+        out = []
+        i = 0
+        while sum(len(x) for x in out) < n:
+            out.append(hashlib.sha256(f"{tag}{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    chunk47 = junk("chunk47", 47)
+    chunk200 = junk("chunk200", 200)
+    boiler = junk("boiler", 120)
+    docs = {
+        1: junk("a", 150) + chunk47 + junk("b", 150),
+        2: junk("c", 150) + chunk47 + junk("d", 150),
+        3: junk("e", 100) + chunk200 + junk("f", 100),
+        4: junk("g", 100) + chunk200 + junk("h", 100),
+        5: junk("solo1", 400),
+        6: junk("solo2", 400),
+    }
+    # 6 IDENTICAL boilerplate docs: identical hash streams → identical
+    # selections → every selected fp is shared by all 6 docs, so the
+    # cap (4) drops the whole group deterministically.  (With distinct
+    # surroundings the selection near the boundaries can split an fp's
+    # doc count below the cap — the cap is on SELECTED occurrences,
+    # the MOSS semantic, not substring frequency.)
+    for i in range(7, 13):
+        docs[i] = boiler
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": list(docs), "lang": ["en"] * len(docs),
+        "text": list(docs.values())}))
+
+    got1 = q135_winnow_dedup(sf, min_shared=1, max_fp_docs=4)
+    pairs1 = set(map(tuple, got1[["id_a", "id_b"]].values.tolist()))
+    assert (1, 2) in pairs1                  # 47-char guarantee
+    assert (3, 4) in pairs1
+    assert not any(5 in p or 6 in p for p in pairs1)
+    assert not any(a >= 7 and b >= 7 for a, b in pairs1)  # cap drops boiler
+
+    got2 = q135_winnow_dedup(sf, min_shared=2, max_fp_docs=64)
+    pairs2 = set(map(tuple, got2[["id_a", "id_b"]].values.tolist()))
+    assert (3, 4) in pairs2                  # 200-char chunk: many fps
+    boiler_pairs = [p for p in pairs2 if p[0] >= 7 and p[1] >= 7]
+    assert len(boiler_pairs) == 15           # C(6,2): cap lifted
+
+
+def test_winnow_dedup_agrees_with_exact_families(ray_session):
+    """Winnowed pairs on the driver corpus recover the exact-Jaccard
+    dup families: every q28-exact edge (near-identical docs) is also
+    a winnowed pair, and winnowing adds only containment-style pairs
+    (its guarantee is substring-based, not whole-doc)."""
+    from event_deduplication_ray.pipelines.queries import (
+        QCFG,
+        _docs_from_documents,
+        q135_winnow_dedup,
+    )
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.pairs import ngram_jaccard_match_pairs
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    sf = "/root/testdata/sf0.001"
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    exact = ngram_jaccard_match_pairs(
+        substring_fp_table(signature_stage(_docs_from_documents(sf), cfg),
+                           cfg), cfg, threshold=cfg.jaccard_match) \
+        .to_pandas()
+    exact_pairs = set(map(tuple, exact[["id_a", "id_b"]].values.tolist()))
+    win = q135_winnow_dedup(sf)
+    win_pairs = set(map(tuple, win[["id_a", "id_b"]].values.tolist()))
+    assert exact_pairs <= win_pairs
