@@ -6672,6 +6672,51 @@ def q135_winnow_dedup(sf_dir: str, k: int = 32, w: int = 16,
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q136_hopping_windows(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) window aggregate — the streaming window shape
+    the battery's tumbling (q06), session (q14), per-user rolling
+    (q41) and late-data (q113) ops don't cover: 1-hour windows
+    hopping every 15 min, so each event lands in exactly 4 windows.
+    Engine: replicate each event to its 4 window starts inside the
+    batch map (pure numpy, 16 B/row), ONE window-start shuffle, per-
+    partition count + distinct-user count (windows are complete per
+    partition).  Exact-integer µs bucket arithmetic mirrors the SQL's
+    epoch_us floor-div; window_start is emitted as a strftime string
+    (the M8/M9 timestamp-parity convention)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    HOP = 15 * 60 * 1_000_000
+    NSUB = 4
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").view(np.int64)
+        b = us // HOP * HOP
+        uid = df["user_id"].to_numpy(np.int64)
+        ws = np.concatenate([b - j * HOP for j in range(NSUB)])
+        return pd.DataFrame({"ws_us": ws, "user_id": np.tile(uid, NSUB)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"ws_us": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        g = df.groupby("ws_us").agg(
+            n_events=("user_id", "size"), n_users=("user_id", "nunique"))
+        return g.reset_index()
+
+    out = _with_schema(
+        partition_apply(ds.map_batches(replicate, batch_format="pandas"),
+                        ["ws_us"], QCFG.join_num_partitions,
+                        combine).to_pandas(),
+        {"ws_us": "int64", "n_events": "int64", "n_users": "int64"})
+    out["window_start"] = pd.to_datetime(
+        out["ws_us"].astype("int64"), unit="us").dt.strftime(
+        "%Y-%m-%d %H:%M:%S")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["window_start", "n_events", "n_users"]] \
+        .sort_values("window_start").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -6804,6 +6849,7 @@ RAY_QUERIES = {
     "q133_compression_gate": q133_compression_gate,
     "q134_event_rate_anomaly": q134_event_rate_anomaly,
     "q135_winnow_dedup": q135_winnow_dedup,
+    "q136_hopping_windows": q136_hopping_windows,
 }
 
 
@@ -7473,6 +7519,19 @@ ORACLE_SQL = {
                CAST(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS BIGINT)
                    AS anomaly
         FROM z ORDER BY event_type, hour
+    """,
+    "q136_hopping_windows": """
+        WITH x AS (
+            SELECT user_id,
+                   (epoch_us(ts) // 900000000) * 900000000
+                       - j * 900000000::BIGINT AS ws
+            FROM events, unnest([0, 1, 2, 3]) AS t(j)
+        )
+        SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               count(*)::BIGINT AS n_events,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM x GROUP BY 1 ORDER BY 1
     """,
     "q121_user_entropy": """
         WITH c AS (

@@ -124,7 +124,8 @@ EV_FUZZED = ["q06_user_hourly_windows", "q14_session_windows",
              "q83_value_quantiles", "q87_retention_cohorts",
              "q88_event_type_cooccurrence", "q99_event_transitions",
              "q113_late_data_drop", "q121_user_entropy",
-             "q131_global_range_join", "q134_event_rate_anomaly"]
+             "q131_global_range_join", "q134_event_rate_anomaly",
+             "q136_hopping_windows"]
 
 
 def _events(seed: int) -> pd.DataFrame:

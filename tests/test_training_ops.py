@@ -2702,3 +2702,39 @@ def test_winnow_dedup_agrees_with_exact_families(ray_session):
     win = q135_winnow_dedup(sf)
     win_pairs = set(map(tuple, win[["id_a", "id_b"]].values.tolist()))
     assert exact_pairs <= win_pairs
+
+
+def test_hopping_windows_planted(ray_session, tmp_path):
+    """Window membership by hand: an event at 01:07 belongs to the
+    four 1-hour windows starting 00:15/00:30/00:45/01:00; an event at
+    exactly 01:00 belongs to 00:15..01:00 (bucket floor is its own
+    window start); distinct-user counting collapses a same-user pair
+    inside a shared window but not the event count."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q136_hopping_windows
+
+    T = pd.Timestamp("2024-03-01")
+    ev = pd.DataFrame({
+        "ts": [T + pd.Timedelta(minutes=67),       # 01:07, user 1
+               T + pd.Timedelta(minutes=60),       # 01:00, user 1
+               T + pd.Timedelta(minutes=67)],      # 01:07, user 2
+        "user_id": [1, 1, 2]})
+    ev["event_id"] = np.arange(1, 4, dtype=np.int64)
+    ev["event_type"] = "view"
+    ev["value"] = 0.0
+    ev["props"] = "{}"
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write_tbl(tmp_path, "events",
+                    ev[["event_id", "ts", "user_id", "event_type",
+                        "value", "props"]])
+    got = q136_hopping_windows(sf).set_index("window_start")
+    assert got.loc["2024-03-01 01:00:00", "n_events"] == 3
+    assert got.loc["2024-03-01 01:00:00", "n_users"] == 2
+    assert got.loc["2024-03-01 00:15:00", "n_events"] == 3
+    assert got.loc["2024-03-01 00:30:00", "n_events"] == 3
+    assert got.loc["2024-03-01 00:45:00", "n_events"] == 3
+    # 01:07 events drop out of windows ending before them; 01:00 stays
+    assert "2024-03-01 01:15:00" not in got.index  # no event >= 01:15
+    assert len(got) == 4
