@@ -6717,6 +6717,32 @@ def q136_hopping_windows(sf_dir: str) -> pd.DataFrame:
         .sort_values("window_start").reset_index(drop=True)
 
 
+def q137_containment_directed(sf_dir: str) -> pd.DataFrame:
+    """Directed containment edges — WHICH doc is contained in which
+    (quote/aggregator/expanded-repost relationships), the asymmetric
+    complement of q30's undirected pair set: inner = the doc with
+    fewer distinct shingles (doc_id breaks ties), cont_ppm = exact
+    integer shared·10⁶ // |inner|, kept when it crosses the
+    substring_containment threshold via float-free cross-
+    multiplication.  Same exact inverted-index machinery and audit-
+    mode caveat as q28/q30."""
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.pairs import ngram_jaccard_match_pairs
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    docs = _docs_from_documents(sf_dir)
+    pairs = ngram_jaccard_match_pairs(
+        substring_fp_table(signature_stage(docs, cfg), cfg), cfg,
+        threshold=cfg.substring_containment, mode="containment_directed")
+    df = _with_schema(pairs.to_pandas(),
+                      {"inner_id": "int64", "outer_id": "int64",
+                       "cont_ppm": "int64"})
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["inner_id", "outer_id"]).reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -6850,6 +6876,7 @@ RAY_QUERIES = {
     "q134_event_rate_anomaly": q134_event_rate_anomaly,
     "q135_winnow_dedup": q135_winnow_dedup,
     "q136_hopping_windows": q136_hopping_windows,
+    "q137_containment_directed": q137_containment_directed,
 }
 
 
@@ -7519,6 +7546,23 @@ ORACLE_SQL = {
                CAST(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS BIGINT)
                    AS anomaly
         FROM z ORDER BY event_type, hour
+    """,
+    "q137_containment_directed": _NGRAM_CC_SQL + """
+        , dirc AS (
+            SELECT CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND id_a < id_b)
+                        THEN id_a ELSE id_b END AS inner_id,
+                   CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND id_a < id_b)
+                        THEN id_b ELSE id_a END AS outer_id,
+                   shared, least(ca.n, cb.n) AS n_inner
+            FROM inter
+            JOIN counts ca ON ca.doc_id = inter.id_a
+            JOIN counts cb ON cb.doc_id = inter.id_b
+            -- substring_containment = 0.8 (config.py), cross-multiplied
+            WHERE shared * 1000000 >= 800000 * least(ca.n, cb.n)
+        )
+        SELECT inner_id, outer_id,
+               CAST(shared * 1000000 // n_inner AS BIGINT) AS cont_ppm
+        FROM dirc ORDER BY inner_id, outer_id
     """,
     "q136_hopping_windows": """
         WITH x AS (

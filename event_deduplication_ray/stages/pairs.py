@@ -493,6 +493,11 @@ def ngram_jaccard_match_pairs(
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
+            if mode == "containment_directed":
+                return pd.DataFrame(
+                    {"inner_id": pd.Series(dtype="int64"),
+                     "outer_id": pd.Series(dtype="int64"),
+                     "cont_ppm": pd.Series(dtype="int64")})
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
                  "score": pd.Series(dtype="float64"),
@@ -503,6 +508,27 @@ def ngram_jaccard_match_pairs(
             df.groupby(["id_a", "id_b"], as_index=False)
             .agg(shared=("shared", "sum"), na=("na", "first"), nb=("nb", "first"))
         )
+        if mode == "containment_directed":
+            # directed exact containment: the INNER doc (fewer distinct
+            # shingles; doc_id breaks ties) is contained in the OUTER
+            # one.  Exact-integer ppm + cross-multiplied threshold so
+            # the boundary is float-free (oracle-parity convention).
+            na = g["na"].to_numpy(np.int64)
+            nb = g["nb"].to_numpy(np.int64)
+            sh = g["shared"].to_numpy(np.int64)
+            ia = g["id_a"].to_numpy(np.int64)
+            ib = g["id_b"].to_numpy(np.int64)
+            n_min = np.minimum(na, nb)
+            thr_ppm = int(round(threshold * 1_000_000))
+            keep = sh * 1_000_000 >= thr_ppm * n_min
+            a_inner = (na < nb) | ((na == nb) & (ia < ib))
+            out = pd.DataFrame({
+                "inner_id": np.where(a_inner, ia, ib)[keep],
+                "outer_id": np.where(a_inner, ib, ia)[keep],
+                "cont_ppm": (sh * 1_000_000 // n_min)[keep]})
+            for c in out.columns:
+                out[c] = out[c].astype("int64")
+            return out
         if mode == "containment":
             # exact containment: shared / min(|A|, |B|) — the
             # substring-tier decision rule with zero sampling error

@@ -91,7 +91,7 @@ SQL_CHECKED = [
     "q128_repetition_signals", "q129_exact_substring_spans",
     "q130_substring_dedup_rewrite", "q131_global_range_join",
     "q132_dup_triangles", "q134_event_rate_anomaly",
-    "q136_hopping_windows",
+    "q136_hopping_windows", "q137_containment_directed",
 ]
 
 

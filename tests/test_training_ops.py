@@ -2738,3 +2738,32 @@ def test_hopping_windows_planted(ray_session, tmp_path):
     # 01:07 events drop out of windows ending before them; 01:00 stays
     assert "2024-03-01 01:15:00" not in got.index  # no event >= 01:15
     assert len(got) == 4
+
+
+def test_containment_directed_planted(ray_session, tmp_path):
+    """Direction semantics by hand: a 10-token doc fully quoted inside
+    a 40-token doc → (inner=quote, outer=host, cont_ppm=1e6); partial
+    overlap below 0.8 emits nothing; equal-size exact copies break the
+    tie by doc_id."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q137_containment_directed,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    host = ("intro words before the quotation now begins here " + quote
+            + " and plenty of trailing commentary follows the quoted part"
+            + " padding tokens one two three four five six seven")
+    twin = "identical twin document body with exactly these same tokens"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "lang": ["en"] * 5,
+        "text": [quote, host, twin, twin,
+                 "completely unrelated filler text with distinct words"]}))
+    got = q137_containment_directed(sf)
+    rows = {(r.inner_id, r.outer_id): r.cont_ppm
+            for r in got.itertuples()}
+    assert rows[(1, 2)] == 1_000_000        # quote fully inside host
+    assert rows[(3, 4)] == 1_000_000        # tie → smaller id is inner
+    assert len(rows) == 2                   # nothing else crosses 0.8
