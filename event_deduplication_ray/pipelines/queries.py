@@ -6743,6 +6743,71 @@ def q137_containment_directed(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["inner_id", "outer_id"]).reset_index(drop=True)
 
 
+def q138_cross_label_nn(sf_dir: str) -> pd.DataFrame:
+    """Nearest CROSS-label neighbor per vector — the margin audit
+    beside q112's own-centroid outliers: a vector whose closest
+    neighbor under a different label is very close is a labeling-
+    boundary (or mislabel) candidate.  Engine: the reference matrix
+    (ids, labels, L2-normalized rows) is broadcast ONCE via ray.put
+    (bounded: it is the ANN reference table, ~0.5 KB/vector — the
+    same budget srp/ivf index builds hold; at 100 TB the reference
+    side is the per-label IVF index, q32, and this exact pass is the
+    audit mode), the table then STREAMS through one matmul per batch
+    with same-label columns masked; exact-tie top-1 resolves to the
+    minimal nn_id (the q31 convention).  Output is ranking-only
+    (vec_id, nn_id, nn_label) — float cos stays out of the compare,
+    the q31/q32 precedent."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def norm_part(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        keep = n[:, 0] > 0
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64)[keep],
+            "label": df["label"].to_numpy(np.int64)[keep],
+            "e": [r.tobytes() for r in (m[keep] / n[keep])]})
+
+    ref = ds.map_batches(norm_part, batch_format="pandas").to_pandas()
+    d = len(np.frombuffer(ref["e"].iloc[0])) if len(ref) else 0
+    ids = ref["vec_id"].to_numpy(np.int64)
+    labels = ref["label"].to_numpy(np.int64)
+    M = (np.frombuffer(b"".join(ref["e"]), dtype=np.float64)
+         .reshape(len(ref), d) if len(ref) else np.zeros((0, 0)))
+    ref_obj = _ray.put((ids, labels, M.T.copy()))
+
+    def nn(df: pd.DataFrame) -> pd.DataFrame:
+        r_ids, r_lab, r_mt = _ray.get(ref_obj)
+        if len(df) == 0 or len(r_ids) == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "nn_id": pd.Series(dtype="int64"),
+                                 "nn_label": pd.Series(dtype="int64")})
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        keep = n[:, 0] > 0
+        m = m[keep] / n[keep]
+        qids = df["vec_id"].to_numpy(np.int64)[keep]
+        qlab = df["label"].to_numpy(np.int64)[keep]
+        cos = m @ r_mt
+        cos[qlab[:, None] == r_lab[None, :]] = -np.inf
+        mx = cos.max(axis=1)
+        big = np.int64(2**62)
+        nnid = np.where(cos == mx[:, None], r_ids[None, :], big).min(axis=1)
+        lab_of = dict(zip(r_ids, r_lab))
+        return pd.DataFrame({
+            "vec_id": qids, "nn_id": nnid,
+            "nn_label": np.array([lab_of[i] for i in nnid], np.int64)})
+
+    out = _with_schema(
+        ds.map_batches(nn, batch_format="pandas").to_pandas(),
+        {"vec_id": "int64", "nn_id": "int64", "nn_label": "int64"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -6877,6 +6942,7 @@ RAY_QUERIES = {
     "q135_winnow_dedup": q135_winnow_dedup,
     "q136_hopping_windows": q136_hopping_windows,
     "q137_containment_directed": q137_containment_directed,
+    "q138_cross_label_nn": q138_cross_label_nn,
 }
 
 
@@ -7546,6 +7612,24 @@ ORACLE_SQL = {
                CAST(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS BIGINT)
                    AS anomaly
         FROM z ORDER BY event_type, hour
+    """,
+    # ranking-only like q31/q32; DOUBLE[] cast per the q98 float32
+    # accumulation lesson; zero-norm vectors excluded on both sides
+    "q138_cross_label_nn": """
+        WITH n AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS e
+            FROM embeddings
+            WHERE list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
+        )
+        SELECT a.vec_id, b.vec_id AS nn_id,
+               CAST(b.label AS BIGINT) AS nn_label
+        FROM n a JOIN n b ON a.label <> b.label
+        QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY list_cosine_similarity(b.e, a.e) DESC, b.vec_id
+        ) = 1
+        ORDER BY a.vec_id
     """,
     "q137_containment_directed": _NGRAM_CC_SQL + """
         , dirc AS (

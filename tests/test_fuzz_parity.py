@@ -311,6 +311,7 @@ EMB_FUZZED = [
     "q31_embedding_topk_batch", "q32_ivf_topk",
     "q92_centroid_confusion", "q98_embedding_audit",
     "q112_semantic_outliers", "q114_lang_embedding_coherence",
+    "q138_cross_label_nn",
 ]
 
 

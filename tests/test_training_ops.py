@@ -2767,3 +2767,37 @@ def test_containment_directed_planted(ray_session, tmp_path):
     assert rows[(1, 2)] == 1_000_000        # quote fully inside host
     assert rows[(3, 4)] == 1_000_000        # tie → smaller id is inner
     assert len(rows) == 2                   # nothing else crosses 0.8
+
+
+def test_cross_label_nn_planted(ray_session, tmp_path):
+    """Cross-label semantics by hand: a vector whose nearest SAME-label
+    twin is nearly identical must still report the best OTHER-label
+    vector; exact duplicate vectors under different labels tie-break
+    to the minimal nn_id; zero-norm vectors are excluded entirely."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q138_cross_label_nn
+
+    d = 8
+    e = np.eye(d, dtype=np.float32)
+    rows = [
+        (1, 0, e[0]),                          # axis 0, label 0
+        (2, 0, (e[0] * 0.99 + e[1] * 0.01)),   # near-twin, SAME label
+        (3, 1, (e[0] * 0.7 + e[2] * 0.3)),     # best cross-label for 1
+        (4, 1, e[3]),                          # orthogonal
+        (5, 2, e[0].copy()),                   # exact dup of 1, label 2
+        (6, 2, e[0].copy()),                   # exact dup again
+        (7, 3, np.zeros(d, np.float32)),       # zero-norm: excluded
+    ]
+    sf = _write_tbl(tmp_path, "embeddings", pd.DataFrame({
+        "vec_id": [r[0] for r in rows],
+        "embedding": [r[2].astype(np.float32) for r in rows],
+        "label": np.array([r[1] for r in rows], np.int32)}))
+    got = q138_cross_label_nn(sf).set_index("vec_id")
+    assert 7 not in got.index
+    # vec 1's best cross-label is its exact duplicate — tie → min id 5
+    assert got.loc[1, "nn_id"] == 5 and got.loc[1, "nn_label"] == 2
+    assert got.loc[5, "nn_id"] == 1          # symmetric, label 0 wins order
+    assert got.loc[4, "nn_id"] in (1, 2, 3, 5, 6)  # anything non-label-1
+    assert got.loc[3, "nn_id"] in (1, 5, 6)  # closest to axis 0 family
