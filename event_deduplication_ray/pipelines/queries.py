@@ -6808,6 +6808,53 @@ def q138_cross_label_nn(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q139_source_dup_rate(sf_dir: str) -> pd.DataFrame:
+    """Per-source duplication rate — the headline ops readout over
+    q28's exact clustering (q100 gives the pairwise matrix; this
+    gives each feed's own duplicated share, the number a crawl
+    operator actually watches): docs sitting in a multi-doc cluster
+    / docs, per source, as exact integer ppm.  ONE cluster_id shuffle
+    flags dup membership (out_keys chains straight into the doc_id
+    cogroup with the narrow source projection — no driver barrier),
+    per-partition (source, n, n_dup) partials, tiny driver combine."""
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    P = QCFG.join_num_partitions
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+    assign = q28_ngram_jaccard_clusters(sf_dir)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "isdup": pd.Series(dtype="int64")})
+        sz = df.groupby("cluster_id")["doc_id"].transform("size")
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "isdup": (sz >= 2).astype("int64")})
+
+    flags = partition_apply(assign, ["cluster_id"], P, flag,
+                            out_keys=["doc_id"])
+
+    def partial(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "n_docs": pd.Series(dtype="int64"),
+                                 "n_dup": pd.Series(dtype="int64")})
+        m = l.merge(r, on="doc_id")
+        return m.groupby("source", as_index=False).agg(
+            n_docs=("isdup", "size"), n_dup=("isdup", "sum"))
+
+    parts = _with_schema(
+        cogroup_apply(flags, shuffle_to(src, ["doc_id"], P),
+                      ["doc_id"], ["doc_id"], P, partial).to_pandas(),
+        {"source": "object", "n_docs": "int64", "n_dup": "int64"})
+    out = parts.groupby("source", as_index=False)[["n_docs", "n_dup"]].sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_dup"] = out["n_dup"].astype("int64")
+    out["dup_ppm"] = (out["n_dup"] * 1_000_000 // out["n_docs"]) \
+        .astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -6943,6 +6990,7 @@ RAY_QUERIES = {
     "q136_hopping_windows": q136_hopping_windows,
     "q137_containment_directed": q137_containment_directed,
     "q138_cross_label_nn": q138_cross_label_nn,
+    "q139_source_dup_rate": q139_source_dup_rate,
 }
 
 
@@ -7612,6 +7660,22 @@ ORACLE_SQL = {
                CAST(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS BIGINT)
                    AS anomaly
         FROM z ORDER BY event_type, hour
+    """,
+    "q139_source_dup_rate": _NGRAM_CC_SQL + """
+        , sz AS (
+            SELECT cluster_id, count(*) AS sz
+            FROM assign GROUP BY cluster_id
+        ), d AS (
+            SELECT a.doc_id,
+                   CASE WHEN sz.sz >= 2 THEN 1 ELSE 0 END AS isdup
+            FROM assign a JOIN sz USING (cluster_id)
+        )
+        SELECT doc.source,
+               count(*)::BIGINT AS n_docs,
+               sum(isdup)::BIGINT AS n_dup,
+               CAST(sum(isdup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+        FROM documents doc JOIN d ON d.doc_id = doc.doc_id
+        GROUP BY doc.source ORDER BY doc.source
     """,
     # ranking-only like q31/q32; DOUBLE[] cast per the q98 float32
     # accumulation lesson; zero-norm vectors excluded on both sides

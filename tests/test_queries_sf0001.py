@@ -92,7 +92,7 @@ SQL_CHECKED = [
     "q130_substring_dedup_rewrite", "q131_global_range_join",
     "q132_dup_triangles", "q134_event_rate_anomaly",
     "q136_hopping_windows", "q137_containment_directed",
-    "q138_cross_label_nn",
+    "q138_cross_label_nn", "q139_source_dup_rate",
 ]
 
 

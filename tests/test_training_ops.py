@@ -2801,3 +2801,32 @@ def test_cross_label_nn_planted(ray_session, tmp_path):
     assert got.loc[5, "nn_id"] == 1          # symmetric, label 0 wins order
     assert got.loc[4, "nn_id"] in (1, 2, 3, 5, 6)  # anything non-label-1
     assert got.loc[3, "nn_id"] in (1, 5, 6)  # closest to axis 0 family
+
+
+def test_source_dup_rate_planted(ray_session, tmp_path):
+    """Rate semantics by hand: a feed whose 2 of 4 docs are exact
+    copies scores 500000 ppm; a clean feed scores 0; a cross-source
+    dup counts in BOTH feeds (cluster membership, not pair origin)."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q139_source_dup_rate
+
+    dup = "one shared body of duplicated text with plenty of tokens here"
+    xdup = "a second duplicated body crossing two different feeds entirely"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "lang": ["en"] * 8,
+        "source": ["feedA"] * 4 + ["feedB"] * 2 + ["feedC"] * 2,
+        "text": [dup, dup,
+                 "unique first content string with many distinct words",
+                 "unique second content string more distinct words here",
+                 xdup,
+                 "feedB unique doc with its own completely distinct text",
+                 xdup,
+                 "feedC unique doc carrying yet another distinct body"]}))
+    got = q139_source_dup_rate(sf).set_index("source")
+    assert got.loc["feedA", "n_docs"] == 4
+    assert got.loc["feedA", "n_dup"] == 2
+    assert got.loc["feedA", "dup_ppm"] == 500_000
+    assert got.loc["feedB", "dup_ppm"] == 500_000   # xdup counts here
+    assert got.loc["feedC", "dup_ppm"] == 500_000   # ... and here
