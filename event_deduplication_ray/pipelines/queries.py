@@ -6855,6 +6855,98 @@ def q139_source_dup_rate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q140_dup_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core decomposition of the exact-Jaccard dup graph — the
+    density readout completing the graph family (CC q28, degrees
+    q120, triangles q132, PageRank q123): a doc's core number is the
+    largest k such that it survives in a subgraph where every member
+    keeps >= k duplicate edges — template cliques sit in high cores,
+    chain/bridge artifacts peel out at core 1.  Distributed peeling:
+    the bidirectional edge table hash-partitions ONCE by src and
+    stays resident (q123's shape); each round broadcasts the alive
+    vertex set (bounded by docs WITH edges), partitions emit alive-
+    degree partials, the driver kills nodes below the current k and
+    repeats — rounds are bounded by the peel-wave count, small for
+    capped dup graphs.  Rows-only (iterative peeling has no SQL
+    form); only docs with >= 1 edge appear (isolates are core 0 by
+    convention, the q123 vertex-set contract)."""
+    import ray
+
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.pairs import ngram_jaccard_match_pairs
+    from event_deduplication_ray.stages.shuffle import shuffle_to
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    docs = _docs_from_documents(sf_dir).materialize()
+    pairs = ngram_jaccard_match_pairs(
+        substring_fp_table(signature_stage(docs, cfg), cfg),
+        cfg, threshold=cfg.jaccard_match)
+
+    def bidir(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    P = QCFG.join_num_partitions
+    edges_sh = shuffle_to(pairs.map_batches(bidir, batch_format="pyarrow"),
+                          ["src"], P)
+
+    def alive_degrees(alive_nodes: np.ndarray) -> pd.DataFrame:
+        ref = ray.put(alive_nodes)
+
+        def part_deg(df: pd.DataFrame) -> pd.DataFrame:
+            an = ray.get(ref)
+            s = df["src"].to_numpy(np.int64)
+            d = df["dst"].to_numpy(np.int64)
+            ok = (an[np.searchsorted(an, np.clip(s, an[0], an[-1]))] == s) \
+                & (an[np.searchsorted(an, np.clip(d, an[0], an[-1]))] == d) \
+                if len(an) else np.zeros(len(s), bool)
+            g = pd.DataFrame({"src": s[ok]})
+            return g.groupby("src", as_index=False).size() \
+                .rename(columns={"size": "deg"})
+
+        out = _with_schema(
+            partition_apply(edges_sh, ["src"], P, part_deg).to_pandas(),
+            {"src": "int64", "deg": "int64"})
+        return out.groupby("src", as_index=False)["deg"].sum()
+
+    deg0 = _with_schema(
+        partition_apply(edges_sh, ["src"], P,
+                        lambda df: df.groupby("src", as_index=False).size()
+                        .rename(columns={"size": "deg"})).to_pandas(),
+        {"src": "int64", "deg": "int64"})
+    deg0 = deg0.groupby("src", as_index=False)["deg"].sum()
+    if len(deg0) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "core": pd.Series(dtype="int64")})
+    nodes = np.sort(deg0["src"].to_numpy(np.int64))
+    core = np.zeros(len(nodes), np.int64)
+    alive = np.ones(len(nodes), bool)
+    k = 1
+    while alive.any():
+        while True:
+            an = nodes[alive]
+            deg = alive_degrees(an)
+            d = np.zeros(len(nodes), np.int64)
+            pos = np.searchsorted(nodes, deg["src"].to_numpy(np.int64))
+            d[pos] = deg["deg"].to_numpy(np.int64)
+            kill = alive & (d < k)
+            if not kill.any():
+                break
+            core[kill] = k - 1
+            alive &= ~kill
+            if not alive.any():
+                break
+        if alive.any():
+            core[alive] = k       # survived the k-core
+            k += 1
+
+    out = pd.DataFrame({"doc_id": nodes, "core": core})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -6991,6 +7083,7 @@ RAY_QUERIES = {
     "q137_containment_directed": q137_containment_directed,
     "q138_cross_label_nn": q138_cross_label_nn,
     "q139_source_dup_rate": q139_source_dup_rate,
+    "q140_dup_kcore": q140_dup_kcore,
 }
 
 

@@ -2830,3 +2830,28 @@ def test_source_dup_rate_planted(ray_session, tmp_path):
     assert got.loc["feedA", "dup_ppm"] == 500_000
     assert got.loc["feedB", "dup_ppm"] == 500_000   # xdup counts here
     assert got.loc["feedC", "dup_ppm"] == 500_000   # ... and here
+
+
+def test_dup_kcore_planted(ray_session, tmp_path):
+    """Core numbers by hand: five exact copies form a K5 (core 4);
+    a separate exact pair is core 1; unique docs are isolates (core 0
+    by convention: absent from the output, the q123 vertex contract).
+    Invariant: core <= degree everywhere."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q120_dup_degree_histogram,
+        q140_dup_kcore,
+    )
+
+    k5 = "the same exact words repeated here for this document body"
+    pair = "another shared body of text with plenty of tokens inside it"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "lang": ["en"] * 8,
+        "text": [k5, k5, k5, k5, k5, pair, pair,
+                 "totally unrelated first content string with many words"]}))
+    got = q140_dup_kcore(sf).set_index("doc_id")
+    assert got.loc[[1, 2, 3, 4, 5], "core"].tolist() == [4] * 5
+    assert got.loc[[6, 7], "core"].tolist() == [1, 1]
+    assert 8 not in got.index
