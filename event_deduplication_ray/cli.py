@@ -207,6 +207,24 @@ def cmd_review(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compare(args: argparse.Namespace) -> int:
+    """Run-to-run clustering drift (eval.compare_runs): ARI plus
+    split/merge/moved counts between two run dirs' assignment tables
+    — the audit a config patch or incremental add should be judged
+    by before its output replaces the previous run's."""
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+
+    from event_deduplication_ray.pipelines.eval import compare_runs
+
+    a = rd.read_parquet(f"{args.run_dir_a}/assignments").to_pandas()
+    b = rd.read_parquet(f"{args.run_dir_b}/assignments").to_pandas()
+    m = compare_runs(a[["doc_id", "cluster_id"]],
+                     b[["doc_id", "cluster_id"]])
+    print(json.dumps(m, sort_keys=True))
+    return 0
+
+
 def cmd_config(args: argparse.Namespace) -> int:
     """Run-config get/patch (reference Q8): get prints the persisted
     config.json; patch deep-merges `key=json_value` pairs (dotted
@@ -308,6 +326,11 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--run-dir", required=True)
     pc.add_argument("--set", action="append", default=None)
     pc.set_defaults(fn=cmd_config)
+
+    pcm = sub.add_parser("compare")
+    pcm.add_argument("--run-dir-a", required=True)
+    pcm.add_argument("--run-dir-b", required=True)
+    pcm.set_defaults(fn=cmd_compare)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -6575,6 +6575,19 @@ def q134_event_rate_anomaly(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+def _winnow_select(hh: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing selection over one doc's k-gram hash stream: the
+    rightmost minimum of each length-``w`` window (Schleimer et al.
+    2003).  Pure kernel — property-tested for the window-coverage and
+    shared-substring guarantees in test_properties.py."""
+    m = len(hh)
+    if m <= w:
+        return np.array([m - 1 - int(np.argmin(hh[::-1]))])
+    sw = np.lib.stride_tricks.sliding_window_view(hh, w)
+    j = w - 1 - np.argmin(sw[:, ::-1], axis=1)
+    return np.unique(np.arange(m - w + 1) + j)
+
+
 def q135_winnow_dedup(sf_dir: str, k: int = 32, w: int = 16,
                       min_shared: int = 2,
                       max_fp_docs: int = 64) -> pd.DataFrame:
@@ -6612,13 +6625,7 @@ def q135_winnow_dedup(sf_dir: str, k: int = 32, w: int = 16,
         ends = np.r_[starts[1:], len(dids)]
         for s, e in zip(starts, ends):   # loop over DOCS, not rows
             hh = h[s:e]
-            m = len(hh)
-            if m <= w:
-                sel = np.array([m - 1 - int(np.argmin(hh[::-1]))])
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(hh, w)
-                j = w - 1 - np.argmin(sw[:, ::-1], axis=1)
-                sel = np.unique(np.arange(m - w + 1) + j)
+            sel = _winnow_select(hh, w)
             out_fp.append(hh[sel].view(np.int64))
             out_id.append(np.full(len(sel), dids[s], np.int64))
         return pd.DataFrame({"fp": np.concatenate(out_fp),

@@ -222,3 +222,43 @@ def test_cli_add_subcommand(corpus_dir, tmp_path):
     m1 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert m1["n_docs"] == m0["n_docs"] + 4
     assert m1["n_clusters"] == m0["n_clusters"] + 4
+
+
+@pytest.mark.slow
+def test_cli_compare_subcommand(tmp_path):
+    """`cli compare --run-dir-a ... --run-dir-b ...` reports drift:
+    a run compared against itself is ARI 1.0 with zero churn; against
+    a stricter-threshold rerun the ARI drops below 1 only if clusters
+    actually moved (and n_common always equals the corpus)."""
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    ra, rb = str(tmp_path / "runA"), str(tmp_path / "runB")
+    for rd_, extra in ((ra, []), (rb, ["--substring"])):
+        r = subprocess.run(
+            [sys.executable, "-m", "event_deduplication_ray.cli",
+             "--num-cpus", "4", "run", "--input", docs,
+             "--run-dir", rd_] + extra,
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(
+        [sys.executable, "-m", "event_deduplication_ray.cli",
+         "--num-cpus", "4", "compare",
+         "--run-dir-a", ra, "--run-dir-b", ra],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["ari"] == 1.0 and m["n_moved"] == 0 and m["n_common"] == 500
+
+    r = subprocess.run(
+        [sys.executable, "-m", "event_deduplication_ray.cli",
+         "--num-cpus", "4", "compare",
+         "--run-dir-a", ra, "--run-dir-b", rb],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["n_common"] == 500
+    assert 0.0 <= m["ari"] <= 1.0

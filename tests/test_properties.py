@@ -151,3 +151,54 @@ def test_tokenize_matches_duckdb_regex(texts):
     want_flat = [tok for row in want for tok in row]
     assert list(flat) == want_flat
     assert lens.tolist() == [len(row) for row in want]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(2, 12),
+       st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=300))
+def test_winnow_selection_covers_every_window(w, hashes):
+    """Winnowing coverage guarantee: every window of w consecutive
+    hash positions contains >= 1 selected position, and every
+    selected position is the rightmost minimum of SOME window."""
+    from event_deduplication_ray.pipelines.queries import _winnow_select
+
+    hh = np.array(hashes, dtype=np.uint64)
+    sel = _winnow_select(hh, w)
+    m = len(hh)
+    assert len(sel) >= 1
+    assert (np.diff(np.sort(sel)) <= w).all()
+    ss = set(sel.tolist())
+    for i in range(max(1, m - w + 1)):
+        win = range(i, min(i + w, m))
+        assert ss & set(win), f"window at {i} has no selection"
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32), st.integers(2, 8))
+def test_winnow_shared_chunk_guarantee(seed, w):
+    """The MOSS guarantee on the real hash pipeline: two docs sharing
+    a random chunk of w+k-1 chars (k=8) ALWAYS share at least one
+    winnowed fingerprint, regardless of their distinct surroundings."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        _win_hash_frame,
+        _winnow_select,
+    )
+
+    k = 8
+    rng = np.random.default_rng(seed)
+    abc = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    def rand(n): return "".join(rng.choice(abc, n))
+    chunk = rand(w + k - 1)
+    doc_a = rand(60) + chunk + rand(60)
+    doc_b = rand(60) + chunk + rand(60)
+    t = _win_hash_frame(pd.DataFrame({"doc_id": [1, 2],
+                                      "text": [doc_a, doc_b]}), k)
+    h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    fps = {}
+    for did in (1, 2):
+        hh = h[d == did]
+        fps[did] = set(hh[_winnow_select(hh, w)].tolist())
+    assert fps[1] & fps[2]
