@@ -151,9 +151,16 @@ def cmd_add(args: argparse.Namespace) -> int:
     cfg = load_run_config(args.run_dir) or DedupConfig()
     res = incremental_add(args.run_dir, args.input, cfg)
     asn = res.assignments.to_pandas()
+    if args.persist:
+        from event_deduplication_ray.pipelines.incremental import (
+            persist_incremental,
+        )
+
+        persist_incremental(args.run_dir, res, cfg, args.input)
     print(json.dumps({
         "n_docs": int(len(asn)),
         "n_clusters": int(asn["cluster_id"].nunique()),
+        "persisted": bool(args.persist),
     }))
     return 0
 
@@ -308,6 +315,9 @@ def main(argv: list[str] | None = None) -> int:
     pa_ = sub.add_parser("add")
     pa_.add_argument("--run-dir", required=True)
     pa_.add_argument("--input", required=True)
+    pa_.add_argument("--persist", action="store_true",
+                     help="fold the result back into the run dir so "
+                          "the next add chains on it (watcher loop)")
     pa_.set_defaults(fn=cmd_add)
 
     prv = sub.add_parser("review")

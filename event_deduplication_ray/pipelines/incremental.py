@@ -82,9 +82,13 @@ def _affected_band_table(
     buckets the new docs touch.  Returns (affected_rows, new_keys);
     the semi-join runs inside the old table's linear explode scan —
     no O(corpus) rows ever enter the pair-gen shuffle."""
-    new_keys = np.unique(
-        new_band.select_columns([key_col]).to_pandas()[key_col].to_numpy()
-    ).astype(np.int64)
+    kdf = new_band.select_columns([key_col]).to_pandas()
+    if key_col not in kdf.columns:
+        # Ray's to_pandas drops a 0-row Dataset's schema — a batch of
+        # short all-unique docs can legitimately emit ZERO band/fp
+        # rows for a tier (e.g. mod-p substring sampling selects none)
+        kdf = pd.DataFrame({key_col: pd.Series(dtype="int64")})
+    new_keys = np.unique(kdf[key_col].to_numpy()).astype(np.int64)
     old_rows = semi_join_broadcast(explode_table(old_sigs, cfg), key_col, new_keys)
     return new_band.union(old_rows), new_keys
 
@@ -227,3 +231,35 @@ def incremental_add(
         assignments=assignments, canonical=canonical,
         metrics=metrics,
     )
+
+
+def persist_incremental(
+    run_dir: str, res: "DedupResult", cfg: DedupConfig, batch_path: str
+) -> None:
+    """Fold an ``incremental_add`` result back into its run dir so the
+    NEXT batch chains on it — the missing half of the reference's
+    watcher loop (worker/orchestrator.py processes file after file
+    against persistent state; without this, a run dir supported
+    exactly one add).
+
+    Each stage is rewritten atomically (write_stage: tmp dir → rename,
+    and the lazy union feeding the write streams from the OLD stage
+    files, which are only replaced after the write completes), so a
+    crash mid-persist leaves the previous checkpoint readable.  The
+    manifest's lineage records the last folded batch; its fingerprint
+    deliberately differs from a fresh full run's, so
+    ``dedup_path_resumable`` on the same dir recomputes rather than
+    trusting chained stages for a different input.
+    """
+    from event_deduplication_ray.state.runstate import RunState
+
+    rs = RunState(run_dir, cfg, batch_path)
+    rs.manifest["lineage"]["chained_from"] = run_dir
+    rs.write_stage("extracted", res.docs)
+    rs.write_stage("signatures", res.signatures)
+    rs.write_stage("edges", res.edges)
+    rs.write_stage("assignments", res.assignments)
+    rs.write_stage("canonical", res.canonical)
+    for k, v in (res.metrics or {}).items():
+        rs.manifest["metrics"][f"incremental_{k}"] = v
+    rs._save()

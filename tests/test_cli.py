@@ -216,12 +216,34 @@ def test_cli_add_subcommand(corpus_dir, tmp_path):
     }), preserve_index=False), newdocs)
 
     r2 = subprocess.run(
-        base + ["add", "--run-dir", run_dir, "--input", newdocs],
+        base + ["add", "--run-dir", run_dir, "--input", newdocs,
+                "--persist"],
         env=env, capture_output=True, text=True, timeout=600)
     assert r2.returncode == 0, r2.stderr[-2000:]
     m1 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert m1["n_docs"] == m0["n_docs"] + 4
     assert m1["n_clusters"] == m0["n_clusters"] + 4
+    assert m1["persisted"] is True
+
+    # --persist folded the batch back: a SECOND add chains on it
+    # (without it, the run dir still held only the original corpus)
+    newdocs2 = str(tmp_path / "new2.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "url": [f"https://new2.example/{i}" for i in range(3)],
+        "warc_ts": pd.Series(
+            pd.to_datetime(["2026-01-02"] * 3)).astype("datetime64[us]"),
+        "text": [f"second wave document {i} again fully distinct "
+                 f"from everything else in the growing corpus {i}"
+                 for i in range(3)],
+        "lang": ["en"] * 3,
+    }), preserve_index=False), newdocs2)
+    r3 = subprocess.run(
+        base + ["add", "--run-dir", run_dir, "--input", newdocs2],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    m2 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert m2["n_docs"] == m1["n_docs"] + 3
+    assert m2["n_clusters"] == m1["n_clusters"] + 3
 
 
 @pytest.mark.slow

@@ -131,3 +131,43 @@ def test_incremental_with_lang_overrides_matches_full(split_corpus, tmp_path):
     grp_inc = m.groupby("cluster_id_inc")["doc_id"].apply(frozenset)
     grp_full = m.groupby("cluster_id_full")["doc_id"].apply(frozenset)
     assert set(grp_inc) == set(grp_full)
+
+
+def test_chained_incremental_matches_full(corpus_dir, tmp_path):
+    """The watcher LOOP: A → +B (persist) → +C must equal a full run
+    on A∪B∪C — persist_incremental folds each batch back into the run
+    dir so candidate generation for batch C chains on the A∪B state,
+    never re-reading raw batch B.  Partitions compared
+    label-invariantly (the single-step test's contract, chained)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    docs = pq.read_table(f"{corpus_dir}/docs")
+    df = docs.to_pandas().sort_values("url").reset_index(drop=True)
+    c1, c2 = int(len(df) * 0.6), int(len(df) * 0.8)
+    parts = [df.iloc[:c1], df.iloc[c1:c2], df.iloc[c2:]]
+    paths = []
+    for i, p in enumerate(parts):
+        d = str(tmp_path / f"batch{i}")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(p, preserve_index=False),
+                       f"{d}/docs.parquet")
+        paths.append(f"{d}/docs.parquet")
+
+    from event_deduplication_ray.pipelines.incremental import (
+        persist_incremental,
+    )
+
+    run_dir = str(tmp_path / "chained")
+    dedup_path_resumable(paths[0], run_dir, CFG)
+    for batch in paths[1:]:
+        res = incremental_add(run_dir, batch, CFG)
+        persist_incremental(run_dir, res, CFG, batch)
+
+    inc_asn = pd.read_parquet(f"{run_dir}/assignments")
+    full_asn = dedup_path(f"{corpus_dir}/docs", CFG).assignments.to_pandas()
+    assert len(inc_asn) == len(full_asn)
+    m = inc_asn.merge(full_asn, on="doc_id", suffixes=("_inc", "_full"))
+    grp_inc = m.groupby("cluster_id_inc")["doc_id"].apply(frozenset)
+    grp_full = m.groupby("cluster_id_full")["doc_id"].apply(frozenset)
+    assert set(grp_inc) == set(grp_full)
