@@ -165,6 +165,57 @@ def cmd_add(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_remove(args: argparse.Namespace) -> int:
+    """Deletion propagation (watcher REMOVE / GDPR-delete): drop docs
+    and their edges from a checkpointed run, re-run CC so a removed
+    bridge doc splits its cluster, and persist the new state."""
+    _ray_init(args.num_cpus)
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.incremental import (
+        incremental_remove,
+        persist_incremental,
+    )
+    from event_deduplication_ray.state.runstate import load_run_config
+
+    cfg = load_run_config(args.run_dir) or DedupConfig()
+    ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+    res = incremental_remove(args.run_dir, ids, cfg)
+    asn = res.assignments.to_pandas()
+    if args.persist:
+        persist_incremental(args.run_dir, res, cfg,
+                            f"remove:{len(ids)}-ids")
+    print(json.dumps({
+        "n_removed": res.metrics["n_removed"],
+        "n_docs": int(len(asn)),
+        "n_clusters": int(asn["cluster_id"].nunique()),
+        "persisted": bool(args.persist),
+    }))
+    return 0
+
+
+def cmd_update(args: argparse.Namespace) -> int:
+    """Snapshot-driven watcher update: diff a new corpus snapshot
+    against the run dir's extracted state, then remove+re-add only the
+    delta (both halves persist back into the run dir, so the next
+    snapshot chains)."""
+    _ray_init(args.num_cpus)
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.incremental import incremental_update
+    from event_deduplication_ray.state.runstate import load_run_config
+
+    cfg = load_run_config(args.run_dir) or DedupConfig()
+    delta = incremental_update(args.run_dir, args.input, cfg)
+    import pandas as pd
+
+    asn = pd.read_parquet(f"{args.run_dir}/assignments")
+    print(json.dumps({
+        **delta,
+        "n_docs": int(len(asn)),
+        "n_clusters": int(asn["cluster_id"].nunique()),
+    }))
+    return 0
+
+
 def cmd_review(args: argparse.Namespace) -> int:
     """Review surgery against a run dir (reference R1/R2 exposed as
     commands): split detaches a doc (optionally onto a target
@@ -319,6 +370,19 @@ def main(argv: list[str] | None = None) -> int:
                      help="fold the result back into the run dir so "
                           "the next add chains on it (watcher loop)")
     pa_.set_defaults(fn=cmd_add)
+
+    prm = sub.add_parser("remove")
+    prm.add_argument("--run-dir", required=True)
+    prm.add_argument("--doc-ids", required=True,
+                     help="comma-separated doc_ids to delete")
+    prm.add_argument("--persist", action="store_true")
+    prm.set_defaults(fn=cmd_remove)
+
+    pu = sub.add_parser("update")
+    pu.add_argument("--run-dir", required=True)
+    pu.add_argument("--input", required=True,
+                    help="path to the NEW corpus snapshot")
+    pu.set_defaults(fn=cmd_update)
 
     prv = sub.add_parser("review")
     prv.add_argument("action", choices=["split", "merge", "apply"])

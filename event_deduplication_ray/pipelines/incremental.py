@@ -263,3 +263,120 @@ def persist_incremental(
     for k, v in (res.metrics or {}).items():
         rs.manifest["metrics"][f"incremental_{k}"] = v
     rs._save()
+
+
+def incremental_remove(
+    run_dir: str, removed_ids, cfg: DedupConfig | None = None
+) -> DedupResult:
+    """Deletion propagation — the watcher's REMOVE path (and the
+    GDPR-delete path): drop the docs, drop every edge touching them,
+    and re-run connected components over the REMAINING edges so a
+    removed bridge doc correctly SPLITS its cluster (keeping stale
+    labels would silently leave the two halves merged).  The removed
+    id set is broadcast once (it is the delta, genuinely small);
+    every filter is a linear scan with no shuffle; the re-CC costs
+    the edge graph, which is tiny next to the corpus, and min-id
+    labeling keeps untouched components' cluster ids stable."""
+    from event_deduplication_ray.stages.cluster import connected_components
+    from event_deduplication_ray.stages.synthesize import (
+        join_meta_labels,
+        synthesize_joined,
+    )
+
+    cfg = cfg or DedupConfig()
+    removed = np.unique(np.asarray(list(removed_ids), dtype=np.int64))
+    rref = ray.put(removed)
+
+    def drop_docs(t: pa.Table) -> pa.Table:
+        rm = ray.get(rref)
+        return t.filter(pa.array(~np.isin(t["doc_id"].to_numpy(), rm)))
+
+    def drop_edges(t: pa.Table) -> pa.Table:
+        rm = ray.get(rref)
+        mask = ~(np.isin(t["id_a"].to_numpy(), rm)
+                 | np.isin(t["id_b"].to_numpy(), rm))
+        return t.filter(pa.array(mask))
+
+    # meta/sigs stay LAZY: each is a linear filtered scan consumed by
+    # at most two sinks (join + persist), and materializing would pin
+    # the corpus text in the object store.  Only the edge graph (tiny
+    # next to the corpus) is pinned for the CC rounds.
+    meta = rd.read_parquet(f"{run_dir}/extracted") \
+        .map_batches(drop_docs, batch_format="pyarrow")
+    sigs = rd.read_parquet(f"{run_dir}/signatures") \
+        .map_batches(drop_docs, batch_format="pyarrow")
+    edges = rd.read_parquet(f"{run_dir}/edges") \
+        .map_batches(drop_edges, batch_format="pyarrow").materialize()
+
+    labels = connected_components(edges.select_columns(["id_a", "id_b"]), cfg)
+    joined = join_meta_labels(meta, labels, cfg).materialize()
+    assignments = joined.select_columns(["doc_id", "cluster_id"])
+    canonical = synthesize_joined(joined, cfg)
+    return DedupResult(
+        docs=meta, signatures=sigs, verified_pairs=edges, edges=edges,
+        assignments=assignments, canonical=canonical,
+        metrics={"n_removed": int(len(removed))},
+    )
+
+
+def incremental_update(
+    run_dir: str, snapshot_path: str, cfg: DedupConfig | None = None,
+    scratch_dir: str | None = None,
+) -> dict:
+    """Full watcher semantics from a corpus SNAPSHOT: diff it against
+    the run dir's extracted state (``snapshot.corpus_delta``), then
+    remove (removed ∪ changed — a changed doc keeps its url-hash
+    doc_id, so its old rows must leave before re-ingest) and re-add
+    (added ∪ changed), persisting each half back into the run dir so
+    the next snapshot chains.  A doc whose raw form changed but whose
+    extracted text hashes equal is classified unchanged; an html
+    corpus diffing raw-vs-extracted may over-classify changed — the
+    remove+add composition stays correct, just does extra work.
+    Returns the delta counts."""
+    import os
+    import shutil
+    import uuid
+
+    from event_deduplication_ray.pipelines.snapshot import corpus_delta
+    from event_deduplication_ray.stages.extract import extract_batch
+
+    cfg = cfg or DedupConfig()
+    old = rd.read_parquet(f"{run_dir}/extracted") \
+        .select_columns(["doc_id", "text"])
+    new = read_docs(snapshot_path)
+    new_ex = extract_stage(new, cfg).select_columns(["doc_id", "text"])
+    delta = corpus_delta(old, new_ex, cfg.join_num_partitions)
+
+    to_remove = np.union1d(delta["removed"], delta["changed"])
+    if len(to_remove):
+        res = incremental_remove(run_dir, to_remove, cfg)
+        persist_incremental(run_dir, res, cfg, snapshot_path)
+
+    to_ingest = np.union1d(delta["added"], delta["changed"])
+    if len(to_ingest):
+        # added/changed ids live in the EXTRACTED id space, which is
+        # exactly what extract_batch recomputes per raw row (it is
+        # row-aligned: rejection is a tag column, rows are never
+        # dropped or reordered) — so the raw snapshot rows to
+        # re-ingest are selected by extracting ids per batch and
+        # filtering against the broadcast delta set.
+        kref = ray.put(to_ingest)
+
+        def keep_raw(t: pa.Table) -> pa.Table:
+            ids = ray.get(kref)
+            ex = extract_batch(t, cfg)
+            return t.filter(pa.array(np.isin(ex["doc_id"].to_numpy(), ids)))
+
+        scratch = scratch_dir or os.path.join(
+            run_dir, f"_delta-{uuid.uuid4().hex[:8]}")
+        os.makedirs(scratch, exist_ok=True)
+        # write the RAW delta rows; extract re-runs inside
+        # incremental_add (which also persists doc provenance columns)
+        new.map_batches(keep_raw, batch_format="pyarrow") \
+            .write_parquet(scratch)
+        res = incremental_add(run_dir, scratch, cfg)
+        persist_incremental(run_dir, res, cfg, snapshot_path)
+        if scratch_dir is None:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    return {k: int(len(v)) for k, v in delta.items()}

@@ -97,3 +97,46 @@ def corpus_diff(old: Dataset, new: Dataset, num_partitions: int = 16,
     samples = samples.sort_values(["status", "doc_id"]) \
         .reset_index(drop=True)
     return {"summary": summary, "samples": samples}
+
+
+def corpus_delta(old: Dataset, new: Dataset,
+                 num_partitions: int = 16) -> dict:
+    """Full delta ID sets between two snapshots — the actionable
+    counterpart of ``corpus_diff``'s bounded report: returns numpy
+    arrays of added / removed / changed doc_ids (DELTA-sized driver
+    traffic: unchanged ids never leave the partitions), ready to feed
+    ``incremental_update``'s remove-then-add composition."""
+    from event_deduplication_ray.stages.shuffle import cogroup_apply, shuffle_to
+
+    new_sh = shuffle_to(_hashed(new), ["doc_id"], num_partitions)
+
+    def delta_ids(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        lo = l.set_index("doc_id")["text_hash"] if len(l) else \
+            pd.Series(dtype="int64")
+        rn = r.set_index("doc_id")["text_hash"] if len(r) else \
+            pd.Series(dtype="int64")
+        both = lo.index.intersection(rn.index)
+        rows = []
+        for status, ids in (
+            ("added", rn.index.difference(lo.index)),
+            ("removed", lo.index.difference(rn.index)),
+            ("changed", both[(lo.loc[both] != rn.loc[both]).to_numpy()]),
+        ):
+            for did in np.asarray(ids, dtype=np.int64):
+                rows.append({"status": status, "doc_id": int(did)})
+        if not rows:
+            return pd.DataFrame({"status": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame(rows)
+
+    parts = cogroup_apply(_hashed(old), new_sh, ["doc_id"], ["doc_id"],
+                          num_partitions, delta_ids).to_pandas()
+    if "status" not in parts.columns:
+        parts = pd.DataFrame({"status": pd.Series(dtype="object"),
+                              "doc_id": pd.Series(dtype="int64")})
+    out = {}
+    for st in ("added", "removed", "changed"):
+        ids = parts.loc[parts["status"] == st, "doc_id"] \
+            .to_numpy(np.int64)
+        out[st] = np.sort(ids)
+    return out

@@ -51,9 +51,14 @@ def input_fingerprint(path: str) -> str:
         for name in sorted(os.listdir(path)):
             st = os.stat(os.path.join(path, name))
             entries.append((name, st.st_size, int(st.st_mtime)))
-    else:
+    elif os.path.exists(path):
         st = os.stat(path)
         entries.append((os.path.basename(path), st.st_size, int(st.st_mtime)))
+    else:
+        # synthetic lineage tag, not a file — e.g. "remove:<n>-ids"
+        # (a deletion has no input file); the tag itself is the
+        # lineage.  A genuinely missing input still errors at read.
+        entries.append(("lineage-tag", path, 0))
     return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]
 
 

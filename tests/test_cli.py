@@ -284,3 +284,71 @@ def test_cli_compare_subcommand(tmp_path):
     m = json.loads(r.stdout.strip().splitlines()[-1])
     assert m["n_common"] == 500
     assert 0.0 <= m["ari"] <= 1.0
+
+
+def test_cli_remove_and_update_subcommands(tmp_path):
+    """Watcher surface from the shell: run a tiny corpus, delete two
+    docs (remove --persist), then present a new snapshot (one doc
+    changed, one added) through update — counts track the deltas and
+    the run dir chains through all three states."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    run_dir = str(tmp_path / "updrun")
+    base = [sys.executable, "-m", "event_deduplication_ray.cli",
+            "--num-cpus", "4"]
+
+    def docs_frame(n=10):
+        return pd.DataFrame({
+            "url": [f"https://corp.example/{i}" for i in range(n)],
+            "warc_ts": pd.Series(
+                pd.to_datetime(["2026-02-01"] * n)).astype("datetime64[us]"),
+            "text": [f"standalone corpus document number {i} holding a "
+                     f"healthy pile of distinct filler tokens {i}"
+                     for i in range(n)],
+            "lang": ["en"] * n,
+        })
+
+    corpus = str(tmp_path / "corpus.parquet")
+    df = docs_frame()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), corpus)
+
+    r = subprocess.run(
+        base + ["run", "--input", corpus, "--run-dir", run_dir],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m0 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m0["n_docs"] == 10
+
+    # pick two victims by url via the extracted checkpoint
+    ex = pd.read_parquet(f"{run_dir}/extracted")
+    victims = ex[ex["url"].isin(
+        ["https://corp.example/0", "https://corp.example/1"])]
+    ids = ",".join(str(i) for i in victims["doc_id"].tolist())
+    r2 = subprocess.run(
+        base + ["remove", "--run-dir", run_dir, "--doc-ids", ids,
+                "--persist"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m1 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert m1["n_removed"] == 2 and m1["n_docs"] == 8
+    assert m1["persisted"] is True
+
+    # snapshot: the 8 survivors, doc 2's text changed, doc 10 added
+    snap = df[~df["url"].isin(
+        ["https://corp.example/0", "https://corp.example/1"])].copy()
+    snap.loc[snap["url"] == "https://corp.example/2", "text"] += " edited"
+    snap = pd.concat([snap, docs_frame(11).iloc[[10]]], ignore_index=True)
+    snap_path = str(tmp_path / "snapshot.parquet")
+    pq.write_table(pa.Table.from_pandas(snap, preserve_index=False),
+                   snap_path)
+
+    r3 = subprocess.run(
+        base + ["update", "--run-dir", run_dir, "--input", snap_path],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    m2 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert m2["added"] == 1 and m2["changed"] == 1 and m2["removed"] == 0
+    assert m2["n_docs"] == 9
