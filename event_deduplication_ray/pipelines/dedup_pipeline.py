@@ -68,7 +68,9 @@ def read_docs(path: str) -> Dataset:
     import os as _os
 
     def _is_json(p: str) -> bool:
-        return p.endswith((".json", ".jsonl"))
+        # gzipped JSON-lines included: crawl feeds usually ship as
+        # .jsonl.gz, and Arrow's reader decompresses by extension
+        return p.endswith((".json", ".jsonl", ".json.gz", ".jsonl.gz"))
 
     if _is_json(path):
         return rd.read_json(path)

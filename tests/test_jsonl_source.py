@@ -101,3 +101,31 @@ def test_jsonl_missing_optional_columns(tmp_path):
     asn = res.assignments.to_pandas()
     assert len(asn) == 4
     assert asn["cluster_id"].nunique() == 4
+
+
+def test_gzipped_jsonl_source(tmp_path):
+    """Crawl feeds ship as .jsonl.gz — read_docs must route them to
+    the JSON reader (Arrow decompresses by extension) both as a single
+    file and as a directory of gzipped shards."""
+    import gzip
+
+    rows = [
+        {"url": f"https://gz.example/{i}",
+         "warc_ts": "2026-01-01T00:00:00", "html": None,
+         "text": f"gzipped shard document {i} with its own distinct "
+                 f"words {i}", "lang": "en"}
+        for i in range(8)
+    ]
+    d = tmp_path / "shards"
+    d.mkdir()
+    for shard in range(2):
+        with gzip.open(d / f"part-{shard}.jsonl.gz", "wt") as f:
+            for r in rows[shard * 4:(shard + 1) * 4]:
+                f.write(json.dumps(r) + "\n")
+
+    ds = read_docs(str(d))
+    assert ds.count() == 8
+    assert set(ds.schema().names) >= {"url", "text", "lang"}
+
+    one = read_docs(str(d / "part-0.jsonl.gz"))
+    assert one.count() == 4
