@@ -46,13 +46,27 @@ def cmd_export(args: argparse.Namespace) -> int:
     _ray_init(args.num_cpus)
     import ray.data as rd
 
-    from event_deduplication_ray.pipelines.export import export_canonical_parquet
+    from event_deduplication_ray.pipelines.export import (
+        export_canonical_parquet,
+        export_deduped_corpus,
+    )
 
+    part = args.partition_by.split(",") if args.partition_by else None
+    if args.corpus:
+        # the training-data product: full-text corpus minus
+        # non-representative duplicates
+        m = export_deduped_corpus(
+            args.run_dir, args.output_dir,
+            partition_by=part, rows_per_file=args.rows_per_file,
+        )
+        print(json.dumps({"output_dir": args.output_dir, **m}))
+        return 0
     canonical = rd.read_parquet(f"{args.run_dir}/canonical")
     out = export_canonical_parquet(
         canonical, args.output_dir,
         first_ts_after=args.first_ts_after,
         rows_per_file=args.rows_per_file,
+        partition_by=part,
     )
     print(json.dumps({"output_dir": out}))
     return 0
@@ -340,6 +354,12 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--output-dir", required=True)
     pe.add_argument("--first-ts-after", default=None)
     pe.add_argument("--rows-per-file", type=int, default=10_000)
+    pe.add_argument("--corpus", action="store_true",
+                    help="export the DEDUPED full-text corpus (one "
+                         "surviving doc per cluster) instead of the "
+                         "canonical cluster table")
+    pe.add_argument("--partition-by", default=None,
+                    help="comma-separated hive partition columns")
     pe.set_defaults(fn=cmd_export)
 
     pv = sub.add_parser("eval")

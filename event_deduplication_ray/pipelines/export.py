@@ -183,3 +183,85 @@ def cluster_detail(
 
     pairs = verified_pairs.map_batches(pair_rows, batch_format="pyarrow").to_pandas()
     return {"canonical": can, "members": docs, "decisions": pairs}
+
+
+def export_deduped_corpus(
+    run_dir: str,
+    out_dir: str,
+    partition_by: "list[str] | None" = None,
+    rows_per_file: int = 10_000,
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> dict:
+    """THE training-data product: the corpus with every
+    non-representative duplicate dropped — full text preserved, one
+    surviving doc per cluster (the run's synthesis strategy decides
+    the representative via canonical.rep_doc_id; singletons keep
+    themselves).
+
+    Scale shape: loser ids (docs whose cluster representative is
+    someone else) come from ONE narrow cluster_id cogroup of
+    assignments × canonical — 16 B/row, never text.  The corpus
+    filter then runs as a broadcast anti-join (linear scan, zero text
+    shuffle) when the loser set fits ``broadcast_limit``; above it,
+    a doc_id cogroup routes text once — unavoidable at that dup
+    volume, and the export writes the text anyway.  Output is
+    hive-partitionable + chunked for resume, like
+    export_canonical_parquet.
+
+    Returns {"n_kept": ..., "n_dropped": ...}.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply
+
+    asn = rd.read_parquet(f"{run_dir}/assignments")
+    canon = rd.read_parquet(f"{run_dir}/canonical") \
+        .select_columns(["cluster_id", "rep_doc_id"])
+    P = num_partitions or 16
+
+    def losers_fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l) or not len(r):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        m = l.merge(r, on="cluster_id")
+        return m.loc[m["doc_id"] != m["rep_doc_id"], ["doc_id"]]
+
+    losers = cogroup_apply(asn, canon, ["cluster_id"], ["cluster_id"],
+                           P, losers_fn)
+    losers_df = losers.to_pandas()
+    if "doc_id" not in losers_df.columns:      # duplicate-free corpus:
+        losers_df = pd.DataFrame(              # zero loser rows drop the
+            {"doc_id": pd.Series(dtype="int64")})  # schema in to_pandas
+    n_losers = int(len(losers_df))
+
+    extracted = rd.read_parquet(f"{run_dir}/extracted")
+    if n_losers <= broadcast_limit:
+        from event_deduplication_ray.pipelines.incremental import (
+            semi_join_broadcast,
+        )
+
+        kept = semi_join_broadcast(
+            extracted, "doc_id",
+            losers_df["doc_id"].to_numpy(np.int64), negate=True)
+    else:
+        # loser set too big to broadcast: route the corpus once by
+        # doc_id hash and anti-join per partition
+        def anti(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+            if not len(l):
+                return l
+            if not len(r):
+                return l
+            return l[~l["doc_id"].isin(set(r["doc_id"]))]
+
+        kept = cogroup_apply(extracted, losers, ["doc_id"], ["doc_id"],
+                             P, anti)
+
+    os.makedirs(out_dir, exist_ok=True)
+    kw = {"partition_cols": partition_by} if partition_by else {}
+    try:
+        kept.write_parquet(out_dir, min_rows_per_file=rows_per_file, **kw)
+    except TypeError:  # older Ray releases
+        kept.write_parquet(out_dir, num_rows_per_file=rows_per_file, **kw)
+    n_kept = rd.read_parquet(out_dir).count()
+    return {"n_kept": int(n_kept), "n_dropped": n_losers}

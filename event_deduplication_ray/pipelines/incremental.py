@@ -57,10 +57,13 @@ from event_deduplication_ray.stages.synthesize import (
 from event_deduplication_ray.stages.verify import match_edges, verify_pairs
 
 
-def semi_join_broadcast(ds: Dataset, col: str, values: np.ndarray) -> Dataset:
+def semi_join_broadcast(
+    ds: Dataset, col: str, values: np.ndarray, negate: bool = False
+) -> Dataset:
     """Keep rows whose ``col`` is in ``values`` (sorted int64 array,
     broadcast ONCE via ray.put and read zero-copy in every task — the
-    small side never re-ships per batch)."""
+    small side never re-ships per batch).  ``negate=True`` keeps the
+    complement (broadcast anti-join)."""
     ref = ray.put(np.sort(np.asarray(values, dtype=np.int64)))
 
     def f(t: pa.Table) -> pa.Table:
@@ -69,6 +72,8 @@ def semi_join_broadcast(ds: Dataset, col: str, values: np.ndarray) -> Dataset:
         pos = np.searchsorted(vals, keys)
         pos_c = np.minimum(pos, len(vals) - 1) if len(vals) else pos
         mask = (vals[pos_c] == keys) if len(vals) else np.zeros(len(keys), bool)
+        if negate:
+            mask = ~mask
         return t.filter(pa.array(mask))
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -32,6 +32,19 @@ def test_cli_run_export_eval(corpus_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert any(f.endswith(".parquet") for f in os.listdir(out_dir))
 
+    corpus_out = str(tmp_path / "clicorpus")
+    r = subprocess.run(
+        [sys.executable, "-m", "event_deduplication_ray.cli", "--num-cpus", "4",
+         "export", "--run-dir", run_dir, "--output-dir", corpus_out,
+         "--corpus", "--partition-by", "lang"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    mc = json.loads(r.stdout.strip().splitlines()[-1])
+    assert mc["n_kept"] + mc["n_dropped"] == metrics["n_docs"]
+    assert mc["n_kept"] == metrics["n_clusters"]
+    assert any(d.startswith("lang=") for d in os.listdir(corpus_out))
+
     r = subprocess.run(
         [sys.executable, "-m", "event_deduplication_ray.cli", "--num-cpus", "4",
          "eval", "--run-dir", run_dir,
