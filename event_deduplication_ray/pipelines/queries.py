@@ -6954,6 +6954,87 @@ def q140_dup_kcore(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q141_hashed_embedding(sf_dir: str) -> pd.DataFrame:
+    """Feature-hashing doc embeddings (the hashing trick, Weinberger
+    et al. 2009) — the deterministic text→vector "model inference"
+    verb: pass 1 builds the corpus vocab (per-batch token-count
+    partials → ONE token shuffle; min_count=2 prunes hapaxes — the
+    open-web-scale move is a top-K prune, q64's note); each kept
+    token's vocab rank (count DESC, token ASC — DuckDB's binary utf8
+    collation == Python code-point order) feeds the SQL-mirrored
+    fmix32 (hashing.sample_hash32), giving dim = h % 64 and a ±1 sign
+    from the next hash bit; pass 2 broadcasts the token→(dim, sign)
+    model ONCE (ray.put) and scores each batch vectorized — one
+    bincount per batch, ZERO shuffles, since a doc's tokens are
+    row-local — into long-form (doc_id, dim, val) int64 rows.  Exact
+    integer arithmetic end-to-end, so the DuckDB oracle reproduces
+    every embedding coordinate value-exactly (unlike float projection
+    embeddings, whose summation order drifts across engines).
+    Reference parity: the scoring pass is the same broadcast-model
+    actor shape as the reference's tiered scorers (SURVEY §2 T2)."""
+    import ray
+
+    from event_deduplication_ray.functions.hashing import (
+        sample_hash32,
+        tokenize_offsets,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    D = 64
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = tokenize_offsets(df["text"].str.lower())
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"tok": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy(np.int64)})
+
+    vocab = _with_schema(
+        partition_apply(
+            ds.map_batches(count_partial, batch_format="pandas"),
+            ["tok"], QCFG.join_num_partitions,
+            lambda df: df.groupby("tok", as_index=False)["n"].sum(),
+        ).to_pandas(),
+        {"tok": "object", "n": "int64"})
+    vocab = vocab[vocab["n"] >= 2]
+    vocab = vocab.sort_values(["n", "tok"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+    vid = np.arange(1, len(vocab) + 1, dtype=np.int64)
+    h = sample_hash32(vid).astype(np.int64)
+    dim = h % D
+    sgn = np.where((h // D) % 2 == 0, 1, -1).astype(np.int64)
+    model_ref = ray.put((pd.Index(vocab["tok"]), dim, sgn))
+
+    def embed(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "dim": pd.Series(dtype="int64"),
+                              "val": pd.Series(dtype="int64")})
+        toks, dims, sgns = ray.get(model_ref)
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        if not len(flat) or not len(toks):
+            return empty
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        idx = toks.get_indexer(flat)
+        ok = idx >= 0
+        if not ok.any():
+            return empty
+        key = doc_of[ok] * D + dims[idx[ok]]
+        size = len(df) * D
+        # ±1 sums fit float64 exactly up to 2**53 tokens per cell
+        val = np.bincount(key, weights=sgns[idx[ok]].astype(np.float64),
+                          minlength=size)
+        cnt = np.bincount(key, minlength=size)
+        present = np.flatnonzero(cnt > 0)
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": doc_ids[present // D],
+                             "dim": (present % D).astype(np.int64),
+                             "val": val[present].astype(np.int64)})
+
+    out = _with_schema(
+        ds.map_batches(embed, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "dim": "int64", "val": "int64"})
+    return out.sort_values(["doc_id", "dim"]).reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -7091,6 +7172,7 @@ RAY_QUERIES = {
     "q138_cross_label_nn": q138_cross_label_nn,
     "q139_source_dup_rate": q139_source_dup_rate,
     "q140_dup_kcore": q140_dup_kcore,
+    "q141_hashed_embedding": q141_hashed_embedding,
 }
 
 
@@ -9259,5 +9341,39 @@ ORACLE_SQL = {
         WHERE p.event_type = 'purchase'
         GROUP BY p.event_id
         ORDER BY p.event_id
+    """,
+    # feature-hashing embedding: vocab rank -> fmix32 (q51 chain) ->
+    # (dim, sign); exact integer sums so coordinates match value-exactly
+    "q141_hashed_embedding": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '\\S+')) AS tok
+            FROM documents
+        ), vocab AS (
+            SELECT tok, count(*) AS n FROM toks
+            GROUP BY tok HAVING count(*) >= 2
+        ), ranked AS (
+            SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS vid
+            FROM vocab
+        ), f0 AS (
+            SELECT tok, xor(vid, vid // 4294967296) % 4294967296 AS v
+            FROM ranked
+        ),
+        f1 AS (SELECT tok, ((v::HUGEINT * 2246822507) % 4294967296)::BIGINT
+                            AS v1 FROM f0),
+        f2 AS (SELECT tok, xor(v1, v1 // 8192)  AS v2 FROM f1),
+        f3 AS (SELECT tok, ((v2::HUGEINT * 3266489909) % 4294967296)::BIGINT
+                            AS v3 FROM f2),
+        f4 AS (SELECT tok, xor(v3, v3 // 65536) AS h  FROM f3),
+        hashed AS (
+            SELECT tok, (h % 64)::BIGINT AS dim,
+                   CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM f4
+        )
+        SELECT t.doc_id, h.dim, sum(h.sgn)::BIGINT AS val
+        FROM toks t JOIN hashed h USING (tok)
+        GROUP BY t.doc_id, h.dim
+        ORDER BY t.doc_id, h.dim
     """,
 }

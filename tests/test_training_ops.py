@@ -2855,3 +2855,29 @@ def test_dup_kcore_planted(ray_session, tmp_path):
     assert got.loc[[1, 2, 3, 4, 5], "core"].tolist() == [4] * 5
     assert got.loc[[6, 7], "core"].tolist() == [1, 1]
     assert 8 not in got.index
+
+
+def test_hashed_embedding_planted(ray_session, tmp_path):
+    """Hand-pinned feature-hashing: vocab is alpha(5) vid=1, beta(3)
+    vid=2 (gamma/rare are hapaxes, pruned by min_count=2); fmix32
+    gives vid 1 -> h 1364076727 (dim 55, sign +1) and vid 2 ->
+    h 821347078 (dim 6, sign +1).  So 'alpha alpha beta' embeds as
+    {dim 6: +1, dim 55: +2}; the pruned doc emits nothing; exact-dup
+    docs embed identically."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q141_hashed_embedding
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en"] * 4,
+        "text": ["alpha alpha beta", "alpha beta gamma", "rare",
+                 "alpha alpha beta"]}))
+    got = q141_hashed_embedding(sf)
+    assert 3 not in set(got["doc_id"])
+    d1 = got[got["doc_id"] == 1][["dim", "val"]].reset_index(drop=True)
+    assert d1.values.tolist() == [[6, 1], [55, 2]]
+    d2 = got[got["doc_id"] == 2][["dim", "val"]].reset_index(drop=True)
+    assert d2.values.tolist() == [[6, 1], [55, 1]]   # gamma pruned
+    d4 = got[got["doc_id"] == 4][["dim", "val"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(d1, d4)
