@@ -7035,6 +7035,61 @@ def q141_hashed_embedding(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "dim"]).reset_index(drop=True)
 
 
+def q142_contract_audit(sf_dir: str) -> pd.DataFrame:
+    """Data-contract / schema-validation audit (the Great-Expectations
+    verb a curation pipeline runs BEFORE spending compute): five
+    integrity rules over the events feed — negative value, empty/null
+    props, future timestamp (>= 2030-01-01, a frozen literal on both
+    sides), null user, duplicate event_id — each reported as
+    (n_violations, n_rows, bad_ppm) in exact integers.  The four
+    row-local rules fold to one tiny per-batch partial (no shuffle);
+    the uniqueness rule is total rows minus distinct event_ids, where
+    per-batch DEDUPED ids hash-partition once and each partition
+    reports its distinct count (disjoint key ranges sum exactly).
+    bad_ppm is exact int64 (v*1e6 // n) — float division is
+    tie-sensitive across engines (the q79 lesson)."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    FUTURE = pd.Timestamp("2030-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "n": np.int64(len(df)),
+            "neg": np.int64((df["value"] < 0).sum()),
+            "ep": np.int64((df["props"].isna()
+                            | (df["props"] == "")).sum()),
+            "fut": np.int64((df["ts"] >= FUTURE).sum()),
+            "nu": np.int64(df["user_id"].isna().sum()),
+        }])
+
+    sums = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    sums = _with_schema(sums, {"n": "int64", "neg": "int64", "ep": "int64",
+                               "fut": "int64", "nu": "int64"}).sum()
+
+    ids = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_id": pd.unique(df["event_id"].to_numpy(np.int64))}),
+        batch_format="pandas")
+    nd = _with_schema(
+        partition_apply(
+            ids, ["event_id"], QCFG.join_num_partitions,
+            lambda df: pd.DataFrame(
+                [{"d": np.int64(df["event_id"].nunique())}]),
+        ).to_pandas(), {"d": "int64"})["d"].sum()
+
+    n = int(sums["n"])
+    rules = [("dup_event_id", n - int(nd)),
+             ("empty_props", int(sums["ep"])),
+             ("future_ts", int(sums["fut"])),
+             ("negative_value", int(sums["neg"])),
+             ("null_user", int(sums["nu"]))]
+    out = pd.DataFrame(
+        [(r, np.int64(v), np.int64(n),
+          np.int64(v * 1_000_000 // max(n, 1))) for r, v in rules],
+        columns=["rule", "n_violations", "n_rows", "bad_ppm"])
+    return out.sort_values("rule").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -7173,6 +7228,7 @@ RAY_QUERIES = {
     "q139_source_dup_rate": q139_source_dup_rate,
     "q140_dup_kcore": q140_dup_kcore,
     "q141_hashed_embedding": q141_hashed_embedding,
+    "q142_contract_audit": q142_contract_audit,
 }
 
 
@@ -9375,5 +9431,32 @@ ORACLE_SQL = {
         FROM toks t JOIN hashed h USING (tok)
         GROUP BY t.doc_id, h.dim
         ORDER BY t.doc_id, h.dim
+    """,
+    # contract audit: exact-integer violation counts; bad_ppm is
+    # integer division (float division is tie-sensitive across engines)
+    "q142_contract_audit": """
+        WITH t AS (
+            SELECT count(*)::BIGINT AS n,
+                   coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END),
+                            0)::BIGINT AS neg,
+                   coalesce(sum(CASE WHEN props IS NULL OR props = ''
+                                     THEN 1 ELSE 0 END), 0)::BIGINT AS ep,
+                   coalesce(sum(CASE WHEN ts >= TIMESTAMP '2030-01-01'
+                                     THEN 1 ELSE 0 END), 0)::BIGINT AS fut,
+                   coalesce(sum(CASE WHEN user_id IS NULL
+                                     THEN 1 ELSE 0 END), 0)::BIGINT AS nu,
+                   (count(*) - count(DISTINCT event_id))::BIGINT AS dup
+            FROM events
+        ), rules AS (
+            SELECT 'dup_event_id'   AS rule, dup AS n_violations, n FROM t
+            UNION ALL SELECT 'empty_props',    ep,  n FROM t
+            UNION ALL SELECT 'future_ts',      fut, n FROM t
+            UNION ALL SELECT 'negative_value', neg, n FROM t
+            UNION ALL SELECT 'null_user',      nu,  n FROM t
+        )
+        SELECT rule, n_violations, n AS n_rows,
+               (n_violations * 1000000 // greatest(n, 1))::BIGINT AS bad_ppm
+        FROM rules
+        ORDER BY rule
     """,
 }

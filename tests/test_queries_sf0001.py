@@ -93,7 +93,7 @@ SQL_CHECKED = [
     "q132_dup_triangles", "q134_event_rate_anomaly",
     "q136_hopping_windows", "q137_containment_directed",
     "q138_cross_label_nn", "q139_source_dup_rate",
-    "q141_hashed_embedding",
+    "q141_hashed_embedding", "q142_contract_audit",
 ]
 
 

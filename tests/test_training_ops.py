@@ -2881,3 +2881,35 @@ def test_hashed_embedding_planted(ray_session, tmp_path):
     assert d2.values.tolist() == [[6, 1], [55, 1]]   # gamma pruned
     d4 = got[got["doc_id"] == 4][["dim", "val"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(d1, d4)
+
+
+def test_contract_audit_planted(ray_session, tmp_path):
+    """Hand-counted violations over 10 rows: one duplicated event_id
+    (10 rows, 9 distinct), two negative values, empty-string + null
+    props, one 2031 timestamp, one null user — each ppm is the exact
+    integer v*1e6 // 10."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q142_contract_audit
+
+    ts = [pd.Timestamp("2024-01-01")] * 9 + [pd.Timestamp("2031-06-01")]
+    ev = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 9], np.int64),
+        "ts": pd.Series(ts).astype("datetime64[us]"),
+        "user_id": pd.array([1, 2, 3, 4, 5, None, 7, 8, 9, 10],
+                            dtype="Int64"),
+        "event_type": ["view"] * 10,
+        "value": [1.0, -2.0, 3.0, -0.5, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+        "props": ["{}", "{}", "", None, "{}", "{}", "{}", "{}", "{}", "{}"],
+    })
+    sf = _write_tbl(tmp_path, "events", ev)
+    got = q142_contract_audit(sf).set_index("rule")
+    assert got.loc["dup_event_id", "n_violations"] == 1
+    assert got.loc["negative_value", "n_violations"] == 2
+    assert got.loc["empty_props", "n_violations"] == 2
+    assert got.loc["future_ts", "n_violations"] == 1
+    assert got.loc["null_user", "n_violations"] == 1
+    assert (got["n_rows"] == 10).all()
+    assert got.loc["negative_value", "bad_ppm"] == 200_000
+    assert got.loc["dup_event_id", "bad_ppm"] == 100_000
