@@ -297,6 +297,26 @@ def cmd_compare(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Small-file maintenance (the OPTIMIZE verb): rewrite a run dir's
+    stages — or a hive-partitioned index dir's shards — into
+    target-sized Parquet files.  Shuffle-free (whole-file concat per
+    output block), content-asserted against the manifest, atomic swap
+    per directory."""
+    _ray_init(args.num_cpus)
+    from event_deduplication_ray.state.compact import (
+        compact_index_dir,
+        compact_run_dir,
+    )
+
+    if args.index_dir:
+        out = compact_index_dir(args.index_dir, args.target_rows)
+    else:
+        out = compact_run_dir(args.run_dir, args.target_rows)
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def cmd_config(args: argparse.Namespace) -> int:
     """Run-config get/patch (reference Q8): get prints the persisted
     config.json; patch deep-merges `key=json_value` pairs (dotted
@@ -420,6 +440,13 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--run-dir", required=True)
     pc.add_argument("--set", action="append", default=None)
     pc.set_defaults(fn=cmd_config)
+
+    pco = sub.add_parser("compact")
+    g = pco.add_mutually_exclusive_group(required=True)
+    g.add_argument("--run-dir")
+    g.add_argument("--index-dir")
+    pco.add_argument("--target-rows", type=int, default=1_000_000)
+    pco.set_defaults(fn=cmd_compact)
 
     pcm = sub.add_parser("compare")
     pcm.add_argument("--run-dir-a", required=True)

@@ -365,3 +365,50 @@ def test_cli_remove_and_update_subcommands(tmp_path):
     m2 = json.loads(r3.stdout.strip().splitlines()[-1])
     assert m2["added"] == 1 and m2["changed"] == 1 and m2["removed"] == 0
     assert m2["n_docs"] == 9
+
+
+@pytest.mark.slow
+def test_cli_compact_subcommand(corpus_dir, tmp_path):
+    """`cli compact --run-dir` in a subprocess: run → fragment a stage
+    → compact → rerun resumes on the compacted dir with identical
+    metrics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    run_dir = str(tmp_path / "run")
+    base = [sys.executable, "-m", "event_deduplication_ray.cli",
+            "--num-cpus", "4"]
+
+    r = subprocess.run(
+        base + ["run", "--input", f"{corpus_dir}/docs",
+                "--run-dir", run_dir],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m1 = json.loads(r.stdout.strip().splitlines()[-1])
+
+    # fragment assignments into many tiny files
+    d = os.path.join(run_dir, "assignments")
+    t = pq.read_table(d)
+    for f in os.listdir(d):
+        os.remove(os.path.join(d, f))
+    step = -(-len(t) // 8)
+    for i in range(8):
+        pq.write_table(t.slice(i * step, step),
+                       os.path.join(d, f"frag-{i}.parquet"))
+
+    r = subprocess.run(
+        base + ["compact", "--run-dir", run_dir],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["assignments"]["files_before"] == 8
+    assert out["assignments"]["files_after"] == 1
+
+    r = subprocess.run(
+        base + ["run", "--input", f"{corpus_dir}/docs",
+                "--run-dir", run_dir],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m2 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m2 == m1
