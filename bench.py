@@ -143,6 +143,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q128_repetition_signals", "q129_exact_substring_spans",
         "q132_dup_triangles", "q133_compression_gate",
         "q135_winnow_dedup", "q136_hopping_windows",
+        "q141_hashed_embedding", "q142_contract_audit",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -312,7 +312,10 @@ def cmd_compact(args: argparse.Namespace) -> int:
     if args.index_dir:
         out = compact_index_dir(args.index_dir, args.target_rows)
     else:
+        from event_deduplication_ray.state.compact import gc_run_dir
+
         out = compact_run_dir(args.run_dir, args.target_rows)
+        out["_gc_removed"] = gc_run_dir(args.run_dir)
     print(json.dumps(out, sort_keys=True))
     return 0
 

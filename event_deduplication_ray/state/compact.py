@@ -101,6 +101,25 @@ def compact_run_dir(run_dir: str,
     return out
 
 
+def gc_run_dir(run_dir: str) -> list[str]:
+    """Remove crash leftovers: ``*.tmp-*`` (write_stage /
+    persist_incremental), ``*.trash-*`` and ``*.compact-*`` (this
+    module) directories.  Only directories whose name carries one of
+    those markers are touched — live stages never match, so gc is
+    always safe to run, including concurrently with reads of the
+    final stage dirs (the leftovers are by construction unreferenced:
+    each producer renames its tmp away before declaring a stage
+    done)."""
+    markers = (".tmp-", ".trash-", ".compact-")
+    removed: list[str] = []
+    for name in sorted(os.listdir(run_dir)):
+        p = os.path.join(run_dir, name)
+        if os.path.isdir(p) and any(m in name for m in markers):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
 def compact_index_dir(index_dir: str,
                       target_rows_per_file: int = 1_000_000) -> dict:
     """Compact a hive-partitioned index directory (the token /

@@ -149,3 +149,19 @@ def test_compact_empty_and_missing_dirs(ray_session, tmp_path):
                    os.path.join(z, "part-empty.parquet"))
     out = compact_dir(z, target_rows_per_file=1)
     assert not out["compacted"] and out["rows"] == 0
+
+
+def test_gc_run_dir_removes_only_leftovers(ray_session, tmp_path):
+    from event_deduplication_ray.state.compact import gc_run_dir
+
+    run = str(tmp_path / "run")
+    for d in ("assignments", "assignments.tmp-abc123",
+              "edges.trash-def456", "canonical.compact-9f9f9f"):
+        os.makedirs(os.path.join(run, d))
+    pq.write_table(pa.table({"a": [1]}),
+                   os.path.join(run, "assignments", "p.parquet"))
+    removed = gc_run_dir(run)
+    assert removed == ["assignments.tmp-abc123",
+                       "canonical.compact-9f9f9f", "edges.trash-def456"]
+    assert sorted(os.listdir(run)) == ["assignments"]
+    assert gc_run_dir(run) == []
