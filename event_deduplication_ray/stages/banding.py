@@ -36,6 +36,44 @@ def _n_chars(t: pa.Table) -> np.ndarray:
     return np.full(len(t), np.iinfo(np.int64).max, dtype=np.int64)
 
 
+def plan_bands(threshold: float, n_hashes: int,
+               fp_weight: float = 0.5, fn_weight: float = 0.5) -> dict:
+    """Choose the (bands, rows) LSH split for a target Jaccard
+    threshold (the standard S-curve planner, e.g. Leskovec et al.
+    MMDS §3.4 / datasketch's _optimal_param): a pair with similarity
+    s collides in ≥1 band with p(s) = 1 − (1 − s^r)^b, so pick the
+    (b, r) with b·r ≤ n_hashes minimizing
+    fp_weight·∫₀ᵗ p(s) ds + fn_weight·∫ₜ¹ (1 − p(s)) ds.
+    Weight fn_weight up for recall-critical dedup (missed dups cost
+    more than extra verify work — verification filters false
+    positives anyway, at compute cost only).
+
+    Driver-side arithmetic over a fixed grid; returns
+    ``{"bands", "rows", "fp", "fn", "midpoint"}`` where midpoint
+    = (1/b)^(1/r) is where the S-curve crosses p = 1 − (1 − 1/b)ᵇ
+    ≈ 0.63 — the usual "threshold" reading of a band plan."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1): {threshold}")
+    s = np.linspace(0.0, 1.0, 2001)
+    ds_ = s[1] - s[0]
+    below = s <= threshold
+    best: dict | None = None
+    for b in range(1, n_hashes + 1):
+        for r in range(1, n_hashes // b + 1):
+            p = 1.0 - (1.0 - s ** r) ** b
+            fp = float(np.trapz(np.where(below, p, 0.0), dx=ds_))
+            fn = float(np.trapz(np.where(below, 0.0, 1.0 - p), dx=ds_))
+            cost = fp_weight * fp + fn_weight * fn
+            if best is None or cost < best["_cost"]:
+                best = {"bands": b, "rows": r, "fp": round(fp, 6),
+                        "fn": round(fn, 6),
+                        "midpoint": round((1.0 / b) ** (1.0 / r), 6),
+                        "_cost": cost}
+    assert best is not None
+    best.pop("_cost")
+    return best
+
+
 def minhash_band_key_matrix(sig: np.ndarray, cfg: DedupConfig) -> np.ndarray:
     """(n, bands*rows) uint64 MinHash matrix → (n, bands) int63 band
     keys (banded row hash ⊕ band index ⊕ pass salt, mixed).

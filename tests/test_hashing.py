@@ -99,3 +99,29 @@ def test_hamming_distance():
     a = np.array([0b1011], dtype=np.uint64)
     b = np.array([0b0010], dtype=np.uint64)
     assert H.hamming_distance_u64(a, b)[0] == 2
+
+
+def test_plan_bands_properties():
+    """The S-curve band planner: recall-weighted planning at the
+    engine's threshold 0.75 / 128 hashes reproduces the configured
+    (bands=16, rows=8) split (midpoint (1/16)^(1/8) = 0.7071); the
+    balanced plan sits tighter around the threshold; midpoints grow
+    with the threshold; every plan respects b*r <= n."""
+    import pytest
+
+    from event_deduplication_ray.stages.banding import plan_bands
+
+    fn_heavy = plan_bands(0.75, 128, fp_weight=0.1, fn_weight=0.9)
+    assert (fn_heavy["bands"], fn_heavy["rows"]) == (16, 8)
+    assert abs(fn_heavy["midpoint"] - 0.707107) < 1e-6
+
+    balanced = plan_bands(0.75, 128)
+    assert balanced["bands"] * balanced["rows"] <= 128
+    assert balanced["fn"] > fn_heavy["fn"]      # recall weighting works
+    assert balanced["fp"] < fn_heavy["fp"]
+
+    mids = [plan_bands(t, 128)["midpoint"] for t in (0.5, 0.75, 0.9)]
+    assert mids == sorted(mids)
+
+    with pytest.raises(ValueError):
+        plan_bands(1.0, 128)
