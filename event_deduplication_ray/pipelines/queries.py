@@ -7090,6 +7090,69 @@ def q142_contract_audit(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("rule").reset_index(drop=True)
 
 
+def q143_table_profile(sf_dir: str) -> pd.DataFrame:
+    """Exact per-column table profile (the `describe` verb a pipeline
+    runs before writing transforms against an unfamiliar feed):
+    n_rows / n_null / n_distinct for every events column, in exact
+    integers.  Null counts fold to one tiny per-batch partial;
+    distinct counts ship per-batch DEDUPED values keyed (col, val) —
+    one shuffle for all columns at once, each partition reporting
+    nunique per column over its disjoint value range.  Value keys are
+    injective strings: timestamps as epoch µs, floats via shortest-
+    roundtrip repr (distinctness is computed on the real values, the
+    string is only the shuffle key).  At 100 TB swap exact distinct
+    for the q48 per-group HLL (constant registers per column); exact
+    mode is the audit/oracle path."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ds = _read(sf_dir, "events", cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            s = df[c]
+            vals = s.dropna()
+            if c == "ts":
+                key = vals.astype("datetime64[us]").astype("int64") \
+                    .astype(str)
+            elif pd.api.types.is_float_dtype(vals):
+                # -0.0 + 0.0 == 0.0: SQL DISTINCT treats them equal
+                key = (vals.astype(np.float64) + 0.0).astype(str)
+            else:
+                key = vals.astype(str)
+            u = pd.unique(key.to_numpy(dtype=object))
+            frames.append(pd.DataFrame({
+                "col": c, "val": u, "n": np.int64(0),
+                "n_null": np.int64(0), "kind": "d"}))
+            frames.append(pd.DataFrame({
+                "col": [c], "val": "", "n": np.int64(len(s)),
+                "n_null": np.int64(s.isna().sum()), "kind": "c"}))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == "d"]
+        dd = d.groupby("col")["val"].nunique().rename("n_distinct") \
+            .reset_index()
+        c = df[df["kind"] == "c"].groupby("col", as_index=False) \
+            [["n", "n_null"]].sum()
+        return dd.merge(c, on="col", how="outer").fillna(0)
+
+    agg = _with_schema(
+        partition_apply(parts, ["col", "val"], QCFG.join_num_partitions,
+                        combine).to_pandas(),
+        {"col": "object", "n_distinct": "int64", "n": "int64",
+         "n_null": "int64"})
+    out = agg.groupby("col", as_index=False).sum()
+    out = pd.DataFrame({
+        "col": out["col"],
+        "n_rows": out["n"].astype(np.int64),
+        "n_null": out["n_null"].astype(np.int64),
+        "n_distinct": out["n_distinct"].astype(np.int64),
+    })
+    return out.sort_values("col").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -7229,6 +7292,7 @@ RAY_QUERIES = {
     "q140_dup_kcore": q140_dup_kcore,
     "q141_hashed_embedding": q141_hashed_embedding,
     "q142_contract_audit": q142_contract_audit,
+    "q143_table_profile": q143_table_profile,
 }
 
 
@@ -9458,5 +9522,27 @@ ORACLE_SQL = {
                (n_violations * 1000000 // greatest(n, 1))::BIGINT AS bad_ppm
         FROM rules
         ORDER BY rule
+    """,
+    # exact describe: count(DISTINCT) excludes NULLs on both sides
+    "q143_table_profile": """
+        SELECT 'event_id' AS col, count(*)::BIGINT AS n_rows,
+               (count(*) - count(event_id))::BIGINT AS n_null,
+               count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+        UNION ALL
+        SELECT 'event_type', count(*), count(*) - count(event_type),
+               count(DISTINCT event_type) FROM events
+        UNION ALL
+        SELECT 'props', count(*), count(*) - count(props),
+               count(DISTINCT props) FROM events
+        UNION ALL
+        SELECT 'ts', count(*), count(*) - count(ts),
+               count(DISTINCT ts) FROM events
+        UNION ALL
+        SELECT 'user_id', count(*), count(*) - count(user_id),
+               count(DISTINCT user_id) FROM events
+        UNION ALL
+        SELECT 'value', count(*), count(*) - count(value),
+               count(DISTINCT value) FROM events
+        ORDER BY col
     """,
 }

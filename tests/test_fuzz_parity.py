@@ -127,7 +127,8 @@ EV_FUZZED = ["q06_user_hourly_windows", "q14_session_windows",
              "q88_event_type_cooccurrence", "q99_event_transitions",
              "q113_late_data_drop", "q121_user_entropy",
              "q131_global_range_join", "q134_event_rate_anomaly",
-             "q136_hopping_windows", "q142_contract_audit"]
+             "q136_hopping_windows", "q142_contract_audit",
+             "q143_table_profile"]
 
 
 def _events(seed: int) -> pd.DataFrame:

@@ -2913,3 +2913,35 @@ def test_contract_audit_planted(ray_session, tmp_path):
     assert (got["n_rows"] == 10).all()
     assert got.loc["negative_value", "bad_ppm"] == 200_000
     assert got.loc["dup_event_id", "bad_ppm"] == 100_000
+
+
+def test_table_profile_planted(ray_session, tmp_path):
+    """Hand-counted profile over 6 rows: duplicate event_ids and ts,
+    a null user, a null and duplicate props, -0.0 vs 0.0 collapsing
+    to ONE distinct value (IEEE equality, the SQL DISTINCT
+    semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q143_table_profile
+
+    ev = pd.DataFrame({
+        "event_id": np.array([1, 1, 2, 3, 4, 5], np.int64),
+        "ts": pd.Series([pd.Timestamp("2024-01-01")] * 2
+                        + [pd.Timestamp("2024-01-02")] * 4
+                        ).astype("datetime64[us]"),
+        "user_id": pd.array([1, 2, None, 2, 3, 3], dtype="Int64"),
+        "event_type": ["view", "view", "click", "view", "click", "buy"],
+        "value": [0.0, -0.0, 1.5, 1.5, 2.0, 3.0],
+        "props": ["{}", None, "{}", "x", "y", "y"],
+    })
+    sf = _write_tbl(tmp_path, "events", ev)
+    got = q143_table_profile(sf).set_index("col")
+    assert (got["n_rows"] == 6).all()
+    assert got.loc["event_id", "n_distinct"] == 5
+    assert got.loc["ts", "n_distinct"] == 2
+    assert got.loc["user_id", "n_null"] == 1
+    assert got.loc["user_id", "n_distinct"] == 3
+    assert got.loc["value", "n_distinct"] == 4     # -0.0 == 0.0
+    assert got.loc["props", "n_null"] == 1
+    assert got.loc["props", "n_distinct"] == 3
