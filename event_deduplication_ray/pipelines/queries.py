@@ -7153,6 +7153,69 @@ def q143_table_profile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("col").reset_index(drop=True)
 
 
+def q144_join_size_cms(sf_dir: str) -> pd.DataFrame:
+    """Sketch-only join-cardinality estimate (the planner primitive:
+    size |views ⋈ purchases ON user_id| BEFORE paying for the join):
+    one linear pass folds each side's per-batch user_id counts into a
+    Count-Min matrix; the join size Σ_k aₖ·bₖ is estimated as
+    min over rows r of Σ_j A[r,j]·B[r,j] — each row is a one-sided
+    OVERestimate (hash collisions only add cross terms), so the min
+    never undershoots the truth and exceeds it by ≤ ε·N_a·N_b per row
+    with prob 1−2⁻ᵈ (Cormode & Muthukrishnan 2005 §4.2).  Zero
+    shuffles of either input: P fixed-size matrices reduce per
+    partition, then on the driver.  Rows-only (approximate by
+    design); the bracket gate vs the exact join is in
+    test_training_ops."""
+    from event_deduplication_ray.functions.sketch import (
+        cms_merge,
+        cms_partial,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for side, etype in (("a", "view"), ("b", "purchase")):
+            ids = df.loc[df["event_type"] == etype, "user_id"] \
+                .to_numpy(np.int64)
+            vc = pd.Series(ids).value_counts()
+            M = cms_partial(vc.index.to_numpy(np.int64).view(np.uint64),
+                            vc.to_numpy(np.int64))
+            rows.append({"part": int(M.sum()) % 8, "side": side,
+                         "cms": M.tobytes(), "n": np.int64(len(ids))})
+        return pd.DataFrame(rows, columns=["part", "side", "cms", "n"])
+
+    def sum_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (part, side), sub in df.groupby(["part", "side"]):
+            mats = [np.frombuffer(b, np.int64).reshape(4, -1)
+                    for b in sub["cms"]]
+            out.append({"part": part, "side": side,
+                        "cms": cms_merge(mats).tobytes(),
+                        "n": np.int64(sub["n"].sum())})
+        return pd.DataFrame(out, columns=["part", "side", "cms", "n"])
+
+    parts = _with_schema(
+        partition_apply(ds.map_batches(partial, batch_format="pandas"),
+                        ["part", "side"], 8, sum_part).to_pandas(),
+        {"part": "int64", "side": "object", "cms": "object", "n": "int64"})
+    sides = {}
+    counts = {}
+    for side in ("a", "b"):
+        sub = parts[parts["side"] == side]
+        mats = [np.frombuffer(b, np.int64).reshape(4, -1)
+                for b in sub["cms"]]
+        sides[side] = cms_merge(mats) if mats else np.zeros((4, 8192),
+                                                            np.int64)
+        counts[side] = int(sub["n"].sum())
+    est = int(np.min(np.einsum("rw,rw->r", sides["a"], sides["b"])))
+    return pd.DataFrame([{
+        "n_view_rows": np.int64(counts["a"]),
+        "n_purchase_rows": np.int64(counts["b"]),
+        "join_size_est": np.int64(est),
+    }])
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -7293,6 +7356,7 @@ RAY_QUERIES = {
     "q141_hashed_embedding": q141_hashed_embedding,
     "q142_contract_audit": q142_contract_audit,
     "q143_table_profile": q143_table_profile,
+    "q144_join_size_cms": q144_join_size_cms,
 }
 
 

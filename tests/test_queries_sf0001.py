@@ -119,7 +119,7 @@ ROWS_ONLY = [
     "q81_top_bigrams_cms", "q96_value_quantiles_kll",
     "q116_packed_shards", "q117_bpe_merges", "q123_dup_pagerank",
     "q126_doc_neighbors", "q133_compression_gate",
-    "q135_winnow_dedup", "q140_dup_kcore",
+    "q135_winnow_dedup", "q140_dup_kcore", "q144_join_size_cms",
 ]
 
 

@@ -2945,3 +2945,54 @@ def test_table_profile_planted(ray_session, tmp_path):
     assert got.loc["value", "n_distinct"] == 4     # -0.0 == 0.0
     assert got.loc["props", "n_null"] == 1
     assert got.loc["props", "n_distinct"] == 3
+
+
+def test_join_size_cms_bracket(ray_session, tmp_path):
+    """CMS inner-product join estimate: never below the exact join
+    size (one-sided), and within the ε·N_a·N_b Count-Min bound of it.
+    Planted multiplicities: user 1 has 3 views × 2 purchases, user 2
+    has 1 × 1, user 3 views only, user 4 purchases only → true 7."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q144_join_size_cms
+
+    rows = []
+    eid = 1
+    for u, et, k in [(1, "view", 3), (1, "purchase", 2),
+                     (2, "view", 1), (2, "purchase", 1),
+                     (3, "view", 4), (4, "purchase", 5)]:
+        for _ in range(k):
+            rows.append((eid, pd.Timestamp("2024-01-01"), u, et, 1.0, "{}"))
+            eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write_tbl(tmp_path, "events", ev)
+    got = q144_join_size_cms(sf).iloc[0]
+    true = 3 * 2 + 1 * 1
+    assert got["n_view_rows"] == 8 and got["n_purchase_rows"] == 8
+    assert got["join_size_est"] >= true
+    bound = np.e / 8192 * 8 * 8 + 1
+    assert got["join_size_est"] <= true + bound
+
+
+def test_join_size_cms_matches_exact_sf0001(ray_session):
+    """At sf0.001 the estimate must bracket the exact join size
+    computed independently (pandas merge)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray.pipelines.queries import q144_join_size_cms
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    v = ev[ev["event_type"] == "view"].groupby("user_id").size()
+    p = ev[ev["event_type"] == "purchase"].groupby("user_id").size()
+    true = int((v * p).dropna().sum())
+    got = q144_join_size_cms(sf).iloc[0]
+    assert got["join_size_est"] >= true
+    bound = np.e / 8192 * got["n_view_rows"] * got["n_purchase_rows"] + 1
+    assert got["join_size_est"] <= true + bound
