@@ -265,3 +265,90 @@ def export_deduped_corpus(
         kept.write_parquet(out_dir, num_rows_per_file=rows_per_file, **kw)
     n_kept = rd.read_parquet(out_dir).count()
     return {"n_kept": int(n_kept), "n_dropped": n_losers}
+
+
+def export_sorted_corpus(
+    docs_path: str,
+    out_dir: str,
+    num_files: int = 16,
+) -> dict:
+    """Globally ordered corpus export — curriculum ordering (feed a
+    training loop short → long documents): lexicographic FILE order ==
+    global (n_tokens, doc_id) order, and each file is internally
+    sorted, so a loader that streams ``part-*.parquet`` in name order
+    replays the curriculum with no reader-side sort.
+
+    Not a full shuffle-sort: pass 1 builds the exact token-count
+    histogram (tiny — one row per distinct count per batch, the
+    q34/q68 pattern); the driver cuts file boundaries at equal-row
+    quantiles.  Pass 2 maps each row to its file id (searchsorted
+    against the broadcast boundaries — row-local), moves the corpus
+    ONCE through a hash shuffle on file id, sorts within each file
+    and writes ``part-<id:05d>.parquet`` atomically (tmp → rename).
+    Equal keys never straddle a boundary (boundaries are key VALUES),
+    so ties stay within one file; a heavy key value merely makes its
+    file larger than the target.  Returns ``{"n_docs", "n_files"}``.
+    """
+    import uuid
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from event_deduplication_ray.functions import textstats as TS
+    from event_deduplication_ray.stages.shuffle import partition_apply
+
+    ds = rd.read_parquet(docs_path)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.Series(TS.token_counts(df["text"])).value_counts()
+        return pd.DataFrame({"n_tokens": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    hist = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    if not len(hist):
+        os.makedirs(out_dir, exist_ok=True)
+        return {"n_docs": 0, "n_files": 0}
+    hist = hist.groupby("n_tokens", as_index=False)["n"].sum() \
+        .sort_values("n_tokens")
+    vals = hist["n_tokens"].to_numpy(np.int64)
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    total = int(cum[-1])
+    target = -(-total // max(num_files, 1))
+    cuts = np.searchsorted(cum, np.arange(1, num_files) * target,
+                           side="left")
+    bounds = np.unique(vals[np.clip(cuts, 0, len(vals) - 1)])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        nt = np.asarray(TS.token_counts(df["text"]), dtype=np.int64)
+        df["n_tokens"] = nt
+        df["file_id"] = np.searchsorted(bounds, nt, side="left") \
+            .astype(np.int64)
+        return df
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_files(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for fid, sub in df.groupby("file_id"):
+            sub = sub.sort_values(["n_tokens", "doc_id"]) \
+                .drop(columns=["file_id"])
+            final = os.path.join(out_dir, f"part-{int(fid):05d}.parquet")
+            tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(pa.Table.from_pandas(sub, preserve_index=False),
+                           tmp)
+            os.replace(tmp, final)
+            out.append({"file_id": np.int64(fid),
+                        "n_rows": np.int64(len(sub))})
+        return pd.DataFrame(out, columns=["file_id", "n_rows"])
+
+    manifest = partition_apply(
+        ds.map_batches(assign, batch_format="pandas"),
+        ["file_id"], max(min(num_files, 64), 1), write_files,
+    ).to_pandas()
+    n_written = int(manifest["n_rows"].sum()) if len(manifest) else 0
+    if n_written != total:            # torn export must not look done
+        raise RuntimeError(
+            f"sorted export wrote {n_written} of {total} rows")
+    return {"n_docs": total, "n_files": int(len(manifest))}

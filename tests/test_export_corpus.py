@@ -61,3 +61,79 @@ def test_deduped_corpus_partitioned_by_lang(run_dir, tmp_path):
     assert dirs, "expected hive lang= partition dirs"
     kept = pd.read_parquet(out)
     assert len(kept) == m["n_kept"]
+
+
+def test_export_sorted_corpus_global_order(ray_session, tmp_path):
+    """Curriculum export: reading part files in NAME order yields
+    globally non-decreasing (n_tokens, doc_id); every doc appears
+    exactly once; each file is internally sorted."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray.pipelines.export import export_sorted_corpus
+
+    rng = np.random.default_rng(7)
+    n = 400
+    docs = pd.DataFrame({
+        "doc_id": np.arange(1, n + 1, dtype=np.int64),
+        "text": [" ".join(["tok"] * int(k))
+                 for k in rng.integers(1, 80, n)],
+        "lang": ["en"] * n,
+    })
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(src / "d.parquet"))
+    out = str(tmp_path / "sorted")
+    m = export_sorted_corpus(str(src), out, num_files=8)
+    assert m["n_docs"] == n and 1 <= m["n_files"] <= 8
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len(files) == m["n_files"]
+    seen = []
+    prev = (-1, -1)
+    for f in files:
+        t = pq.read_table(os.path.join(out, f)).to_pandas()
+        keys = list(zip(t["n_tokens"], t["doc_id"]))
+        assert keys == sorted(keys), f"{f} not internally sorted"
+        assert keys[0] >= prev, f"{f} overlaps previous file"
+        prev = keys[-1]
+        seen.extend(t["doc_id"].tolist())
+    assert sorted(seen) == docs["doc_id"].tolist()
+
+
+def test_export_sorted_corpus_empty_and_heavy_key(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray.pipelines.export import export_sorted_corpus
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())}),
+                   str(empty / "d.parquet"))
+    assert export_sorted_corpus(str(empty), str(tmp_path / "eo")) == \
+        {"n_docs": 0, "n_files": 0}
+
+    # one dominant key value: ties never straddle files
+    docs = pd.DataFrame({
+        "doc_id": np.arange(1, 101, dtype=np.int64),
+        "text": ["a b c"] * 90 + ["a"] * 5 + ["a b c d e f g"] * 5,
+    })
+    src = tmp_path / "heavy"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(src / "d.parquet"))
+    out = str(tmp_path / "ho")
+    m = export_sorted_corpus(str(src), out, num_files=10)
+    assert m["n_docs"] == 100
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    per_file = [set(pq.read_table(os.path.join(out, f)).to_pandas()
+                    ["n_tokens"]) for f in files]
+    # the 3-token flood lives in exactly one file
+    assert sum(3 in s for s in per_file) == 1
