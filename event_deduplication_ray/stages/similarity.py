@@ -851,3 +851,134 @@ def quantize_transform(embeddings: Dataset, model: dict,
 def dequantize(codes: np.ndarray, model: dict) -> np.ndarray:
     """int8 codes (n, d) → float64 approximations."""
     return (codes.astype(np.float64) + 127.0) * model["scale"] + model["lo"]
+
+
+def _lloyd_kmeans(sample: np.ndarray, k: int, n_iters: int = 10,
+                  seed: int = 42) -> np.ndarray:
+    """Plain Euclidean Lloyd k-means with deterministic farthest-first
+    seeding (the subspace trainer for product quantization — PQ wants
+    Euclidean cells, not the spherical cones of `spherical_kmeans`).
+    Empty cells reseed to the worst-served points each round."""
+    x = np.asarray(sample, dtype=np.float64)
+    n = len(x)
+    k = max(1, min(k, n))
+    rng = np.random.default_rng(seed)
+    seeds = [int(rng.integers(n))]
+    d2 = ((x - x[seeds[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        nxt = int(np.argmax(d2))
+        seeds.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    c = x[seeds].copy()
+    for _ in range(n_iters):
+        # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; argmin drops ||x||^2
+        dist = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        assign = dist.argmin(axis=1)
+        best = dist[np.arange(n), assign]
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, x)
+        cnt = np.bincount(assign, minlength=k).astype(np.float64)
+        empty = cnt == 0
+        cnt[empty] = 1.0
+        c = sums / cnt[:, None]
+        if empty.any():
+            far = np.argsort(-best)[: int(empty.sum())]
+            c[np.flatnonzero(empty)] = x[far]
+    return c
+
+
+def pq_fit(embeddings: Dataset, m: int = 8, n_codes: int = 16,
+           sample_size: int = 4096, n_iters: int = 10, seed: int = 42,
+           emb_col: str = "embedding") -> dict:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    d dims into ``m`` contiguous subspaces and train ``n_codes``
+    Euclidean centroids per subspace on a BOUNDED sample — the third
+    member of the embedding-compression family (PCA cuts d, int8 cuts
+    bytes/dim, PQ cuts to ``m`` BYTES PER VECTOR with a data-adaptive
+    codebook, e.g. 64-dim float32 256 B → 8 B = 32×).  The sample is
+    the only driver-side materialization (the ivf_index_build
+    contract); returns ``{"codebooks": (m, n_codes, d//m)}``."""
+    sample = embeddings.limit(sample_size).to_pandas()
+    x = np.vstack(sample[emb_col].to_numpy()).astype(np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.stack([
+        _lloyd_kmeans(x[:, s * sub:(s + 1) * sub], n_codes, n_iters,
+                      seed + s)
+        for s in range(m)
+    ])
+    return {"codebooks": books}
+
+
+def pq_transform(embeddings: Dataset, model: dict,
+                 id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> Dataset:
+    """Encode vectors to (n, m) uint8 PQ codes in one broadcast pass
+    (codebooks ship once via ray.put; per batch one matmul per
+    subspace)."""
+    ref = ray.put(model["codebooks"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        x = _emb_matrix(t[emb_col])
+        m, _, sub = books.shape
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for s in range(m):
+            c = books[s]
+            xs = x[:, s * sub:(s + 1) * sub]
+            dist = -2.0 * (xs @ c.T) + (c * c).sum(axis=1)[None, :]
+            codes[:, s] = dist.argmin(axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: t[id_col],
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m),
+        })
+
+    return embeddings.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_decode(codes: np.ndarray, model: dict) -> np.ndarray:
+    """(n, m) uint8 codes → reconstructed (n, d) float64 vectors."""
+    books = model["codebooks"]
+    m, _, sub = books.shape
+    return np.concatenate(
+        [books[s][codes[:, s]] for s in range(m)], axis=1)
+
+
+def pq_topk(codes_ds: Dataset, model: dict, query: np.ndarray,
+            k: int = 10, id_col: str = "vec_id") -> pd.DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query builds ONE
+    (m, n_codes) distance table against the broadcast codebooks; each
+    batch is then a pure uint8 table-lookup sum — no float vector is
+    ever read at serve time.  Per-batch local top-k partials combine
+    on the driver (the brute_force_topk shape at 1/32 the bytes).
+    Ties break on (adc_dist asc, vec_id asc), both exact."""
+    books = model["codebooks"]
+    m, _, sub = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    dt = np.stack([
+        ((books[s] - q[s * sub:(s + 1) * sub]) ** 2).sum(axis=1)
+        for s in range(m)
+    ])                                          # (m, n_codes)
+    dt_ref = ray.put(dt)
+
+    def local(t: pa.Table) -> pa.Table:
+        table = ray.get(dt_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "adc_dist": pa.array([], pa.float64())})
+        codes = np.stack(t["pq_code"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        dist = np.zeros(len(ids), np.float64)
+        for s in range(table.shape[0]):
+            dist += table[s][codes[:, s]]
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "adc_dist": pa.array(dist[order])})
+
+    parts = codes_ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["adc_dist", id_col], kind="mergesort")
+    return parts.head(k).reset_index(drop=True)

@@ -307,3 +307,75 @@ def test_quantize_roundtrip_and_recall(tmp_path):
     dn = deq / np.linalg.norm(deq, axis=1, keepdims=True)
     got = set(np.argsort(-(dn @ (q / np.linalg.norm(q))))[:10].tolist())
     assert len(want & got) >= 8
+
+
+def test_pq_encode_decode_and_topk(tmp_path):
+    """Product quantization on planted clumps: 4 well-separated
+    centers × tight noise in 64 dims, m=8 subspaces × 16 codes.
+    Gates: codes are (n, 8) uint8 (8 bytes/vector = 32× vs float32);
+    every reconstruction lands nearer its own original than any other
+    clump's center; ADC top-k from a clump center returns exactly
+    that clump; fit is deterministic."""
+    import ray.data as rd
+    from event_deduplication_ray.stages.similarity import (
+        pq_decode,
+        pq_fit,
+        pq_topk,
+        pq_transform,
+    )
+
+    rng = np.random.default_rng(11)
+    n_per, d = 50, 64
+    centers = rng.standard_normal((4, d)) * 4.0
+    m = np.vstack([c + 0.05 * rng.standard_normal((n_per, d))
+                   for c in centers])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t)
+
+    model = pq_fit(ds, m=8, n_codes=16)
+    assert model["codebooks"].shape == (8, 16, 8)
+    model_b = pq_fit(rd.from_arrow(t), m=8, n_codes=16)
+    assert np.array_equal(model["codebooks"], model_b["codebooks"])
+
+    enc = pq_transform(ds, model).to_pandas().sort_values("vec_id")
+    codes = np.vstack(enc["pq_code"].to_numpy()).astype(np.uint8)
+    assert codes.shape == (len(m), 8)
+
+    rec = pq_decode(codes, model)
+    d_own = ((rec - m) ** 2).sum(axis=1)
+    d_other = np.min(
+        [((rec - c) ** 2).sum(axis=1) for i, c in enumerate(centers)
+         if True], axis=0)
+    # reconstruction error ≪ inter-clump distance
+    assert np.all(d_own < 1.0)
+    for i in range(4):
+        rows = slice(i * n_per, (i + 1) * n_per)
+        others = [c for j, c in enumerate(centers) if j != i]
+        d_off = np.min([((rec[rows] - c) ** 2).sum(axis=1)
+                        for c in others], axis=0)
+        assert np.all(d_own[rows] < d_off)
+
+    enc_ds = pq_transform(ds, model)
+    top = pq_topk(enc_ds, model, centers[2], k=n_per)
+    want = set(range(2 * n_per, 3 * n_per))
+    assert set(top["vec_id"]) == want
+    assert len(top) == n_per
+
+
+def test_pq_dim_guard_and_empty_batch(tmp_path):
+    import pytest
+
+    import ray.data as rd
+    from event_deduplication_ray.stages.similarity import pq_fit
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[0.0] * 10, [1.0] * 10],
+                              pa.list_(pa.float64())),
+    })
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(rd.from_arrow(t), m=3)
