@@ -7216,6 +7216,73 @@ def q144_join_size_cms(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+_PHRASE_INDEX_CACHE: dict[str, str] = {}
+
+
+def q145_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact ordered-phrase search served from the POSITIONAL posting
+    index (`stages/textindex.phrase_index_build/phrase_search`) — the
+    phrase-query member of the retrieval family (q89 streaming AND,
+    q90 index AND, q108 BM25 ranking).  The query is self-derived and
+    deterministic (the q89 pattern): the corpus's top bigram by count
+    (ties: w1, w2 asc).  A doc matches at start p iff w1 sits at p and
+    w2 at p+1; the serve path reads only the two terms' shards and
+    shuffles (doc_id, p, term_idx) triples of the query's postings —
+    never the corpus.  Returns (doc_id, n_phrase) with overlapping
+    occurrences counted, which for k=2 equals the bigram occurrence
+    count — exactly what the SQL oracle computes from the q64
+    list_transform enumeration."""
+    import os
+    import tempfile
+
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+    from event_deduplication_ray.stages.textindex import (
+        phrase_index_build,
+        phrase_search,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = _PHRASE_INDEX_CACHE.get(sf_dir)
+    if idx is None or not os.path.isdir(idx):
+        idx = tempfile.mkdtemp(prefix="edr_phrase_idx_")
+        phrase_index_build(ds, idx)
+        _PHRASE_INDEX_CACHE[sf_dir] = idx
+
+    def bg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        n = len(flat)
+        empty = pd.DataFrame({"w1": pd.Series(dtype="object"),
+                              "w2": pd.Series(dtype="object"),
+                              "n": pd.Series(dtype="int64")})
+        if n < 2:
+            return empty
+        start_ok = np.ones(n, dtype=bool)
+        ends = np.cumsum(lens)
+        start_ok[ends[lens > 0] - 1] = False
+        i = np.flatnonzero(start_ok[:-1])
+        if not len(i):
+            return empty
+        g = pd.DataFrame({"w1": flat[i], "w2": flat[i + 1]}) \
+            .groupby(["w1", "w2"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    top = _with_schema(
+        partition_apply(
+            ds.map_batches(bg_partial, batch_format="pandas"),
+            ["w1", "w2"], QCFG.join_num_partitions,
+            lambda df: df.groupby(["w1", "w2"], as_index=False)["n"].sum()
+            .sort_values(["n", "w1", "w2"],
+                         ascending=[False, True, True]).head(1),
+        ).to_pandas(),
+        {"w1": "object", "w2": "object", "n": "int64"})
+    if not len(top):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_phrase": pd.Series(dtype="int64")})
+    top = top.sort_values(["n", "w1", "w2"],
+                          ascending=[False, True, True]).iloc[0]
+    return phrase_search(idx, [top["w1"], top["w2"]])
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -7357,6 +7424,7 @@ RAY_QUERIES = {
     "q142_contract_audit": q142_contract_audit,
     "q143_table_profile": q143_table_profile,
     "q144_join_size_cms": q144_join_size_cms,
+    "q145_phrase_search": q145_phrase_search,
 }
 
 
@@ -9608,5 +9676,27 @@ ORACLE_SQL = {
         SELECT 'value', count(*), count(*) - count(value),
                count(DISTINCT value) FROM events
         ORDER BY col
+    """,
+    "q145_phrase_search": """
+        WITH arrs AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS a
+          FROM documents
+        ), bge AS (
+          SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(a)),
+                              i -> struct_pack(w1 := a[i],
+                                               w2 := a[i+1]))) AS bg
+                FROM arrs WHERE len(a) >= 2)
+        ), top AS (
+          SELECT w1, w2
+          FROM (SELECT w1, w2, count(*) AS n FROM bge GROUP BY w1, w2)
+          ORDER BY n DESC, w1, w2 LIMIT 1
+        )
+        SELECT b.doc_id, count(*)::BIGINT AS n_phrase
+        FROM bge b JOIN top t USING (w1, w2)
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
     """,
 }

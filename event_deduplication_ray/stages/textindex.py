@@ -150,3 +150,102 @@ def token_index_search(index_dir: str, terms: "list[str]",
         g = g[g["n_hit"] == len(terms)]
     out = g[["doc_id"]].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _make_pos_explode(n_shards: int):
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        if len(flat) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64"),
+                                 "tok_shard": pd.Series(dtype="int64")})
+        doc_of = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        ends = np.cumsum(lens)
+        pos = np.arange(len(flat), dtype=np.int64) \
+            - np.repeat(ends - lens, lens)
+        d = pd.DataFrame({"token": flat, "doc_id": doc_of, "pos": pos})
+        d["tok_shard"] = _token_shards(d["token"].to_numpy(dtype=object),
+                                       n_shards)
+        return d
+    return explode
+
+
+def phrase_index_build(docs: Dataset, index_dir: str,
+                       n_shards: int = N_SHARDS_DEFAULT) -> None:
+    """Positional posting list (every occurrence, with its token
+    offset) — the phrase-query cousin of ``token_index_build``.  A
+    separate layout on purpose: the presence index stores DISTINCT
+    (token, doc) so AND counts are exact; positions multiply rows per
+    occurrence and would break that contract.  Same hive sharding, so
+    ``compact_index_dir`` and shard-pruned serving apply unchanged."""
+    docs.map_batches(_make_pos_explode(n_shards),
+                     batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["tok_shard"]
+    )
+
+
+def phrase_search(index_dir: str, terms: "list[str]",
+                  n_shards: int = N_SHARDS_DEFAULT) -> pd.DataFrame:
+    """Exact ordered-phrase search from the positional index: a doc
+    matches at start position p iff term i sits at p+i for every i.
+    Each batch emits (doc_id, p = pos − i, term_idx) for every term
+    occurrence (postings are globally unique, so these triples are
+    too); one hash shuffle on (doc_id, p) then counts DISTINCT
+    term_idx == len(terms) per start — overlapping matches and
+    repeated phrase terms both fall out of the distinct-index
+    semantics.  Reads only the query terms' shards; the shuffle
+    carries the query's posting rows, not the corpus.  Returns
+    (doc_id, n_phrase) for matching docs."""
+    import ray.data as rd
+
+    from event_deduplication_ray.stages.shuffle import partition_apply
+
+    terms = [t.lower() for t in terms]
+    k = len(terms)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "n_phrase": pd.Series(dtype="int64")})
+    if k == 0:
+        return empty
+    shards = set(_token_shards(np.asarray(sorted(set(terms)),
+                                          dtype=object),
+                               n_shards).tolist())
+    paths = _shard_paths(index_dir, shards)
+    if not paths:
+        return empty
+
+    def starts(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for i, term in enumerate(terms):
+            m = df[df["token"] == term]
+            if len(m):
+                outs.append(pd.DataFrame({
+                    "doc_id": m["doc_id"].to_numpy(np.int64),
+                    "p": m["pos"].to_numpy(np.int64) - i,
+                    "tix": np.int64(i)}))
+        if not outs:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "p": pd.Series(dtype="int64"),
+                                 "tix": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    def count_full(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        g = df[df["p"] >= 0].groupby(["doc_id", "p"])["tix"].nunique()
+        hits = g[g == k].reset_index()
+        if not len(hits):
+            return empty
+        out = hits.groupby("doc_id", as_index=False).size() \
+            .rename(columns={"size": "n_phrase"})
+        return out.astype({"doc_id": "int64", "n_phrase": "int64"})
+
+    parts = rd.read_parquet(paths, columns=["token", "doc_id", "pos"]) \
+        .map_batches(starts, batch_format="pandas")
+    res = partition_apply(parts, ["doc_id", "p"], 16, count_full) \
+        .to_pandas()
+    if "doc_id" not in res.columns:        # 0-row schema drop
+        return empty
+    res = res.groupby("doc_id", as_index=False)["n_phrase"].sum()
+    return res.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_phrase": "int64"})

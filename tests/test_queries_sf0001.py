@@ -94,7 +94,7 @@ SQL_CHECKED = [
     "q136_hopping_windows", "q137_containment_directed",
     "q138_cross_label_nn", "q139_source_dup_rate",
     "q141_hashed_embedding", "q142_contract_audit",
-    "q143_table_profile",
+    "q143_table_profile", "q145_phrase_search",
 ]
 
 

@@ -2996,3 +2996,47 @@ def test_join_size_cms_matches_exact_sf0001(ray_session):
     assert got["join_size_est"] >= true
     bound = np.e / 8192 * got["n_view_rows"] * got["n_purchase_rows"] + 1
     assert got["join_size_est"] <= true + bound
+
+
+def test_phrase_search_planted(ray_session, tmp_path):
+    """Positional phrase search by hand: [a b a] matches 'a b a b a'
+    at starts 0 and 2 (overlaps count); a doc with the tokens but not
+    the order does NOT match; absent terms → empty frame."""
+    import pandas as pd
+
+    import ray.data as rd
+    from event_deduplication_ray.stages.textindex import (
+        phrase_index_build,
+        phrase_search,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b a", "b a x a b", "c c c"]})
+    idx = str(tmp_path / "pidx")
+    phrase_index_build(rd.from_pandas(docs), idx)
+
+    got = phrase_search(idx, ["a", "b", "a"]).set_index("doc_id")
+    assert got["n_phrase"].to_dict() == {1: 2}     # overlapping starts
+
+    got2 = phrase_search(idx, ["a", "b"]).set_index("doc_id")
+    assert got2["n_phrase"].to_dict() == {1: 2, 2: 1}
+
+    assert len(phrase_search(idx, ["zz", "a"])) == 0
+    assert len(phrase_search(idx, [])) == 0
+
+
+def test_q145_phrase_search_planted(ray_session, tmp_path):
+    """Self-derived top bigram: 'go go' wins with count 3 (2 in doc 1
+    via overlap of 'go go go', 1 in doc 2); the result counts
+    per-doc occurrences of exactly that phrase."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q145_phrase_search
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "lang": ["en"] * 3,
+        "text": ["go go go", "stop go go", "halt halt"]}))
+    got = q145_phrase_search(sf).set_index("doc_id")
+    assert got["n_phrase"].to_dict() == {1: 2, 2: 1}
