@@ -900,16 +900,31 @@ def pq_fit(embeddings: Dataset, m: int = 8, n_codes: int = 16,
     contract); returns ``{"codebooks": (m, n_codes, d//m)}``."""
     sample = embeddings.limit(sample_size).to_pandas()
     x = np.vstack(sample[emb_col].to_numpy()).astype(np.float64)
+    return {"codebooks": _pq_fit_array(x, m, n_codes, n_iters, seed)}
+
+
+def _pq_fit_array(x: np.ndarray, m: int, n_codes: int,
+                  n_iters: int, seed: int) -> np.ndarray:
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
-    books = np.stack([
+    return np.stack([
         _lloyd_kmeans(x[:, s * sub:(s + 1) * sub], n_codes, n_iters,
                       seed + s)
         for s in range(m)
     ])
-    return {"codebooks": books}
+
+
+def _pq_encode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    m, _, sub = books.shape
+    codes = np.empty((len(x), m), dtype=np.uint8)
+    for s in range(m):
+        c = books[s]
+        xs = x[:, s * sub:(s + 1) * sub]
+        dist = -2.0 * (xs @ c.T) + (c * c).sum(axis=1)[None, :]
+        codes[:, s] = dist.argmin(axis=1).astype(np.uint8)
+    return codes
 
 
 def pq_transform(embeddings: Dataset, model: dict,
@@ -923,13 +938,8 @@ def pq_transform(embeddings: Dataset, model: dict,
     def enc(t: pa.Table) -> pa.Table:
         books = ray.get(ref)
         x = _emb_matrix(t[emb_col])
-        m, _, sub = books.shape
-        codes = np.empty((len(x), m), dtype=np.uint8)
-        for s in range(m):
-            c = books[s]
-            xs = x[:, s * sub:(s + 1) * sub]
-            dist = -2.0 * (xs @ c.T) + (c * c).sum(axis=1)[None, :]
-            codes[:, s] = dist.argmin(axis=1).astype(np.uint8)
+        m = books.shape[0]
+        codes = _pq_encode(x, books)
         return pa.table({
             id_col: t[id_col],
             "pq_code": pa.FixedSizeListArray.from_arrays(
@@ -980,5 +990,150 @@ def pq_topk(codes_ds: Dataset, model: dict, query: np.ndarray,
                          "adc_dist": pa.array(dist[order])})
 
     parts = codes_ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["adc_dist", id_col], kind="mergesort")
+    return parts.head(k).reset_index(drop=True)
+
+
+def ivfpq_index_build(
+    embeddings: Dataset,
+    index_dir: str,
+    n_lists: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """IVF-PQ index (the FAISS IVFADC composition, Jégou et al. 2011
+    §IV): spherical-k-means coarse lists for probe pruning + product-
+    quantized payloads for in-list scanning — together the at-scale
+    ANN shape where BOTH the rows read (n_probes lists) and the bytes
+    per row (m code bytes, e.g. 32× under 64-dim float32) shrink.
+
+    Vectors are L2-NORMALIZED before encoding: on unit vectors
+    ‖a−b‖² = 2−2·cos, so the ADC L2 ranking equals the cosine ranking
+    and probe selection (cosine to centroids) and in-list ranking
+    agree.  Codebooks train on the same bounded sample as the
+    centroids (the only driver-side materialization); the assignment
+    pass is linear and writes (id, pq_code) partitioned by
+    ``ivf_list=``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_dir, exist_ok=True)
+    sample = embeddings.limit(sample_size).to_pandas()
+    x = np.vstack(sample[emb_col].to_numpy()).astype(np.float64)
+    xn = _normalize_rows(x)
+    cent = spherical_kmeans(x, n_lists, n_iters, seed)
+    books = _pq_fit_array(xn, m, n_codes, n_iters, seed)
+    d = cent.shape[1]
+    pq.write_table(
+        pa.table({
+            "ivf_list": pa.array(np.arange(len(cent), dtype=np.int64)),
+            "centroid": pa.FixedSizeListArray.from_arrays(
+                pa.array(cent.reshape(-1), pa.float64()), d),
+        }),
+        f"{index_dir}/centroids.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "m": pa.array([books.shape[0]], pa.int64()),
+            "n_codes": pa.array([books.shape[1]], pa.int64()),
+            "sub": pa.array([books.shape[2]], pa.int64()),
+            "books": pa.array([books.tobytes()], pa.binary()),
+        }),
+        f"{index_dir}/codebooks.parquet",
+    )
+    ref = ray.put((cent.T, books))
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        ct, bk = ray.get(ref)
+        mm = _normalize_rows(_emb_matrix(t[emb_col]))
+        lists = (mm @ ct).argmax(axis=1).astype(np.int64)
+        codes = _pq_encode(mm, bk)
+        return pa.table({
+            id_col: t[id_col],
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), codes.shape[1]),
+            "ivf_list": pa.array(lists),
+        })
+
+    embeddings.map_batches(assign_batch, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["ivf_list"])
+
+
+def ivfpq_topk(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Serve top-k from an IVF-PQ index: pick the ``n_probes`` lists
+    nearest the query, build ONE (m, n_codes) ADC distance table from
+    the normalized query, and scan only those lists' uint8 codes with
+    table-lookup sums — no float vector is read at serve time.
+    ``n_probes >= n_lists`` scans every list (the correctness-gate
+    mode, exact up to PQ resolution).  Ties break (adc_dist asc,
+    id asc)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    ct = pq.read_table(f"{index_dir}/centroids.parquet")
+    cent_col = ct["centroid"].combine_chunks()
+    d = cent_col.type.list_size
+    cent = cent_col.flatten().to_numpy(zero_copy_only=False) \
+        .reshape(len(ct), d)
+    list_ids = ct["ivf_list"].to_numpy()
+    order = np.argsort(-(cent @ qn), kind="stable")[: max(1, n_probes)]
+    dirs = [
+        p for li in list_ids[order]
+        if os.path.isdir(p := os.path.join(index_dir, f"ivf_list={li}"))
+    ]
+    paths = _partition_paths(dirs)
+    empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                          "adc_dist": pd.Series(dtype="float64")})
+    if not paths:
+        return empty
+
+    bt = pq.read_table(f"{index_dir}/codebooks.parquet")
+    m, n_codes, sub = (int(bt["m"][0].as_py()),
+                       int(bt["n_codes"][0].as_py()),
+                       int(bt["sub"][0].as_py()))
+    books = np.frombuffer(bt["books"][0].as_py(), np.float64) \
+        .reshape(m, n_codes, sub)
+    dt = np.stack([
+        ((books[s] - qn[s * sub:(s + 1) * sub]) ** 2).sum(axis=1)
+        for s in range(m)
+    ])
+    dt_ref = ray.put(dt)
+
+    def local(t: pa.Table) -> pa.Table:
+        table = ray.get(dt_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "adc_dist": pa.array([], pa.float64())})
+        code_col = t["pq_code"].combine_chunks()
+        codes = code_col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(ids), table.shape[0]).astype(np.int64)
+        dist = np.zeros(len(ids), np.float64)
+        for s in range(table.shape[0]):
+            dist += table[s][codes[:, s]]
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "adc_dist": pa.array(dist[order])})
+
+    parts = rd.read_parquet(paths, columns=[id_col, "pq_code"]) \
+        .map_batches(local, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return empty
     parts = parts.sort_values(["adc_dist", id_col], kind="mergesort")
     return parts.head(k).reset_index(drop=True)

@@ -165,3 +165,65 @@ def test_ivf_index_add_full_probe_exact_over_union(tmp_path):
     want = brute_force_topk(ds_of(0, 240), q, k=9)
     assert got["vec_id"].tolist() == want["vec_id"].tolist()
     assert 200 in set(got["vec_id"])
+
+
+def test_ivfpq_pruned_probe_recall_on_clumps(tmp_path):
+    """IVF-PQ: pruned probing (2/8 lists) over 8-byte codes must
+    recover the query's clump — set-identical to brute force on
+    well-separated clumps (PQ resolution can reorder WITHIN the tight
+    clump, so the gate is the id set, not the order)."""
+    from event_deduplication_ray.stages.similarity import (
+        ivfpq_index_build,
+        ivfpq_topk,
+    )
+
+    ds, m = _clustered_ds()
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(ds, idx, n_lists=8, m=8, n_codes=16, seed=1)
+
+    # within a 0.05-noise clump PQ cannot rank members (that's the
+    # resolution trade), so the gate is CLUMP recovery: top-25 must be
+    # exactly the query's 25-member clump, as brute force agrees
+    q = m[0] + 0.01 * np.ones_like(m[0])
+    got = ivfpq_topk(idx, q, k=25, n_probes=2)
+    want = brute_force_topk(ds, q, k=25)
+    assert set(want["vec_id"]) == set(range(25))
+    assert set(got["vec_id"]) == set(range(25))
+    assert (got["adc_dist"].to_numpy() >= -1e-12).all()
+    assert got["adc_dist"].is_monotonic_increasing
+
+    # payload is m bytes per vector
+    files = []
+    for sub in os.listdir(idx):
+        d = os.path.join(idx, sub)
+        if sub.startswith("ivf_list=") and os.path.isdir(d):
+            files += [os.path.join(d, f) for f in os.listdir(d)]
+    t = pq.read_table(files[0])
+    assert t["pq_code"].combine_chunks().type.list_size == 8
+
+    # full probe degrades gracefully to an exact (up to PQ) scan
+    full = ivfpq_topk(idx, q, k=25, n_probes=8)
+    assert set(full["vec_id"]) == set(range(25))
+
+
+def test_ivfpq_scan_fraction_bounded(tmp_path):
+    """Pruned serving must READ only the probed lists: rows read at
+    n_probes=1 ≈ one clump, not the corpus."""
+    import ray.data as rd2
+
+    from event_deduplication_ray.stages.similarity import (
+        ivfpq_index_build,
+    )
+
+    ds, m = _clustered_ds()
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(ds, idx, n_lists=8, m=8, n_codes=16, seed=1)
+    # the single probed list's dir holds ~1 clump of 25 vectors
+    cent = pq.read_table(f"{idx}/centroids.parquet")
+    d = cent["centroid"].combine_chunks().type.list_size
+    c = cent["centroid"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).reshape(-1, d)
+    qn = m[0] / np.linalg.norm(m[0])
+    li = int(cent["ivf_list"][int(np.argmax(c @ qn))].as_py())
+    rows = rd2.read_parquet(f"{idx}/ivf_list={li}").count()
+    assert rows <= 2 * 25     # one clump (slack for seeding quirks)
