@@ -131,8 +131,11 @@ def cmd_index(args: argparse.Namespace) -> int:
     from event_deduplication_ray.stages import textindex as TI
 
     if args.action == "build":
-        TI.token_index_build(rd.read_parquet(args.input), args.index_dir)
-        print(json.dumps({"index_dir": args.index_dir, "action": "build"}))
+        build = TI.phrase_index_build if args.phrase \
+            else TI.token_index_build
+        build(rd.read_parquet(args.input), args.index_dir)
+        print(json.dumps({"index_dir": args.index_dir, "action": "build",
+                          "phrase": bool(args.phrase)}))
         return 0
     if args.action == "add":
         TI.token_index_add(rd.read_parquet(args.input), args.index_dir)
@@ -143,6 +146,13 @@ def cmd_index(args: argparse.Namespace) -> int:
         print(json.dumps({"error": "search needs --terms a,b,..."}),
               file=sys.stderr)
         return 2
+    if args.phrase:
+        hits = TI.phrase_search(args.index_dir, terms)
+        print(json.dumps({"terms": [t.lower() for t in terms],
+                          "mode": "phrase",
+                          "n_hits": int(len(hits)),
+                          "doc_ids": hits["doc_id"].tolist()[:args.limit]}))
+        return 0
     hits = TI.token_index_search(args.index_dir, terms, mode=args.mode)
     print(json.dumps({"terms": sorted(set(t.lower() for t in terms)),
                       "mode": args.mode,
@@ -403,6 +413,8 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--input", default=None)
     pi.add_argument("--terms", default=None)
     pi.add_argument("--mode", choices=["and", "or"], default="and")
+    pi.add_argument("--phrase", action="store_true",
+                    help="positional index: ordered-phrase semantics")
     pi.add_argument("--limit", type=int, default=100)
     pi.set_defaults(fn=cmd_index)
 

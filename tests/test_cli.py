@@ -412,3 +412,35 @@ def test_cli_compact_subcommand(corpus_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     m2 = json.loads(r.stdout.strip().splitlines()[-1])
     assert m2 == m1
+
+
+def test_cli_index_phrase_mode(tmp_path):
+    """`cli index build --phrase` + `search --phrase`: ordered-phrase
+    semantics from the shell (overlaps counted at the library level;
+    the CLI reports matching doc ids)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["a b a b a", "b a x a b", "c c"]})
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(src / "d.parquet"))
+    idx = str(tmp_path / "pidx")
+    base = [sys.executable, "-m", "event_deduplication_ray.cli",
+            "--num-cpus", "4", "index"]
+
+    r = subprocess.run(base + ["build", "--index-dir", idx,
+                               "--input", str(src), "--phrase"],
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(base + ["search", "--index-dir", idx,
+                               "--terms", "a,b,a", "--phrase"],
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "phrase" and out["doc_ids"] == [1]
