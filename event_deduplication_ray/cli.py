@@ -330,6 +330,19 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fsck(args: argparse.Namespace) -> int:
+    """Run-dir consistency audit (state/validate.py): cross-stage
+    invariants — manifest row counts, assignment/extracted coverage,
+    edge-endpoint membership, canonical/cluster-id agreement, member
+    sums, rep-doc membership.  Exit 1 when any check fails."""
+    _ray_init(args.num_cpus)
+    from event_deduplication_ray.state.validate import validate_run_dir
+
+    out = validate_run_dir(args.run_dir)
+    print(json.dumps(out, sort_keys=True))
+    return 0 if out["ok"] else 1
+
+
 def cmd_config(args: argparse.Namespace) -> int:
     """Run-config get/patch (reference Q8): get prints the persisted
     config.json; patch deep-merges `key=json_value` pairs (dotted
@@ -462,6 +475,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--index-dir")
     pco.add_argument("--target-rows", type=int, default=1_000_000)
     pco.set_defaults(fn=cmd_compact)
+
+    pfs = sub.add_parser("fsck")
+    pfs.add_argument("--run-dir", required=True)
+    pfs.set_defaults(fn=cmd_fsck)
 
     pcm = sub.add_parser("compare")
     pcm.add_argument("--run-dir-a", required=True)

@@ -444,3 +444,35 @@ def test_cli_index_phrase_mode(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["mode"] == "phrase" and out["doc_ids"] == [1]
+
+
+def test_cli_fsck_subcommand(corpus_dir, tmp_path):
+    """`cli fsck --run-dir`: exit 0 + ok on a clean run; exit 1 after
+    a stage is corrupted."""
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    run_dir = str(tmp_path / "run")
+    base = [sys.executable, "-m", "event_deduplication_ray.cli",
+            "--num-cpus", "4"]
+    r = subprocess.run(
+        base + ["run", "--input", f"{corpus_dir}/docs",
+                "--run-dir", run_dir],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(base + ["fsck", "--run-dir", run_dir],
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["ok"]
+
+    d = os.path.join(run_dir, "assignments")
+    t = pq.read_table(d)
+    for f in os.listdir(d):
+        os.remove(os.path.join(d, f))
+    pq.write_table(t.slice(0, len(t) - 3),
+                   os.path.join(d, "part-trunc.parquet"))
+    r = subprocess.run(base + ["fsck", "--run-dir", run_dir],
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 1
+    assert not json.loads(r.stdout.strip().splitlines()[-1])["ok"]
