@@ -352,3 +352,76 @@ def export_sorted_corpus(
         raise RuntimeError(
             f"sorted export wrote {n_written} of {total} rows")
     return {"n_docs": total, "n_files": int(len(manifest))}
+
+
+def export_bucketed(
+    ds: Dataset,
+    out_dir: str,
+    key_col: str,
+    n_buckets: int = 32,
+) -> dict:
+    """Hash-bucketed storage layout (the Hive/Spark bucketing
+    contract): rows land in ``bucket=<splitmix64(key) % n>/`` hive
+    dirs.  Two tables bucketed on the same key with the same
+    ``n_buckets`` CO-LOCATE their join: bucket i of A can only match
+    bucket i of B, so a later join reads aligned directories pairwise
+    with NO exchange — pay the shuffle once at write time, reuse it
+    for every downstream join (`bucketed_cogroup`)."""
+    import numpy as np
+
+    from event_deduplication_ray.functions.sketch import _splitmix64
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64) \
+            .view(np.uint64)
+        b = (_splitmix64(k) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    return {"out_dir": out_dir, "n_buckets": n_buckets, "key": key_col}
+
+
+def bucketed_cogroup(
+    dir_a: str,
+    dir_b: str,
+    fn,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """Join/cogroup two same-key bucketed layouts WITHOUT a shuffle:
+    for each bucket id, one task reads ``dir_a/bucket=i`` and
+    ``dir_b/bucket=i`` and applies ``fn(a_df, b_df)`` — the bucketing
+    invariant (equal keys share a bucket) makes per-bucket results
+    exact partials of the global join.  Task-parallel via a Dataset
+    over bucket ids (reads happen inside the tasks, never on the
+    driver)."""
+    import ray.data as rd
+
+    def run_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq_
+
+        outs = []
+        for i in df["bucket"]:
+            pa_ = os.path.join(dir_a, f"bucket={int(i)}")
+            pb_ = os.path.join(dir_b, f"bucket={int(i)}")
+
+            def read(d):
+                if not os.path.isdir(d):
+                    return pd.DataFrame()
+                fs = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                      if f.endswith(".parquet")]
+                return pd.concat([pq_.read_table(f).to_pandas()
+                                  for f in fs], ignore_index=True) \
+                    if fs else pd.DataFrame()
+
+            r = fn(read(pa_), read(pb_))
+            if r is not None and len(r):
+                outs.append(r)
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    ids = rd.from_items([{"bucket": i} for i in range(n_buckets)],
+                        override_num_blocks=n_buckets)
+    return ids.map_batches(run_bucket, batch_format="pandas").to_pandas()

@@ -137,3 +137,57 @@ def test_export_sorted_corpus_empty_and_heavy_key(ray_session, tmp_path):
                     ["n_tokens"]) for f in files]
     # the 3-token flood lives in exactly one file
     assert sum(3 in s for s in per_file) == 1
+
+
+def test_bucketed_export_and_shuffle_free_join(ray_session, tmp_path):
+    """Bucketing contract: every row's key hashes to its directory's
+    bucket; a per-bucket cogroup (NO shuffle) reproduces the global
+    join exactly (orders-per-customer counts vs a pandas merge)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from event_deduplication_ray.functions.sketch import _splitmix64
+    from event_deduplication_ray.pipelines.export import (
+        bucketed_cogroup,
+        export_bucketed,
+    )
+
+    rng = np.random.default_rng(3)
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(1, 61, dtype=np.int64),
+        "c_name": [f"c{i}" for i in range(1, 61)]})
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(1, 301, dtype=np.int64),
+        "c_custkey": rng.integers(1, 61, 300).astype(np.int64)})
+
+    da, db = str(tmp_path / "cust"), str(tmp_path / "ord")
+    export_bucketed(rd.from_pandas(cust), da, "c_custkey", n_buckets=8)
+    export_bucketed(rd.from_pandas(orders), db, "c_custkey", n_buckets=8)
+
+    # dir invariant: keys in bucket=i all hash to i
+    for i in range(8):
+        d = os.path.join(da, f"bucket={i}")
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            t = pq.read_table(os.path.join(d, f)).to_pandas()
+            h = (_splitmix64(t["c_custkey"].to_numpy(np.int64)
+                             .view(np.uint64)) % np.uint64(8)).astype(int)
+            assert (h == i).all()
+
+    def per_bucket(a, b):
+        if not len(a) or not len(b):
+            return pd.DataFrame()
+        m = a.merge(b, on="c_custkey")
+        return m.groupby("c_custkey", as_index=False) \
+            .agg(n_orders=("o_orderkey", "size"))
+
+    got = bucketed_cogroup(da, db, per_bucket, n_buckets=8) \
+        .sort_values("c_custkey").reset_index(drop=True)
+    want = orders.groupby("c_custkey", as_index=False) \
+        .agg(n_orders=("o_orderkey", "size")) \
+        .sort_values("c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
