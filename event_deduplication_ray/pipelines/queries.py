@@ -7216,6 +7216,34 @@ def q144_join_size_cms(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q146_crosslingual_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Cross-lingual near-duplicates: embedding-cosine dup pairs
+    (q26's SRP-bucketed machinery) whose DOCUMENTS carry different
+    langs — the translation-duplicate audit a multilingual corpus
+    needs before per-lang mixing (q37/q110 caps treat translations as
+    distinct; this surfaces them).  Ids align 1:1 across
+    documents/embeddings (the q114 contract).  The pair set is small
+    by construction, so langs attach driver-side; at corpus scale the
+    attach is one (doc_id) cogroup of a 16 B/row lang table against
+    the pair list."""
+    from event_deduplication_ray.stages.similarity import embedding_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_dup_pairs(emb, QCFG, cos_threshold=0.99)
+    df = out.select_columns(["id_a", "id_b"]).to_pandas()
+    if list(df.columns) != ["id_a", "id_b"]:
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64")})
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
+    lk = langs.set_index("doc_id")["lang"]
+    df["lang_a"] = df["id_a"].map(lk)
+    df["lang_b"] = df["id_b"].map(lk)
+    df = df[df["lang_a"].notna() & df["lang_b"].notna()
+            & (df["lang_a"] != df["lang_b"])]
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True) \
+        .astype({"id_a": "int64", "id_b": "int64"})
+
+
 _PHRASE_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -7425,6 +7453,7 @@ RAY_QUERIES = {
     "q143_table_profile": q143_table_profile,
     "q144_join_size_cms": q144_join_size_cms,
     "q145_phrase_search": q145_phrase_search,
+    "q146_crosslingual_dup_pairs": q146_crosslingual_dup_pairs,
 }
 
 
@@ -9698,5 +9727,17 @@ ORACLE_SQL = {
         FROM bge b JOIN top t USING (w1, w2)
         GROUP BY b.doc_id
         ORDER BY b.doc_id
+    """,
+    # q26's pair oracle + the 1:1 doc join and lang-mismatch filter
+    "q146_crosslingual_dup_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               da.lang AS lang_a, db.lang AS lang_b
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        JOIN documents da ON da.doc_id = a.vec_id
+        JOIN documents db ON db.doc_id = b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+          AND da.lang <> db.lang
+        ORDER BY id_a, id_b
     """,
 }

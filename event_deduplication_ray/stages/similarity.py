@@ -39,8 +39,30 @@ def _emb_matrix(col) -> np.ndarray:
             col = col.combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         n = len(col)
+        if n == 0:          # reshape(0, -1) raises; recover d from the type
+            d = getattr(col.type, "list_size", None) or 0
+            return np.zeros((0, d), np.float64)
         return flat.reshape(n, -1)
     return np.vstack(col.to_numpy()).astype(np.float64)
+
+
+def _probe_dim(embeddings: Dataset, emb_col: str) -> int:
+    """Embedding dimensionality, resolved ONCE on the driver: from the
+    Arrow schema when the column is fixed_size_list (metadata-only),
+    else a single-row probe (the driver tables store plain
+    list<float>).  Returns 0 for an empty table."""
+    try:
+        sch = embeddings.schema()
+        t = dict(zip(sch.names, sch.types)).get(emb_col)
+        size = getattr(t, "list_size", None)
+        if size:
+            return int(size)
+    except Exception:
+        pass
+    head = embeddings.limit(1).to_pandas()
+    if not len(head):
+        return 0
+    return int(len(head[emb_col].iloc[0]))
 
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -522,6 +544,18 @@ def embedding_dup_pairs(
     """
     seed = cfg.seed
     P = cfg.join_num_partitions
+    # resolve d ONCE on the driver: empty shuffle batches must still
+    # emit correctly-typed fixed_size_list columns (a tiny corpus can
+    # hand norm_tbl a zero-row block, where m.shape[1] is 0)
+    d0 = _probe_dim(embeddings, emb_col)
+    if d0 == 0:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "decision": pa.array([], pa.string()),
+            "tier": pa.array([], pa.string()),
+        }))
 
     def explode(t: pa.Table) -> pa.Table:
         m = _normalize_rows(_emb_matrix(t[emb_col]))
@@ -551,7 +585,8 @@ def embedding_dup_pairs(
     # view inside the cogroup merges
     def norm_tbl(t: pa.Table) -> pa.Table:
         m = _normalize_rows(_emb_matrix(t[emb_col]))
-        n, d = m.shape
+        n = m.shape[0]
+        d = m.shape[1] if n else d0      # typed empty for 0-row blocks
         fsl = pa.FixedSizeListArray.from_arrays(
             pa.array(m.reshape(-1), pa.float64()), d
         )

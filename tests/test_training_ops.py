@@ -3040,3 +3040,40 @@ def test_q145_phrase_search_planted(ray_session, tmp_path):
         "text": ["go go go", "stop go go", "halt halt"]}))
     got = q145_phrase_search(sf).set_index("doc_id")
     assert got["n_phrase"].to_dict() == {1: 2, 2: 1}
+
+
+def test_crosslingual_dup_pairs_planted(ray_session, tmp_path):
+    """Two tight embedding pairs: (1,2) cross-lang en/fr survives,
+    (3,4) same-lang en/en is filtered; background vectors pair with
+    nothing."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q146_crosslingual_dup_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    d = 64
+    base1 = rng.standard_normal(d)
+    base2 = rng.standard_normal(d)
+    vecs = {
+        1: base1, 2: base1 + 1e-4,
+        3: base2, 4: base2 + 1e-4,
+        5: rng.standard_normal(d), 6: rng.standard_normal(d),
+    }
+    emb = pd.DataFrame({
+        "vec_id": list(vecs),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs.values()],
+        "label": np.int32(0),
+    })
+    docs = pd.DataFrame({
+        "doc_id": list(vecs),
+        "lang": ["en", "fr", "en", "en", "de", "de"],
+        "text": ["x"] * 6,
+    })
+    _write_tbl(tmp_path, "embeddings", emb)
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q146_crosslingual_dup_pairs(sf)
+    assert got[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert got.iloc[0]["lang_a"] == "en" and got.iloc[0]["lang_b"] == "fr"
