@@ -249,3 +249,15 @@ def phrase_search(index_dir: str, terms: "list[str]",
     res = res.groupby("doc_id", as_index=False)["n_phrase"].sum()
     return res.sort_values("doc_id").reset_index(drop=True) \
         .astype({"doc_id": "int64", "n_phrase": "int64"})
+
+
+def phrase_index_add(new_docs: Dataset, index_dir: str,
+                     n_shards: int = N_SHARDS_DEFAULT) -> None:
+    """Incrementally index NEW documents into a positional index
+    (token_index_add's contract: callers pass only doc_ids not
+    already present; appends run-unique files into the existing
+    ``tok_shard=`` dirs; O(new batch))."""
+    new_docs.map_batches(_make_pos_explode(n_shards),
+                         batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["tok_shard"]
+    )

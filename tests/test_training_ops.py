@@ -3077,3 +3077,29 @@ def test_crosslingual_dup_pairs_planted(ray_session, tmp_path):
     got = q146_crosslingual_dup_pairs(sf)
     assert got[["id_a", "id_b"]].values.tolist() == [[1, 2]]
     assert got.iloc[0]["lang_a"] == "en" and got.iloc[0]["lang_b"] == "fr"
+
+
+def test_phrase_index_add_matches_rebuild(ray_session, tmp_path):
+    """Incremental positional indexing: build half, add half — every
+    phrase query answers identically to a full rebuild."""
+    import pandas as pd
+
+    import ray.data as rd
+    from event_deduplication_ray.stages.textindex import (
+        phrase_index_add,
+        phrase_index_build,
+        phrase_search,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a b", "b a", "a b c", "c a b a"]})
+    inc = str(tmp_path / "inc")
+    phrase_index_build(rd.from_pandas(docs.iloc[:2]), inc)
+    phrase_index_add(rd.from_pandas(docs.iloc[2:]), inc)
+    full = str(tmp_path / "full")
+    phrase_index_build(rd.from_pandas(docs), full)
+    for terms in (["a", "b"], ["a", "b", "a"], ["c", "a"], ["zz"]):
+        a = phrase_search(inc, terms)
+        b = phrase_search(full, terms)
+        pd.testing.assert_frame_equal(a, b)
