@@ -7216,6 +7216,81 @@ def q144_join_size_cms(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def bpe_apply_word(word: str, ranks: "dict[tuple[str, str], int]") \
+        -> "list[str]":
+    """Apply learned BPE merges to ONE word (Sennrich et al. 2016
+    inference): repeatedly merge the best-ranked adjacent pair, all
+    its non-overlapping occurrences left-to-right, until no learned
+    pair remains.  Matches q117's training-side merge application
+    exactly (same left-to-right scan), so encoding the training
+    corpus reproduces training's final symbol sequences."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        l_s, r_s = best_pair
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l_s and syms[i + 1] == r_s:
+                out.append(l_s + r_s)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def q147_bpe_subword_counts(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer train→APPLY composition: encode every doc with the
+    corpus-learned BPE merge table (q117) and report per-doc subword
+    counts — the number that actually prices a document against a
+    token budget under the corpus's own tokenizer (q77's regex
+    counter approximates it with a fixed pre-tokenizer).  The rank
+    table broadcasts once; each batch encodes only its DISTINCT words
+    (bounded by the batch vocab — the per-word merge loop is the
+    q117-documented driver-loop shape moved per-batch) and maps
+    counts back vectorized.  Rows-only (the merge table is learned
+    iteratively — no SQL form); gates: hand-worked planted corpus,
+    concat-roundtrip and bounds properties."""
+    import ray
+
+    from event_deduplication_ray.functions.hashing import tokenize_offsets
+
+    merges = q117_bpe_merges(sf_dir)
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+    ranks_ref = ray.put(ranks)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        rk = ray.get(ranks_ref)
+        flat, lens = tokenize_offsets(df["text"].str.lower())
+        if not len(flat):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_subwords": pd.Series(dtype="int64")})
+        uniq, inv = np.unique(flat, return_inverse=True)
+        n_sub = np.array([len(bpe_apply_word(w, rk)) for w in uniq],
+                         dtype=np.int64)
+        per_tok = n_sub[inv]
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        sums = np.bincount(doc_of, weights=per_tok.astype(np.float64),
+                           minlength=len(df)).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "n_subwords": sums})
+
+    out = _with_schema(
+        ds.map_batches(encode, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "n_subwords": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q146_crosslingual_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Cross-lingual near-duplicates: embedding-cosine dup pairs
     (q26's SRP-bucketed machinery) whose DOCUMENTS carry different
@@ -7454,6 +7529,7 @@ RAY_QUERIES = {
     "q144_join_size_cms": q144_join_size_cms,
     "q145_phrase_search": q145_phrase_search,
     "q146_crosslingual_dup_pairs": q146_crosslingual_dup_pairs,
+    "q147_bpe_subword_counts": q147_bpe_subword_counts,
 }
 
 

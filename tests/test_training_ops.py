@@ -3103,3 +3103,38 @@ def test_phrase_index_add_matches_rebuild(ray_session, tmp_path):
         a = phrase_search(inc, terms)
         b = phrase_search(full, terms)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_bpe_encode_planted_and_properties(ray_session, tmp_path):
+    """Hand-worked BPE apply: corpus 'gogo gogo go' learns merges
+    (g,o)->go then (go,go)->gogo; encoding gives 'gogo'->1 subword,
+    'go'->1, so doc counts are exact.  Properties: concat(subwords)
+    == word; n_words <= n_subwords <= n_chars."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        bpe_apply_word,
+        q117_bpe_merges,
+        q147_bpe_subword_counts,
+    )
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2],
+        "lang": ["en", "en"],
+        "text": ["gogo gogo go", "gopher go"]}))
+    merges = q117_bpe_merges(sf)
+    pairs = list(zip(merges["left"], merges["right"]))
+    assert pairs[0] == ("g", "o")
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+    assert bpe_apply_word("gogo", ranks) == ["gogo"]
+    assert bpe_apply_word("go", ranks) == ["go"]
+    assert "".join(bpe_apply_word("gopher", ranks)) == "gopher"
+
+    got = q147_bpe_subword_counts(sf).set_index("doc_id")
+    assert got.loc[1, "n_subwords"] == 3      # gogo + gogo + go
+    # properties on arbitrary words
+    for w in ("zebra", "gg", "o", "gogogo"):
+        subs = bpe_apply_word(w, ranks)
+        assert "".join(subs) == w
+        assert 1 <= len(subs) <= len(w)
