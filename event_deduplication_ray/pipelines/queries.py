@@ -7216,6 +7216,65 @@ def q144_join_size_cms(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q148_fd_audit(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency audit (the q143 profiler's structural
+    sibling): does column A determine column B?  A → B holds iff
+    n_distinct(A) == n_distinct(A, B); the violation count
+    n_distinct(A, B) − n_distinct(A) says how many extra (A, B)
+    combinations break it.  Checked FDs over events: event_id → ts
+    and event_id → user_id (hold when event_id is a proper key),
+    event_type → props and user_id → event_type (expected to fail on
+    real data — the audit quantifies by how much).  Exact integers:
+    per-batch DEDUPED (A, B) pairs shuffle once per FD (distinct
+    counts sum across disjoint hash ranges); at 100 TB swap the exact
+    distinct for per-column HLL registers (q48)."""
+    fds = [("event_id", "ts"), ("event_id", "user_id"),
+           ("event_type", "props"), ("user_id", "event_type")]
+    cols = sorted({c for fd in fds for c in fd})
+    ds = _read(sf_dir, "events", cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for i, (a, b) in enumerate(fds):
+            av = df[a]
+            bv = df[b]
+            ak = av.astype("datetime64[us]").astype("int64").astype(str) \
+                if a == "ts" else av.astype(str)
+            bk = bv.astype("datetime64[us]").astype("int64").astype(str) \
+                if b == "ts" else bv.astype(str)
+            d = pd.DataFrame({"fd": np.int64(i), "a": ak, "b": bk}) \
+                .drop_duplicates()
+            frames.append(d)
+        return pd.concat(frames, ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for i, sub in df.groupby("fd"):
+            sub = sub.drop_duplicates()
+            out.append({"fd": np.int64(i),
+                        "n_a": np.int64(sub["a"].nunique()),
+                        "n_ab": np.int64(len(sub.drop_duplicates(
+                            ["a", "b"])))})
+        return pd.DataFrame(out, columns=["fd", "n_a", "n_ab"])
+
+    agg = _with_schema(
+        partition_apply(ds.map_batches(partial, batch_format="pandas"),
+                        ["fd", "a"], QCFG.join_num_partitions, combine)
+        .to_pandas(),
+        {"fd": "int64", "n_a": "int64", "n_ab": "int64"})
+    agg = agg.groupby("fd", as_index=False)[["n_a", "n_ab"]].sum()
+    rows = []
+    for i, (a, b) in enumerate(fds):
+        r = agg[agg["fd"] == i]
+        n_a = int(r["n_a"].iloc[0]) if len(r) else 0
+        n_ab = int(r["n_ab"].iloc[0]) if len(r) else 0
+        rows.append((f"{a}->{b}", np.int64(n_a), np.int64(n_ab),
+                     np.int64(n_ab - n_a), bool(n_ab == n_a)))
+    out = pd.DataFrame(rows, columns=["fd", "n_lhs", "n_pairs",
+                                      "n_violations", "holds"])
+    return out.sort_values("fd").reset_index(drop=True)
+
+
 def bpe_apply_word(word: str, ranks: "dict[tuple[str, str], int]") \
         -> "list[str]":
     """Apply learned BPE merges to ONE word (Sennrich et al. 2016
@@ -7530,6 +7589,7 @@ RAY_QUERIES = {
     "q145_phrase_search": q145_phrase_search,
     "q146_crosslingual_dup_pairs": q146_crosslingual_dup_pairs,
     "q147_bpe_subword_counts": q147_bpe_subword_counts,
+    "q148_fd_audit": q148_fd_audit,
 }
 
 
@@ -9815,5 +9875,33 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
           AND da.lang <> db.lang
         ORDER BY id_a, id_b
+    """,
+    # FD audit: A -> B holds iff distinct(A) == distinct(A, B)
+    "q148_fd_audit": """
+        WITH m AS (
+            SELECT 'event_id->ts' AS fd,
+                   (SELECT count(DISTINCT event_id) FROM events) AS n_lhs,
+                   (SELECT count(*) FROM
+                       (SELECT DISTINCT event_id, ts FROM events)) AS n_pairs
+            UNION ALL
+            SELECT 'event_id->user_id',
+                   (SELECT count(DISTINCT event_id) FROM events),
+                   (SELECT count(*) FROM
+                       (SELECT DISTINCT event_id, user_id FROM events))
+            UNION ALL
+            SELECT 'event_type->props',
+                   (SELECT count(DISTINCT event_type) FROM events),
+                   (SELECT count(*) FROM
+                       (SELECT DISTINCT event_type, props FROM events))
+            UNION ALL
+            SELECT 'user_id->event_type',
+                   (SELECT count(DISTINCT user_id) FROM events),
+                   (SELECT count(*) FROM
+                       (SELECT DISTINCT user_id, event_type FROM events))
+        )
+        SELECT fd, n_lhs::BIGINT AS n_lhs, n_pairs::BIGINT AS n_pairs,
+               (n_pairs - n_lhs)::BIGINT AS n_violations,
+               n_pairs = n_lhs AS holds
+        FROM m ORDER BY fd
     """,
 }

@@ -128,7 +128,7 @@ EV_FUZZED = ["q06_user_hourly_windows", "q14_session_windows",
              "q113_late_data_drop", "q121_user_entropy",
              "q131_global_range_join", "q134_event_rate_anomaly",
              "q136_hopping_windows", "q142_contract_audit",
-             "q143_table_profile"]
+             "q143_table_profile", "q148_fd_audit"]
 
 
 def _events(seed: int) -> pd.DataFrame:

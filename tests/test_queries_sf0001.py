@@ -95,7 +95,7 @@ SQL_CHECKED = [
     "q138_cross_label_nn", "q139_source_dup_rate",
     "q141_hashed_embedding", "q142_contract_audit",
     "q143_table_profile", "q145_phrase_search",
-    "q146_crosslingual_dup_pairs",
+    "q146_crosslingual_dup_pairs", "q148_fd_audit",
 ]
 
 

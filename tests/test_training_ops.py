@@ -3138,3 +3138,33 @@ def test_bpe_encode_planted_and_properties(ray_session, tmp_path):
         subs = bpe_apply_word(w, ranks)
         assert "".join(subs) == w
         assert 1 <= len(subs) <= len(w)
+
+
+def test_fd_audit_planted(ray_session, tmp_path):
+    """Hand-built FDs: duplicate event_id with two DIFFERENT ts values
+    breaks event_id->ts by exactly 1; event_type->props violation
+    count = distinct pairs − distinct types."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q148_fd_audit
+
+    ev = pd.DataFrame({
+        "event_id": np.array([1, 1, 2, 3], np.int64),
+        "ts": pd.Series([pd.Timestamp("2024-01-01"),
+                         pd.Timestamp("2024-01-02"),   # same id, new ts
+                         pd.Timestamp("2024-01-03"),
+                         pd.Timestamp("2024-01-04")]).astype("datetime64[us]"),
+        "user_id": np.array([1, 1, 2, 2], np.int64),
+        "event_type": ["view", "view", "view", "click"],
+        "value": [1.0] * 4,
+        "props": ["{}", "{}", "x", "y"],
+    })
+    sf = _write_tbl(tmp_path, "events", ev)
+    got = q148_fd_audit(sf).set_index("fd")
+    assert not got.loc["event_id->ts", "holds"]
+    assert got.loc["event_id->ts", "n_violations"] == 1
+    assert got.loc["event_id->user_id", "holds"]          # 1->1 both rows
+    # view maps to {}, x ; click maps to y  → 3 pairs, 2 types
+    assert got.loc["event_type->props", "n_violations"] == 1
+    assert not got.loc["event_type->props", "holds"]
