@@ -7216,6 +7216,19 @@ def q144_join_size_cms(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q149_dbscan_clusters(sf_dir: str) -> pd.DataFrame:
+    """Density clustering over the embeddings table (DBSCAN with
+    cosine ε-balls, `stages/similarity.dbscan_embeddings`): core /
+    border / noise roles with deterministic min-id labels — the
+    density member of the clustering family (k-means q92, threshold-
+    CC q42).  Rows-only (iterative CC + role logic have no SQL form);
+    the planted angle-geometry pytest pins every role."""
+    from event_deduplication_ray.stages.similarity import dbscan_embeddings
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dbscan_embeddings(emb, QCFG, cos_threshold=0.99, min_pts=3)
+
+
 def q148_fd_audit(sf_dir: str) -> pd.DataFrame:
     """Functional-dependency audit (the q143 profiler's structural
     sibling): does column A determine column B?  A → B holds iff
@@ -7590,6 +7603,7 @@ RAY_QUERIES = {
     "q146_crosslingual_dup_pairs": q146_crosslingual_dup_pairs,
     "q147_bpe_subword_counts": q147_bpe_subword_counts,
     "q148_fd_audit": q148_fd_audit,
+    "q149_dbscan_clusters": q149_dbscan_clusters,
 }
 
 

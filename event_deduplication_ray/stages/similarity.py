@@ -1172,3 +1172,115 @@ def ivfpq_topk(
         return empty
     parts = parts.sort_values(["adc_dist", id_col], kind="mergesort")
     return parts.head(k).reset_index(drop=True)
+
+
+def dbscan_embeddings(
+    embeddings: Dataset,
+    cfg: DedupConfig,
+    cos_threshold: float = 0.95,
+    min_pts: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Density clustering over the embedding column (DBSCAN, Ester et
+    al. 1996, with cosine ε-neighborhoods) — the density member of the
+    clustering family beside spherical k-means (q92) and threshold-CC
+    semantic dedup (q42): a vector is CORE when its ε-ball holds ≥
+    min_pts vectors (itself included); clusters are the connected
+    components of the core–core ε-graph; non-core vectors adjacent to
+    a core attach as BORDER (min cluster id across adjacent cores —
+    deterministic where textbook DBSCAN is arrival-order-dependent);
+    everything else is NOISE (cluster_id −1).  min_pts=1 degenerates
+    to q42's CC.
+
+    Composition of existing distributed shapes: ε-pairs via the SRP-
+    bucketed `embedding_dup_pairs` (16 B/row shuffles), degrees via
+    one id shuffle (the q120 pattern), core–core CC via the
+    contracted union-find, border attach via one more pair pass over
+    the broadcast core map (pair tables are near-dup-sparse by
+    construction — the broadcast is the core LABEL map, bounded by
+    nodes with edges, not the corpus)."""
+    import ray
+
+    from event_deduplication_ray.stages.cluster import connected_components
+
+    pairs = embedding_dup_pairs(embeddings, cfg,
+                                cos_threshold=cos_threshold,
+                                id_col=id_col, emb_col=emb_col) \
+        .select_columns(["id_a", "id_b"])
+
+    def bidir(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    P = cfg.join_num_partitions
+    deg = partition_apply(
+        pairs.map_batches(bidir, batch_format="pyarrow"), ["src"], P,
+        lambda df: df.groupby("src", as_index=False).size()
+        .rename(columns={"size": "deg"}),
+    ).to_pandas()
+    if "src" not in deg.columns or not len(deg):
+        all_ids = embeddings.select_columns([id_col]).to_pandas()
+        return pd.DataFrame({
+            id_col: all_ids[id_col].astype("int64"),
+            "cluster_id": np.int64(-1),
+            "role": "noise",
+        }).sort_values(id_col).reset_index(drop=True)
+    deg = deg.groupby("src", as_index=False)["deg"].sum()
+    core_ids = np.sort(deg.loc[deg["deg"] >= min_pts - 1, "src"]
+                       .to_numpy(np.int64))
+    core_ref = ray.put(core_ids)
+
+    def core_edges(t: pa.Table) -> pa.Table:
+        cs = ray.get(core_ref)
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        keep = np.isin(a, cs) & np.isin(b, cs)
+        return pa.table({"id_a": pa.array(a[keep]),
+                         "id_b": pa.array(b[keep])})
+
+    cc = connected_components(
+        pairs.map_batches(core_edges, batch_format="pyarrow"), cfg
+    ).to_pandas()
+    label = dict(zip(cc["doc_id"], cc["cluster_id"])) \
+        if "doc_id" in cc.columns else {}
+    for c in core_ids:            # isolated cores: singleton clusters
+        label.setdefault(int(c), int(c))
+    label_ref = ray.put(label)
+
+    def border_rows(t: pa.Table) -> pa.Table:
+        lab = ray.get(label_ref)
+        ls = pd.Series(lab, dtype="float64")
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        ids = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        nb_lab = ls.reindex(nbr).to_numpy()
+        keep = ~np.isnan(nb_lab)
+        if len(ls):
+            keep &= ~np.isin(ids, ls.index.to_numpy())
+        return pa.table({"vec": pa.array(ids[keep], pa.int64()),
+                         "cl": pa.array(nb_lab[keep].astype(np.int64))})
+
+    bd = pairs.map_batches(border_rows, batch_format="pyarrow").to_pandas()
+    border = bd.groupby("vec")["cl"].min() if len(bd) and "vec" in bd \
+        else pd.Series(dtype="int64")
+
+    all_ids = embeddings.select_columns([id_col]).to_pandas()[id_col] \
+        .to_numpy(np.int64)
+    cl_out = np.full(len(all_ids), -1, np.int64)
+    role = np.full(len(all_ids), "noise", object)
+    lmap = pd.Series(label)
+    core_mask = np.isin(all_ids, core_ids)
+    cl_out[core_mask] = lmap.reindex(all_ids[core_mask]) \
+        .to_numpy(np.int64)
+    role[core_mask] = "core"
+    if len(border):
+        bmask = np.isin(all_ids, border.index.to_numpy(np.int64))
+        cl_out[bmask] = border.reindex(all_ids[bmask]).to_numpy(np.int64)
+        role[bmask] = "border"
+    return pd.DataFrame({id_col: all_ids, "cluster_id": cl_out,
+                         "role": role}) \
+        .sort_values(id_col).reset_index(drop=True)

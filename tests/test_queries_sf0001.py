@@ -121,7 +121,7 @@ ROWS_ONLY = [
     "q116_packed_shards", "q117_bpe_merges", "q123_dup_pagerank",
     "q126_doc_neighbors", "q133_compression_gate",
     "q135_winnow_dedup", "q140_dup_kcore", "q144_join_size_cms",
-    "q147_bpe_subword_counts",
+    "q147_bpe_subword_counts", "q149_dbscan_clusters",
 ]
 
 

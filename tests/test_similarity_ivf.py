@@ -227,3 +227,61 @@ def test_ivfpq_scan_fraction_bounded(tmp_path):
     li = int(cent["ivf_list"][int(np.argmax(c @ qn))].as_py())
     rows = rd2.read_parquet(f"{idx}/ivf_list={li}").count()
     assert rows <= 2 * 25     # one clump (slack for seeding quirks)
+
+
+def test_dbscan_roles_planted_angles(tmp_path):
+    """Controlled cosine geometry in the (e1, e2) plane, eps =
+    cos(10°), min_pts=4: a 5-member clump at angles −4.9…4.9° (all
+    pairs within 9.8°) is CORE in one min-id cluster; a vector at 13°
+    neighbors only the +4.9° member → BORDER of that cluster; a lone
+    3°-apart pair (1 neighbor each) and an isolated vector are
+    NOISE."""
+    import ray.data as rd
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.stages.similarity import dbscan_embeddings
+
+    def vec(deg):
+        r = np.deg2rad(deg)
+        v = np.zeros(8)
+        v[0], v[1] = np.cos(r), np.sin(r)
+        return v
+
+    angles = {1: -4.9, 2: -2.0, 3: 0.0, 4: 2.0, 5: 4.9,
+              6: 13.0, 7: 60.0, 8: 63.0, 9: 90.0}
+    t = pa.table({
+        "vec_id": pa.array(sorted(angles), pa.int64()),
+        "embedding": pa.array([vec(angles[i]).tolist()
+                               for i in sorted(angles)],
+                              pa.list_(pa.float64())),
+    })
+    eps = float(np.cos(np.deg2rad(10.0)))
+    out = dbscan_embeddings(rd.from_arrow(t),
+                            DedupConfig(join_num_partitions=4),
+                            cos_threshold=eps, min_pts=4) \
+        .set_index("vec_id")
+    assert (out.loc[[1, 2, 3, 4, 5], "role"] == "core").all()
+    assert out.loc[[1, 2, 3, 4, 5], "cluster_id"].nunique() == 1
+    assert out.loc[1, "cluster_id"] == 1          # min-id label
+    assert out.loc[6, "role"] == "border"
+    assert out.loc[6, "cluster_id"] == 1
+    assert (out.loc[[7, 8, 9], "role"] == "noise").all()
+    assert (out.loc[[7, 8, 9], "cluster_id"] == -1).all()
+
+
+def test_dbscan_min_pts_one_equals_threshold_cc(tmp_path):
+    """min_pts=1 degenerates to q42-style threshold CC: every vector
+    with an ε-neighbor clusters, none are border/noise among paired
+    vectors."""
+    import ray.data as rd
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.stages.similarity import dbscan_embeddings
+
+    ds, m = _clustered_ds(n_clumps=3, per=5, d=16, seed=13)
+    out = dbscan_embeddings(ds, DedupConfig(join_num_partitions=4),
+                            cos_threshold=0.99, min_pts=1)
+    core = out[out["role"] == "core"]
+    assert len(core) == 15 and core["cluster_id"].nunique() == 3
+    for i in range(3):
+        ids = list(range(5 * i, 5 * i + 5))
+        labs = out.set_index("vec_id").loc[ids, "cluster_id"]
+        assert labs.nunique() == 1 and labs.iloc[0] == 5 * i
