@@ -7216,6 +7216,36 @@ def q144_join_size_cms(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def q150_ivfpq_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ-served ANN (the FAISS IVFADC scale path,
+    `stages/similarity.ivfpq_index_build/ivfpq_topk`): 8-byte ADC
+    codes, probe-pruned lists — the battery-visible entry for the
+    compressed serving path.  Rows-only: PQ quantization error makes
+    ranks approximate by design (the planted-clump pytest carries the
+    recall semantics); this entry gates that the build→encode→probe→
+    ADC pipeline runs end-to-end on the driver tables and returns k
+    ids."""
+    import os
+    import tempfile
+
+    from event_deduplication_ray.stages.similarity import (
+        ivfpq_index_build,
+        ivfpq_topk,
+    )
+
+    idx = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if idx is None or not os.path.isdir(idx):
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        idx = tempfile.mkdtemp(prefix="edr_ivfpq_idx_")
+        ivfpq_index_build(emb, idx, n_lists=16, m=8, n_codes=16)
+        _IVFPQ_INDEX_CACHE[sf_dir] = idx
+    out = ivfpq_topk(idx, _query_vec(sf_dir), k=10, n_probes=4)
+    return out[["vec_id"]]
+
+
 def q149_dbscan_clusters(sf_dir: str) -> pd.DataFrame:
     """Density clustering over the embeddings table (DBSCAN with
     cosine ε-balls, `stages/similarity.dbscan_embeddings`): core /
@@ -7604,6 +7634,7 @@ RAY_QUERIES = {
     "q147_bpe_subword_counts": q147_bpe_subword_counts,
     "q148_fd_audit": q148_fd_audit,
     "q149_dbscan_clusters": q149_dbscan_clusters,
+    "q150_ivfpq_topk": q150_ivfpq_topk,
 }
 
 
