@@ -425,3 +425,49 @@ def bucketed_cogroup(
     ids = rd.from_items([{"bucket": i} for i in range(n_buckets)],
                         override_num_blocks=n_buckets)
     return ids.map_batches(run_bucket, batch_format="pandas").to_pandas()
+
+
+def export_jsonl_gz(
+    ds: Dataset,
+    out_dir: str,
+    rows_per_file: int = 10_000,
+) -> dict:
+    """Gzipped JSON-lines export — the write half of `read_docs`'s
+    ``.jsonl.gz`` ingestion (crawl interchange format): each task
+    writes its batch as one ``part-<uuid>.jsonl.gz`` (bounded,
+    resumable layout — never one giant file; names are run-unique so
+    re-runs append rather than clobber, the token_index_add
+    convention).  Timestamps serialize as ISO-8601 strings, so a
+    round-trip back through ``read_docs`` reparses them.  Returns
+    ``{"n_rows", "n_files"}``."""
+    import gzip
+    import json as _json
+    import uuid
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lo in range(0, len(df), rows_per_file):
+            sub = df.iloc[lo:lo + rows_per_file]
+            path = os.path.join(out_dir,
+                                f"part-{uuid.uuid4().hex}.jsonl.gz")
+            tmp = path + ".tmp"
+            with gzip.open(tmp, "wt", encoding="utf-8") as f:
+                for line in sub.to_json(orient="records", lines=True,
+                                        date_format="iso",
+                                        date_unit="us").splitlines():
+                    f.write(line + "\n")
+            os.replace(tmp, path)
+            out.append({"n_rows": np.int64(len(sub)), "n_files": 1})
+        if not out:
+            return pd.DataFrame({"n_rows": pd.Series(dtype="int64"),
+                                 "n_files": pd.Series(dtype="int64")})
+        return pd.DataFrame(out)
+
+    m = ds.map_batches(write_batch, batch_format="pandas").to_pandas()
+    n_rows = int(m["n_rows"].sum()) if "n_rows" in m.columns else 0
+    n_files = int(m["n_files"].sum()) if "n_files" in m.columns else 0
+    return {"n_rows": n_rows, "n_files": n_files}

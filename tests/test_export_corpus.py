@@ -191,3 +191,39 @@ def test_bucketed_export_and_shuffle_free_join(ray_session, tmp_path):
         .sort_values("c_custkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"))
+
+
+def test_export_jsonl_gz_roundtrip(ray_session, tmp_path):
+    """Export → re-ingest closed loop: write docs as .jsonl.gz parts,
+    read them back through read_docs (the gz JSON-lines reader) —
+    identical rows; file count respects rows_per_file."""
+    import gzip
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from event_deduplication_ray.pipelines.dedup_pipeline import read_docs
+    from event_deduplication_ray.pipelines.export import export_jsonl_gz
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(1, 51, dtype=np.int64),
+        "text": [f"doc body {i} with words" for i in range(1, 51)],
+        "lang": ["en", "de"] * 25,
+    })
+    out = str(tmp_path / "jl")
+    m = export_jsonl_gz(rd.from_pandas(docs), out, rows_per_file=20)
+    assert m["n_rows"] == 50 and m["n_files"] >= 3
+
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl.gz")]
+    assert len(files) == m["n_files"]
+    with gzip.open(os.path.join(out, files[0]), "rt") as f:
+        first = f.readline()
+    assert '"text"' in first
+
+    back = read_docs(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        back[["doc_id", "text", "lang"]],
+        docs.sort_values("doc_id").reset_index(drop=True))
