@@ -330,6 +330,41 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_report(args: argparse.Namespace) -> int:
+    """One-shot corpus health report: composes the cheap battery
+    readouts (doc counts, language distribution, quality quantiles,
+    exact-dup rate, per-source duplication, dedup-adjusted effective
+    tokens) into a single JSON — the summary a curation run starts
+    from."""
+    _ray_init(args.num_cpus)
+    from event_deduplication_ray.pipelines import queries as Q
+
+    sf = args.sf_dir
+    rep: dict = {}
+    langs = Q.q07_lang_distribution(sf)
+    rep["n_docs"] = int(langs["n_docs"].sum())
+    rep["langs"] = dict(zip(langs["lang"], langs["n_docs"].astype(int)))
+    ql = Q.q34_length_quantiles(sf)
+    rep["length_quantiles"] = {
+        r["lang"]: {"p50": int(r["p50"]), "p99": int(r["p99"])}
+        for _, r in ql.iterrows()}
+    dup = Q.q91_dup_cluster_sizes(sf)
+    multi = dup[dup["cluster_size"] > 1]
+    rep["dup_clusters_multi"] = int(multi["n_clusters"].sum())
+    rep["dup_docs"] = int(
+        (multi["cluster_size"] * multi["n_clusters"]).sum())
+    src = Q.q139_source_dup_rate(sf)
+    rep["source_dup_ppm"] = dict(
+        zip(src["source"], src["dup_ppm"].astype(int)))
+    eff = Q.q125_effective_tokens(sf)
+    rep["effective_tokens"] = {
+        k: int(eff[k].iloc[0]) for k in
+        ("total_tokens", "kept_tokens", "dup_token_ppm")
+        if k in eff.columns}
+    print(json.dumps(rep, sort_keys=True))
+    return 0
+
+
 def cmd_fsck(args: argparse.Namespace) -> int:
     """Run-dir consistency audit (state/validate.py): cross-stage
     invariants — manifest row counts, assignment/extracted coverage,
@@ -475,6 +510,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--index-dir")
     pco.add_argument("--target-rows", type=int, default=1_000_000)
     pco.set_defaults(fn=cmd_compact)
+
+    prp = sub.add_parser("report")
+    prp.add_argument("--sf-dir", required=True)
+    prp.set_defaults(fn=cmd_report)
 
     pfs = sub.add_parser("fsck")
     pfs.add_argument("--run-dir", required=True)

@@ -476,3 +476,24 @@ def test_cli_fsck_subcommand(corpus_dir, tmp_path):
                        env=env, capture_output=True, text=True, timeout=300)
     assert r.returncode == 1
     assert not json.loads(r.stdout.strip().splitlines()[-1])["ok"]
+
+
+def test_cli_report_subcommand():
+    """`cli report --sf-dir`: the composed corpus health JSON carries
+    every section with consistent totals."""
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "event_deduplication_ray.cli",
+         "--num-cpus", "4", "report", "--sf-dir",
+         "/root/testdata/sf0.001"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n_docs"] == 500
+    assert sum(rep["langs"].values()) == rep["n_docs"]
+    assert rep["dup_docs"] >= 2 * rep["dup_clusters_multi"]
+    assert set(rep["effective_tokens"]) == {
+        "total_tokens", "kept_tokens", "dup_token_ppm"}
+    assert rep["effective_tokens"]["kept_tokens"] <= \
+        rep["effective_tokens"]["total_tokens"]
+    assert all(0 <= v <= 1_000_000 for v in rep["source_dup_ppm"].values())
