@@ -7216,6 +7216,37 @@ def q144_join_size_cms(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q151_dedup_loss_weights(sf_dir: str) -> pd.DataFrame:
+    """Soft dedup: per-doc training-loss weight = 1/cluster_size over
+    the exact-Jaccard dup clusters (keep every copy, downweight so
+    each dup FAMILY contributes one doc's worth of gradient — the
+    alternative to q127's hard drop when dups carry distribution
+    signal).  Exact integers: weight_ppm = 1e6 // cluster_size; one
+    cluster_id shuffle computes sizes and joins them back (the q91
+    machinery re-keyed to the doc level)."""
+    asn = q28_ngram_jaccard_clusters(sf_dir)
+    if not isinstance(asn, pd.DataFrame):
+        asn = asn.to_pandas()
+
+    import ray.data as rd2
+
+    def size_join(df: pd.DataFrame) -> pd.DataFrame:
+        sz = df.groupby("cluster_id")["doc_id"].transform("size") \
+            .astype(np.int64)
+        out = df.copy()
+        out["cluster_size"] = sz
+        out["weight_ppm"] = (1_000_000 // sz).astype(np.int64)
+        return out
+
+    res = _with_schema(
+        partition_apply(rd2.from_pandas(asn), ["cluster_id"],
+                        QCFG.join_num_partitions, size_join).to_pandas(),
+        {"doc_id": "int64", "cluster_id": "int64",
+         "cluster_size": "int64", "weight_ppm": "int64"})
+    return res[["doc_id", "cluster_id", "cluster_size", "weight_ppm"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 _IVFPQ_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -7635,6 +7666,7 @@ RAY_QUERIES = {
     "q148_fd_audit": q148_fd_audit,
     "q149_dbscan_clusters": q149_dbscan_clusters,
     "q150_ivfpq_topk": q150_ivfpq_topk,
+    "q151_dedup_loss_weights": q151_dedup_loss_weights,
 }
 
 
@@ -9948,5 +9980,16 @@ ORACLE_SQL = {
                (n_pairs - n_lhs)::BIGINT AS n_violations,
                n_pairs = n_lhs AS holds
         FROM m ORDER BY fd
+    """,
+    # soft dedup: integer ppm weights over the recursive-CTE CC
+    "q151_dedup_loss_weights": _NGRAM_CC_SQL + """
+        , sizes AS (
+            SELECT cluster_id, count(*)::BIGINT AS cluster_size
+            FROM assign GROUP BY cluster_id
+        )
+        SELECT a.doc_id, a.cluster_id, s.cluster_size,
+               (1000000 // s.cluster_size)::BIGINT AS weight_ppm
+        FROM assign a JOIN sizes s USING (cluster_id)
+        ORDER BY a.doc_id
     """,
 }

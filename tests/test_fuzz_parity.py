@@ -35,7 +35,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q128_repetition_signals", "q129_exact_substring_spans",
           "q130_substring_dedup_rewrite", "q132_dup_triangles",
           "q137_containment_directed", "q139_source_dup_rate",
-          "q141_hashed_embedding", "q145_phrase_search"]
+          "q141_hashed_embedding", "q145_phrase_search",
+          "q151_dedup_loss_weights"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 

@@ -3168,3 +3168,26 @@ def test_fd_audit_planted(ray_session, tmp_path):
     # view maps to {}, x ; click maps to y  → 3 pairs, 2 types
     assert got.loc["event_type->props", "n_violations"] == 1
     assert not got.loc["event_type->props", "holds"]
+
+
+def test_dedup_loss_weights_planted(ray_session, tmp_path):
+    """A 3-copy family weights 333333 ppm each, a pair 500000, a
+    unique doc 1000000; weights × size sum to ~1e6 per family."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q151_dedup_loss_weights,
+    )
+
+    tri = "the same exact words repeated here for this document body"
+    pair = "another shared body of text with plenty of tokens inside it"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "lang": ["en"] * 6,
+        "text": [tri, tri, tri, pair, pair,
+                 "totally unrelated first content string with many words"]}))
+    got = q151_dedup_loss_weights(sf).set_index("doc_id")
+    assert got.loc[[1, 2, 3], "weight_ppm"].tolist() == [333333] * 3
+    assert got.loc[[4, 5], "weight_ppm"].tolist() == [500000] * 2
+    assert got.loc[6, "weight_ppm"] == 1_000_000
+    assert (got["cluster_size"] * got["weight_ppm"] <= 1_000_000).all()
