@@ -7216,6 +7216,61 @@ def q144_join_size_cms(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q152_contamination_pairs(sf_dir: str) -> pd.DataFrame:
+    """Contamination REPORT: q33 flags which train docs overlap the
+    test set; this emits the evidence — every (train, test) doc pair
+    sharing >= 1 token 5-gram, with the distinct shared-shingle count
+    and overlap_ppm = n_shared·1e6 // |test shingles| (how much of
+    the BENCHMARK doc leaks).  Same shingle machinery as q28/q33
+    (substring_mod_p=1 — the audit mode; join fan-out per shared
+    shingle is the documented q28 all-pairs caveat, acceptable
+    because the test side is benchmark-sized): one fp_key cogroup
+    emits per-partition (train, test, shared) partials that sum
+    exactly across disjoint key ranges."""
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    docs = _docs_from_documents(sf_dir)
+    fps = substring_fp_table(signature_stage(docs, cfg), cfg)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"train_id": pd.Series(dtype="int64"),
+                              "test_id": pd.Series(dtype="int64"),
+                              "n_shared": pd.Series(dtype="int64"),
+                              "n_te": pd.Series(dtype="int64")})
+        te = df[df["doc_id"] % 10 == 0]
+        tr = df[df["doc_id"] % 10 != 0]
+        if not len(te) or not len(tr):
+            return empty
+        m = tr.merge(te, on="fp_key", suffixes=("_tr", "_te"))
+        if not len(m):
+            return empty
+        g = m.groupby(["doc_id_tr", "doc_id_te"]).agg(
+            n_shared=("fp_key", "size"),
+            n_te=("n_fps_te", "first")).reset_index()
+        return g.rename(columns={"doc_id_tr": "train_id",
+                                 "doc_id_te": "test_id"}) \
+            .astype({"train_id": "int64", "test_id": "int64",
+                     "n_shared": "int64", "n_te": "int64"})
+
+    parts = partition_apply(fps, ["fp_key"], QCFG.join_num_partitions,
+                            pair_partial)
+    out = _with_schema(
+        partition_apply(parts, ["train_id", "test_id"],
+                        QCFG.join_num_partitions,
+                        lambda df: df.groupby(["train_id", "test_id"],
+                                              as_index=False)
+                        .agg(n_shared=("n_shared", "sum"),
+                             n_te=("n_te", "max"))).to_pandas(),
+        {"train_id": "int64", "test_id": "int64",
+         "n_shared": "int64", "n_te": "int64"})
+    out["overlap_ppm"] = (out["n_shared"] * 1_000_000
+                          // out["n_te"].clip(lower=1)).astype(np.int64)
+    return out[["train_id", "test_id", "n_shared", "overlap_ppm"]] \
+        .sort_values(["train_id", "test_id"]).reset_index(drop=True)
+
+
 def q151_dedup_loss_weights(sf_dir: str) -> pd.DataFrame:
     """Soft dedup: per-doc training-loss weight = 1/cluster_size over
     the exact-Jaccard dup clusters (keep every copy, downweight so
@@ -7667,6 +7722,7 @@ RAY_QUERIES = {
     "q149_dbscan_clusters": q149_dbscan_clusters,
     "q150_ivfpq_topk": q150_ivfpq_topk,
     "q151_dedup_loss_weights": q151_dedup_loss_weights,
+    "q152_contamination_pairs": q152_contamination_pairs,
 }
 
 
@@ -7675,7 +7731,7 @@ RAY_QUERIES = {
 # → exact-Jaccard edges → connected components via transitive closure
 # → per-doc min-reachable cluster id (the `assign` CTE).  q28 selects
 # the assignment, q91 aggregates the size histogram off it.
-_NGRAM_CC_SQL = """
+_SHINGLE_SQL = """
     WITH RECURSIVE norm AS (
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(
@@ -7699,7 +7755,12 @@ _NGRAM_CC_SQL = """
         SELECT DISTINCT doc_id, shingle FROM sh
     ), counts AS (
         SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
-    ), inter AS (
+    )
+"""
+
+
+_NGRAM_CC_SQL = _SHINGLE_SQL + """
+    , inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
@@ -9991,5 +10052,19 @@ ORACLE_SQL = {
                (1000000 // s.cluster_size)::BIGINT AS weight_ppm
         FROM assign a JOIN sizes s USING (cluster_id)
         ORDER BY a.doc_id
+    """,
+    # contamination evidence pairs over the shared shingle CTE
+    "q152_contamination_pairs": _SHINGLE_SQL + """
+        , pr AS (
+            SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+                   count(*) AS n_shared
+            FROM dsh tr JOIN dsh te ON tr.shingle = te.shingle
+            WHERE te.doc_id % 10 = 0 AND tr.doc_id % 10 <> 0
+            GROUP BY 1, 2
+        )
+        SELECT pr.train_id, pr.test_id, pr.n_shared::BIGINT AS n_shared,
+               (pr.n_shared * 1000000 // c.n)::BIGINT AS overlap_ppm
+        FROM pr JOIN counts c ON c.doc_id = pr.test_id
+        ORDER BY train_id, test_id
     """,
 }

@@ -96,7 +96,7 @@ SQL_CHECKED = [
     "q141_hashed_embedding", "q142_contract_audit",
     "q143_table_profile", "q145_phrase_search",
     "q146_crosslingual_dup_pairs", "q148_fd_audit",
-    "q151_dedup_loss_weights",
+    "q151_dedup_loss_weights", "q152_contamination_pairs",
 ]
 
 

@@ -3191,3 +3191,29 @@ def test_dedup_loss_weights_planted(ray_session, tmp_path):
     assert got.loc[[4, 5], "weight_ppm"].tolist() == [500000] * 2
     assert got.loc[6, "weight_ppm"] == 1_000_000
     assert (got["cluster_size"] * got["weight_ppm"] <= 1_000_000).all()
+
+
+def test_contamination_pairs_planted(ray_session, tmp_path):
+    """Hand-computed leak evidence: test doc 10 has 2 shingles; train
+    doc 1 (exact copy) shares both → ppm 1e6; train doc 2 shares one
+    → 500000; train doc 3 shares none and emits no row."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q152_contamination_pairs,
+    )
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [10, 1, 2, 3],
+        "lang": ["en"] * 4,
+        "text": ["a b c d e f",          # test: shingles abcde, bcdef
+                 "a b c d e f",          # train: both shared
+                 "a b c d e x",          # train: shares abcde only
+                 "q r s t u v"]}))       # train: disjoint
+    got = q152_contamination_pairs(sf).set_index("train_id")
+    assert sorted(got.index) == [1, 2]
+    assert got.loc[1, "n_shared"] == 2
+    assert got.loc[1, "overlap_ppm"] == 1_000_000
+    assert got.loc[2, "n_shared"] == 1
+    assert got.loc[2, "overlap_ppm"] == 500_000
+    assert (got["test_id"] == 10).all()
