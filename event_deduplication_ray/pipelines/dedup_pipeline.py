@@ -72,8 +72,13 @@ def read_docs(path: str) -> Dataset:
         # .jsonl.gz, and Arrow's reader decompresses by extension
         return p.endswith((".json", ".jsonl", ".json.gz", ".jsonl.gz"))
 
+    def _is_csv(p: str) -> bool:
+        return p.endswith((".csv", ".csv.gz"))
+
     if _is_json(path):
         return rd.read_json(path)
+    if _is_csv(path):
+        return rd.read_csv(path)
     if _os.path.isdir(path):
         entries = sorted(_os.listdir(path))
         files = [
@@ -82,14 +87,17 @@ def read_docs(path: str) -> Dataset:
             and not f.startswith((".", "_"))
         ]
         js = [f for f in files if _is_json(f)]
-        other = [f for f in files if not _is_json(f)]
-        if js and not other:
+        cs = [f for f in files if _is_csv(f)]
+        other = [f for f in files if not _is_json(f) and not _is_csv(f)]
+        if js and not cs and not other:
             # pure JSON-lines directory
             return rd.read_json([_os.path.join(path, f) for f in js])
-        if js and other:
-            # mixed directory: a stray JSON sidecar (manifest/metadata)
-            # must not flip the whole read to JSON-lines — read only
-            # the non-JSON data files as Parquet
+        if cs and not js and not other:
+            return rd.read_csv([_os.path.join(path, f) for f in cs])
+        if other and (js or cs):
+            # mixed directory: a stray JSON/CSV sidecar (manifest,
+            # metadata) must not flip the whole read — read only the
+            # remaining data files as Parquet
             return rd.read_parquet([_os.path.join(path, f) for f in other])
     return rd.read_parquet(path)
 

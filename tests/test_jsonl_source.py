@@ -129,3 +129,39 @@ def test_gzipped_jsonl_source(tmp_path):
 
     one = read_docs(str(d / "part-0.jsonl.gz"))
     assert one.count() == 4
+
+
+def test_read_docs_csv_file_and_dir(ray_session, tmp_path):
+    """CSV ingestion: single .csv file, pure-CSV directory, and the
+    mixed-directory rule (a CSV sidecar must not flip a Parquet dir)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta", "gamma delta", "epsilon zeta"],
+        "lang": ["en", "en", "de"]})
+
+    f = tmp_path / "docs.csv"
+    docs.to_csv(str(f), index=False)
+    got = read_docs(str(f)).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "text", "lang"]], docs)
+
+    d = tmp_path / "csvdir"
+    d.mkdir()
+    docs.iloc[:2].to_csv(str(d / "a.csv"), index=False)
+    docs.iloc[2:].to_csv(str(d / "b.csv"), index=False)
+    got = read_docs(str(d)).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "text", "lang"]], docs)
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(mixed / "data.parquet"))
+    pd.DataFrame({"note": ["sidecar"]}).to_csv(str(mixed / "meta.csv"),
+                                               index=False)
+    got = read_docs(str(mixed)).to_pandas()
+    assert sorted(got["doc_id"]) == [1, 2, 3]
