@@ -144,6 +144,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q132_dup_triangles", "q133_compression_gate",
         "q135_winnow_dedup", "q136_hopping_windows",
         "q141_hashed_embedding", "q142_contract_audit",
+        "q143_table_profile", "q148_fd_audit", "q151_dedup_loss_weights",
     ]
     out: dict[str, float] = {}
     for name in names:

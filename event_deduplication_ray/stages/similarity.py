@@ -1284,3 +1284,67 @@ def dbscan_embeddings(
     return pd.DataFrame({id_col: all_ids, "cluster_id": cl_out,
                          "role": role}) \
         .sort_values(id_col).reset_index(drop=True)
+
+
+def mmr_topk(
+    embeddings: Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    lambda_: float = 0.7,
+    pool: int = 100,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998): greedily pick argmax λ·cos(q, d) − (1−λ)·max
+    cos(d, selected) — the re-rank that stops a near-dup clump from
+    monopolizing a result page (the serving-side complement of the
+    dedup passes).  Scale shape: the distributed part is ONE
+    brute-force pass for the candidate pool (bounded at ``pool``
+    rows) plus one pruned scan that fetches only the pool's vectors;
+    the greedy loop runs on the driver over the pool×pool cosine
+    matrix (pool² ≤ 10⁴ floats).  Ties break on vec_id asc."""
+    cand = brute_force_topk(embeddings, query_vec, k=pool,
+                            id_col=id_col, emb_col=emb_col)
+    ids = cand[id_col].to_numpy(np.int64)
+    if not len(ids):
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64"),
+                             "mmr_score": pd.Series(dtype="float64")})
+    id_ref = ray.put(np.sort(ids))
+
+    def fetch(t: pa.Table) -> pa.Table:
+        want = ray.get(id_ref)
+        tid = t[id_col].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(tid), bool)
+        if len(tid):
+            pos = np.searchsorted(want, np.clip(tid, want[0], want[-1]))
+            keep = want[pos] == tid
+        return t.filter(pa.array(keep))
+
+    sub = embeddings.map_batches(fetch, batch_format="pyarrow") \
+        .to_pandas()
+    sub = sub.sort_values(id_col).reset_index(drop=True)
+    m = _normalize_rows(np.vstack(sub[emb_col].to_numpy()))
+    sids = sub[id_col].to_numpy(np.int64)
+    q = np.asarray(query_vec, np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    rel = m @ qn
+    sim = m @ m.T
+    chosen: "list[int]" = []
+    avail = np.ones(len(sids), bool)
+    rows = []
+    for rank in range(min(k, len(sids))):
+        if chosen:
+            div = sim[:, chosen].max(axis=1)
+        else:
+            div = np.zeros(len(sids))
+        score = lambda_ * rel - (1.0 - lambda_) * div
+        score[~avail] = -np.inf
+        # deterministic: best score, then smallest vec_id
+        best = np.lexsort((sids, -score))[0]
+        rows.append((int(sids[best]), rank,
+                     round(float(score[best]), 6)))
+        chosen.append(best)
+        avail[best] = False
+    return pd.DataFrame(rows, columns=[id_col, "rank", "mmr_score"])

@@ -379,3 +379,40 @@ def test_pq_dim_guard_and_empty_batch(tmp_path):
     })
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit(rd.from_arrow(t), m=3)
+
+
+def test_mmr_topk_diversifies_planted(tmp_path):
+    """A 6-copy clump nearest the query monopolizes plain top-k; MMR
+    at λ=0.5 must interleave the second clump within the top 4.
+    Rank 1 is always the globally most-relevant vector."""
+    import ray.data as rd
+    from event_deduplication_ray.stages.similarity import (
+        brute_force_topk,
+        mmr_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    d = 16
+    c1 = rng.standard_normal(d)
+    c2 = rng.standard_normal(d)
+    rows = [c1 + 1e-3 * rng.standard_normal(d) for _ in range(6)]
+    rows += [c2 + 1e-3 * rng.standard_normal(d) for _ in range(6)]
+    m = np.vstack(rows)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(12, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t)
+    q = c1 + 0.3 * c2
+
+    plain = brute_force_topk(ds, q, k=4)["vec_id"].to_numpy()
+    assert set(plain) <= set(range(6))       # clump 1 monopolizes
+
+    got = mmr_topk(ds, q, k=4, lambda_=0.5, pool=12)
+    ids = got["vec_id"].to_numpy()
+    assert got["rank"].tolist() == [0, 1, 2, 3]
+    assert ids[0] == plain[0]                # most relevant first
+    assert (ids >= 6).any()                  # second clump surfaced
+    # scores are non-increasing marginal gains for a fixed λ ordering
+    assert len(set(ids)) == 4
