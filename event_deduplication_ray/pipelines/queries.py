@@ -7216,6 +7216,65 @@ def q144_join_size_cms(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q153_keep_n_dedup(sf_dir: str, n_keep: int = 2) -> pd.DataFrame:
+    """Partial dedup — keep up to ``n_keep`` copies per dup family
+    (the duplication-curve middle ground between q127's keep-one and
+    q151's keep-all-downweighted: a little duplication of high-
+    quality families is often benign or helpful, catastrophic only at
+    high counts).  Deterministic: within a cluster the n_keep SMALLEST
+    doc_ids survive.  One cluster_id shuffle ranks members in place
+    (the q37 per-group head pattern)."""
+    asn = q28_ngram_jaccard_clusters(sf_dir)
+    if not isinstance(asn, pd.DataFrame):
+        asn = asn.to_pandas()
+
+    import ray.data as rd2
+
+    def head_rank(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["cluster_id", "doc_id"])
+        out["rnk"] = out.groupby("cluster_id").cumcount() + 1
+        out["keep"] = out["rnk"] <= n_keep
+        return out
+
+    res = _with_schema(
+        partition_apply(rd2.from_pandas(asn), ["cluster_id"],
+                        QCFG.join_num_partitions, head_rank).to_pandas(),
+        {"doc_id": "int64", "cluster_id": "int64", "rnk": "int64",
+         "keep": "bool"})
+    res["keep"] = res["keep"].astype(bool)
+    return res[["doc_id", "cluster_id", "rnk", "keep"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def q154_readability_counts(sf_dir: str) -> pd.DataFrame:
+    """Readability raw counts (the Flesch inputs, kept exact-integer —
+    the caller applies the float formula once, the q111 convention):
+    per doc, n_words (whitespace tokens), n_sentences (maximal runs of
+    [.!?], min 1), n_vowel_groups (maximal runs of [aeiouy] in the
+    lowered text — the standard syllable proxy).  All three are
+    regex-countable identically in DuckDB, so parity is exact.
+    Vectorized str.count per batch; zero shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        low = t.str.lower()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_words": t.str.count(r"\S+").to_numpy(np.int64),
+            "n_sentences": np.maximum(
+                t.str.count(r"[.!?]+").to_numpy(np.int64), 1),
+            "n_vowel_groups": low.str.count(r"[aeiouy]+")
+            .to_numpy(np.int64),
+        })
+
+    out = _with_schema(
+        ds.map_batches(counts, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "n_words": "int64", "n_sentences": "int64",
+         "n_vowel_groups": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q152_contamination_pairs(sf_dir: str) -> pd.DataFrame:
     """Contamination REPORT: q33 flags which train docs overlap the
     test set; this emits the evidence — every (train, test) doc pair
@@ -7723,6 +7782,8 @@ RAY_QUERIES = {
     "q150_ivfpq_topk": q150_ivfpq_topk,
     "q151_dedup_loss_weights": q151_dedup_loss_weights,
     "q152_contamination_pairs": q152_contamination_pairs,
+    "q153_keep_n_dedup": q153_keep_n_dedup,
+    "q154_readability_counts": q154_readability_counts,
 }
 
 
@@ -10066,5 +10127,29 @@ ORACLE_SQL = {
                (pr.n_shared * 1000000 // c.n)::BIGINT AS overlap_ppm
         FROM pr JOIN counts c ON c.doc_id = pr.test_id
         ORDER BY train_id, test_id
+    """,
+    # keep-N partial dedup: rank by doc_id within the CC cluster
+    "q153_keep_n_dedup": _NGRAM_CC_SQL + """
+        SELECT doc_id, cluster_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY doc_id)::BIGINT AS rnk,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY doc_id) <= 2 AS keep
+        FROM assign
+        ORDER BY doc_id
+    """,
+    # Flesch raw inputs as exact regex counts
+    "q154_readability_counts": """
+        SELECT doc_id,
+               len(regexp_extract_all(coalesce(text, ''),
+                                      '\\S+'))::BIGINT AS n_words,
+               greatest(len(regexp_extract_all(coalesce(text, ''),
+                                               '[.!?]+')), 1)::BIGINT
+                   AS n_sentences,
+               len(regexp_extract_all(lower(coalesce(text, '')),
+                                      '[aeiouy]+'))::BIGINT
+                   AS n_vowel_groups
+        FROM documents
+        ORDER BY doc_id
     """,
 }

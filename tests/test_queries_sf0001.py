@@ -97,6 +97,7 @@ SQL_CHECKED = [
     "q143_table_profile", "q145_phrase_search",
     "q146_crosslingual_dup_pairs", "q148_fd_audit",
     "q151_dedup_loss_weights", "q152_contamination_pairs",
+    "q153_keep_n_dedup", "q154_readability_counts",
 ]
 
 

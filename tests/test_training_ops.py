@@ -3217,3 +3217,25 @@ def test_contamination_pairs_planted(ray_session, tmp_path):
     assert got.loc[2, "n_shared"] == 1
     assert got.loc[2, "overlap_ppm"] == 500_000
     assert (got["test_id"] == 10).all()
+
+
+def test_keep_n_dedup_planted(ray_session, tmp_path):
+    """3-copy family keeps its two smallest doc_ids; a pair keeps
+    both; a unique doc keeps."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q153_keep_n_dedup
+
+    tri = "the same exact words repeated here for this document body"
+    pair = "another shared body of text with plenty of tokens inside it"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [5, 2, 9, 4, 7, 6],
+        "lang": ["en"] * 6,
+        "text": [tri, tri, tri, pair, pair,
+                 "totally unrelated first content string with many words"]}))
+    got = q153_keep_n_dedup(sf).set_index("doc_id")
+    assert got.loc[2, "keep"] and got.loc[5, "keep"]
+    assert not got.loc[9, "keep"]               # third copy dropped
+    assert got.loc[[4, 7], "keep"].all()
+    assert got.loc[6, "keep"]
+    assert got.loc[9, "rnk"] == 3
