@@ -7216,6 +7216,31 @@ def q144_join_size_cms(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q155_corpus_drift(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level drift sketch: MinHash fingerprints (1 KB each,
+    min-mergeable — `stages/signatures.corpus_minhash`) of the even-
+    and odd-doc_id halves of the corpus, plus the estimated shingle-
+    set Jaccard between them — the snapshot-to-snapshot drift monitor
+    that never re-reads the OLD snapshot (persist its 1 KB
+    fingerprint; compare against every new crawl).  Rows-only
+    (probabilistic estimate); accuracy gates in the planted pytest
+    (identical → 1.0, disjoint → ~0, half-overlap within 4σ)."""
+    from event_deduplication_ray.stages.signatures import (
+        corpus_jaccard_estimate,
+        corpus_minhash,
+    )
+
+    docs = _docs_from_documents(sf_dir)
+    even = docs.filter(lambda r: r["doc_id"] % 2 == 0)
+    odd = docs.filter(lambda r: r["doc_id"] % 2 == 1)
+    sa = corpus_minhash(even, QCFG)
+    sb = corpus_minhash(odd, QCFG)
+    return pd.DataFrame([{
+        "n_perms": np.int64(len(sa)),
+        "jaccard_est": round(corpus_jaccard_estimate(sa, sb), 6),
+    }])
+
+
 def q153_keep_n_dedup(sf_dir: str, n_keep: int = 2) -> pd.DataFrame:
     """Partial dedup — keep up to ``n_keep`` copies per dup family
     (the duplication-curve middle ground between q127's keep-one and
@@ -7784,6 +7809,7 @@ RAY_QUERIES = {
     "q152_contamination_pairs": q152_contamination_pairs,
     "q153_keep_n_dedup": q153_keep_n_dedup,
     "q154_readability_counts": q154_readability_counts,
+    "q155_corpus_drift": q155_corpus_drift,
 }
 
 

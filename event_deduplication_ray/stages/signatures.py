@@ -139,3 +139,40 @@ def signature_stage(
     # stateless tasks: the instance (with precomputed constants) ships
     # in the task closure — still built once per worker process cache
     return narrow.map_batches(SignatureStage(cfg, passthrough), **kwargs)
+
+
+def corpus_minhash(docs, cfg: DedupConfig) -> np.ndarray:
+    """128-perm MinHash of the CORPUS — the elementwise column-min of
+    the per-doc signature matrix, which by min-commutativity equals
+    the MinHash of the union of every doc's shingle set.  A 1 KB
+    mergeable corpus fingerprint (min-merge, any reduce-tree shape —
+    the HLL contract for set SIMILARITY instead of cardinality):
+    ``(sig_a == sig_b).mean()`` estimates the shingle-set Jaccard
+    between two corpora/snapshots with σ = √(J(1−J)/128), without
+    touching either corpus again.  Per-batch partial = one signature
+    pass + one column-min; driver folds P rows of 1 KB."""
+    mults, adds = H.perm_constants(cfg.num_perms, cfg.seed)
+    k, seed, n_perms = cfg.shingle_k, cfg.seed, cfg.num_perms
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text_norm"].to_pandas()
+        flat_tokens, doc_lens = H.tokenize_offsets(text)
+        token_hashes = H.hash_strings_u64(flat_tokens)
+        shingles, spd = H.shingle_hashes(token_hashes, doc_lens, k, seed)
+        sig = H.minhash_signatures(shingles, spd, mults, adds)
+        colmin = sig.min(axis=0) if len(sig) else \
+            np.full(n_perms, np.iinfo(np.uint64).max, np.uint64)
+        return pa.table({"sig": pa.array([colmin.tobytes()], pa.binary())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    mats = [np.frombuffer(b, np.uint64) for b in parts.get("sig", [])]
+    if not mats:
+        return np.full(n_perms, np.iinfo(np.uint64).max, np.uint64)
+    return np.minimum.reduce(mats)
+
+
+def corpus_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Estimated shingle-set Jaccard between two corpus fingerprints
+    (fraction of agreeing permutation minima)."""
+    return float((np.asarray(sig_a, np.uint64)
+                  == np.asarray(sig_b, np.uint64)).mean())

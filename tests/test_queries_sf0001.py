@@ -124,7 +124,7 @@ ROWS_ONLY = [
     "q126_doc_neighbors", "q133_compression_gate",
     "q135_winnow_dedup", "q140_dup_kcore", "q144_join_size_cms",
     "q147_bpe_subword_counts", "q149_dbscan_clusters",
-    "q150_ivfpq_topk",
+    "q150_ivfpq_topk", "q155_corpus_drift",
 ]
 
 

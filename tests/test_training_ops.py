@@ -3239,3 +3239,44 @@ def test_keep_n_dedup_planted(ray_session, tmp_path):
     assert got.loc[[4, 7], "keep"].all()
     assert got.loc[6, "keep"]
     assert got.loc[9, "rnk"] == 3
+
+
+def test_corpus_minhash_drift_gates(ray_session, tmp_path):
+    """Corpus fingerprint semantics: identical corpora estimate
+    J = 1.0 exactly; disjoint-vocab corpora ~0; A vs A∪B (equal-size
+    disjoint shingle sets) lands within 4σ of 1/2.  Merge = column
+    min: fingerprint(A∪B) == min(fp(A), fp(B))."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.stages.signatures import (
+        corpus_jaccard_estimate,
+        corpus_minhash,
+    )
+
+    cfg = DedupConfig(join_num_partitions=4)
+    rng = np.random.default_rng(3)
+
+    def corpus(vocab, n_docs, ln=40):
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text_norm": [" ".join(rng.choice(vocab, ln))
+                          for _ in range(n_docs)]}))
+
+    va = [f"a{i}" for i in range(30)]
+    vb = [f"b{i}" for i in range(30)]
+    A = corpus(va, 40)
+    fa = corpus_minhash(A, cfg)
+    assert corpus_jaccard_estimate(fa, fa) == 1.0
+
+    B = corpus(vb, 40)
+    fb = corpus_minhash(B, cfg)
+    assert corpus_jaccard_estimate(fa, fb) < 0.1
+
+    # A vs A∪B where |shingles(A)| ≈ |shingles(B)|, disjoint → J ≈ 1/2
+    fab = np.minimum(fa, fb)          # the merge IS the union sketch
+    j = corpus_jaccard_estimate(fa, fab)
+    sigma = (0.5 * 0.5 / len(fa)) ** 0.5
+    assert abs(j - 0.5) < 4 * sigma + 0.1
