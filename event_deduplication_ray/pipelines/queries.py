@@ -7241,6 +7241,59 @@ def q155_corpus_drift(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q156_source_similarity_sketch(sf_dir: str) -> pd.DataFrame:
+    """Per-SOURCE corpus fingerprints → pairwise shingle-set Jaccard
+    estimates: the sketch counterpart of q100's exact cross-source dup
+    matrix (q100 joins shingles; this ships one 1 KB min-mergeable
+    fingerprint per (source, batch) and estimates every pair on the
+    driver — feed-mirroring surveillance at a cost independent of
+    corpus size).  Rows-only (probabilistic); planted gate pins a
+    mirrored source at 1.0 and disjoint sources near 0."""
+    import ray
+
+    from event_deduplication_ray.functions import hashing as H2
+    from event_deduplication_ray.stages.signatures import (
+        corpus_jaccard_estimate,
+    )
+
+    cfg = QCFG
+    mults, adds = H2.perm_constants(cfg.num_perms, cfg.seed)
+    k, seed = cfg.shingle_k, cfg.seed
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from event_deduplication_ray.functions.text import normalize_text
+
+        df = df.assign(text_norm=normalize_text(df["text"]))
+        rows = []
+        for src, sub in df.groupby("source"):
+            flat, lens = H2.tokenize_offsets(sub["text_norm"])
+            th = H2.hash_strings_u64(flat)
+            sh, spd = H2.shingle_hashes(th, lens, k, seed)
+            sig = H2.minhash_signatures(sh, spd, mults, adds)
+            colmin = sig.min(axis=0) if len(sig) else np.full(
+                cfg.num_perms, np.iinfo(np.uint64).max, np.uint64)
+            rows.append({"source": src, "sig": colmin.tobytes()})
+        return pd.DataFrame(rows, columns=["source", "sig"])
+
+    parts = _with_schema(
+        partition_apply(
+            docs.map_batches(partial, batch_format="pandas"),
+            ["source"], QCFG.join_num_partitions,
+            lambda df: df.groupby("source", as_index=False)
+            .agg(sig=("sig", lambda bs: np.minimum.reduce(
+                [np.frombuffer(b, np.uint64) for b in bs]).tobytes())),
+        ).to_pandas(),
+        {"source": "object", "sig": "object"})
+    fps = {r["source"]: np.frombuffer(r["sig"], np.uint64)
+           for _, r in parts.iterrows()}
+    srcs = sorted(fps)
+    rows = [(a, b, round(corpus_jaccard_estimate(fps[a], fps[b]), 6))
+            for i, a in enumerate(srcs) for b in srcs[i + 1:]]
+    return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                       "jaccard_est"])
+
+
 def q153_keep_n_dedup(sf_dir: str, n_keep: int = 2) -> pd.DataFrame:
     """Partial dedup — keep up to ``n_keep`` copies per dup family
     (the duplication-curve middle ground between q127's keep-one and
@@ -7810,6 +7863,7 @@ RAY_QUERIES = {
     "q153_keep_n_dedup": q153_keep_n_dedup,
     "q154_readability_counts": q154_readability_counts,
     "q155_corpus_drift": q155_corpus_drift,
+    "q156_source_similarity_sketch": q156_source_similarity_sketch,
 }
 
 

@@ -3280,3 +3280,32 @@ def test_corpus_minhash_drift_gates(ray_session, tmp_path):
     j = corpus_jaccard_estimate(fa, fab)
     sigma = (0.5 * 0.5 / len(fa)) ** 0.5
     assert abs(j - 0.5) < 4 * sigma + 0.1
+
+
+def test_source_similarity_sketch_planted(ray_session, tmp_path):
+    """Two mirrored feeds estimate J = 1.0 (identical shingle sets);
+    a disjoint-vocab feed estimates near 0 against both."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q156_source_similarity_sketch,
+    )
+
+    rng = np.random.default_rng(5)
+    va = [f"w{i}" for i in range(30)]
+    vz = [f"z{i}" for i in range(30)]
+    texts_a = [" ".join(rng.choice(va, 40)) for _ in range(20)]
+    texts_z = [" ".join(rng.choice(vz, 40)) for _ in range(20)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "lang": ["en"] * 60,
+        "source": ["feedA"] * 20 + ["feedB"] * 20 + ["feedZ"] * 20,
+        "text": texts_a + texts_a + texts_z,   # B mirrors A exactly
+    })
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q156_source_similarity_sketch(sf).set_index(
+        ["source_a", "source_b"])
+    assert got.loc[("feedA", "feedB"), "jaccard_est"] == 1.0
+    assert got.loc[("feedA", "feedZ"), "jaccard_est"] < 0.1
+    assert got.loc[("feedB", "feedZ"), "jaccard_est"] < 0.1
