@@ -58,6 +58,7 @@ def cmd_export(args: argparse.Namespace) -> int:
         m = export_deduped_corpus(
             args.run_dir, args.output_dir,
             partition_by=part, rows_per_file=args.rows_per_file,
+            fmt="jsonl.gz" if args.jsonl_gz else "parquet",
         )
         print(json.dumps({"output_dir": args.output_dir, **m}))
         return 0
@@ -441,6 +442,9 @@ def main(argv: list[str] | None = None) -> int:
                          "canonical cluster table")
     pe.add_argument("--partition-by", default=None,
                     help="comma-separated hive partition columns")
+    pe.add_argument("--jsonl-gz", action="store_true",
+                    help="write the corpus as gzipped JSON-lines "
+                         "parts instead of Parquet (with --corpus)")
     pe.set_defaults(fn=cmd_export)
 
     pv = sub.add_parser("eval")

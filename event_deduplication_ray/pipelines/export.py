@@ -192,6 +192,7 @@ def export_deduped_corpus(
     rows_per_file: int = 10_000,
     broadcast_limit: int = 2_000_000,
     num_partitions: int | None = None,
+    fmt: str = "parquet",
 ) -> dict:
     """THE training-data product: the corpus with every
     non-representative duplicate dropped — full text preserved, one
@@ -258,6 +259,13 @@ def export_deduped_corpus(
                              P, anti)
 
     os.makedirs(out_dir, exist_ok=True)
+    if fmt == "jsonl.gz":
+        # interchange format (the read_docs round-trip counterpart);
+        # hive partitioning is a Parquet-layout feature
+        if partition_by:
+            raise ValueError("partition_by requires fmt='parquet'")
+        m = export_jsonl_gz(kept, out_dir, rows_per_file=rows_per_file)
+        return {"n_kept": int(m["n_rows"]), "n_dropped": n_losers}
     kw = {"partition_cols": partition_by} if partition_by else {}
     try:
         kept.write_parquet(out_dir, min_rows_per_file=rows_per_file, **kw)

@@ -227,3 +227,34 @@ def test_export_jsonl_gz_roundtrip(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         back[["doc_id", "text", "lang"]],
         docs.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_export_deduped_corpus_jsonl_gz(ray_session, corpus_dir, tmp_path):
+    """fmt='jsonl.gz' corpus export: same keep/drop accounting as the
+    Parquet path, and the output re-ingests through read_docs."""
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.dedup_pipeline import (
+        dedup_path_resumable,
+        read_docs,
+    )
+    from event_deduplication_ray.pipelines.export import (
+        export_deduped_corpus,
+    )
+
+    cfg = DedupConfig(join_num_partitions=4)
+    run = str(tmp_path / "run")
+    res = dedup_path_resumable(f"{corpus_dir}/docs", run, cfg)
+    n_clusters = res.canonical.count()
+
+    out = str(tmp_path / "jl")
+    m = export_deduped_corpus(run, out, fmt="jsonl.gz")
+    assert m["n_kept"] == n_clusters
+    back = read_docs(out).to_pandas()
+    assert len(back) == m["n_kept"]
+    assert "text" in back.columns
+
+    import pytest
+
+    with pytest.raises(ValueError, match="partition_by"):
+        export_deduped_corpus(run, str(tmp_path / "x"),
+                              partition_by=["lang"], fmt="jsonl.gz")
