@@ -140,3 +140,61 @@ def corpus_delta(old: Dataset, new: Dataset,
             .to_numpy(np.int64)
         out[st] = np.sort(ids)
     return out
+
+
+def persist_fingerprint(run_dir: str, cfg=None) -> str:
+    """Write the run's 1 KB corpus MinHash fingerprint
+    (stages/signatures.corpus_minhash over the extracted stage) to
+    ``{run_dir}/fingerprint.parquet`` — the cheap half of the watcher
+    loop: later snapshots estimate their shingle-set Jaccard against
+    this run WITHOUT re-reading the old corpus (corpus_delta is the
+    exact, doc-level half)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.stages.signatures import corpus_minhash
+
+    cfg = cfg or DedupConfig()
+    docs = rd.read_parquet(f"{run_dir}/extracted",
+                           columns=["text_norm"])
+    fp = corpus_minhash(docs, cfg)
+    path = os.path.join(run_dir, "fingerprint.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"sig": pa.array([fp.tobytes()],
+                                             pa.binary())}), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def drift_vs_fingerprint(run_dir: str, snapshot, cfg=None) -> float:
+    """Estimated shingle-set Jaccard between the run dir's persisted
+    fingerprint and a NEW snapshot Dataset (raw docs: text is
+    normalized here the same way extraction does).  1.0 ≈ unchanged
+    corpus; low values mean the new crawl diverged and a full
+    incremental_update is worth its cost."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.functions.text import normalize_text
+    from event_deduplication_ray.stages.signatures import (
+        corpus_jaccard_estimate,
+        corpus_minhash,
+    )
+
+    cfg = cfg or DedupConfig()
+    t = pq.read_table(os.path.join(run_dir, "fingerprint.parquet"))
+    old = np.frombuffer(t["sig"][0].as_py(), np.uint64)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text_norm"] = normalize_text(df["text"])
+        return df
+
+    new = corpus_minhash(
+        snapshot.map_batches(prep, batch_format="pandas"), cfg)
+    return corpus_jaccard_estimate(old, new)

@@ -168,3 +168,38 @@ def test_incremental_update_noop_on_identical(snapshots, tmp_path):
     after = pd.read_parquet(f"{run_dir}/assignments") \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_fingerprint_drift_roundtrip(ray_session, corpus_dir, tmp_path):
+    """persist_fingerprint + drift: the run's own corpus estimates
+    1.0; a vocab-disjoint snapshot estimates near 0; a half-replaced
+    snapshot lands strictly between."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.dedup_pipeline import (
+        dedup_path_resumable,
+        read_docs,
+    )
+    from event_deduplication_ray.pipelines.snapshot import (
+        drift_vs_fingerprint,
+        persist_fingerprint,
+    )
+
+    cfg = DedupConfig(join_num_partitions=4)
+    run = str(tmp_path / "run")
+    dedup_path_resumable(f"{corpus_dir}/docs", run, cfg)
+    persist_fingerprint(run, cfg)
+
+    same = read_docs(f"{corpus_dir}/docs")
+    assert drift_vs_fingerprint(run, same, cfg) == 1.0
+
+    rng = np.random.default_rng(2)
+    vz = [f"zz{i}" for i in range(40)]
+    alien = rd.from_pandas(pd.DataFrame({
+        "url": [f"http://z.test/{i}" for i in range(300)],
+        "text": [" ".join(rng.choice(vz, 50)) for _ in range(300)]}))
+    j_alien = drift_vs_fingerprint(run, alien, cfg)
+    assert j_alien < 0.1
