@@ -7241,6 +7241,35 @@ def q155_corpus_drift(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def q157_ascii_ratio(sf_dir: str) -> pd.DataFrame:
+    """Script-mix audit: per doc, printable-ASCII characters vs total
+    characters in exact integer ppm — the cheap signal that catches
+    mojibake, binary spill, and script-mislabeled docs before the
+    heavier langid pass (q24's stopword vote assumes the script is
+    sane).  Both counts are the same regex class on both engines
+    ('[ -~]' = 0x20..0x7E), ppm is integer division; zero shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        n_chars = t.str.len().to_numpy(np.int64)
+        n_ascii = t.str.count(r"[ -~]").to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_chars": n_chars,
+            "n_ascii": n_ascii,
+            "ascii_ppm": np.where(
+                n_chars > 0, n_ascii * 1_000_000 // np.maximum(n_chars, 1),
+                np.int64(0)).astype(np.int64),
+        })
+
+    out = _with_schema(
+        ds.map_batches(counts, batch_format="pandas").to_pandas(),
+        {"doc_id": "int64", "n_chars": "int64", "n_ascii": "int64",
+         "ascii_ppm": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q156_source_similarity_sketch(sf_dir: str) -> pd.DataFrame:
     """Per-SOURCE corpus fingerprints → pairwise shingle-set Jaccard
     estimates: the sketch counterpart of q100's exact cross-source dup
@@ -7864,6 +7893,7 @@ RAY_QUERIES = {
     "q154_readability_counts": q154_readability_counts,
     "q155_corpus_drift": q155_corpus_drift,
     "q156_source_similarity_sketch": q156_source_similarity_sketch,
+    "q157_ascii_ratio": q157_ascii_ratio,
 }
 
 
@@ -10231,5 +10261,20 @@ ORACLE_SQL = {
                    AS n_vowel_groups
         FROM documents
         ORDER BY doc_id
+    """,
+    # script-mix audit: identical regex class both engines, int ppm
+    "q157_ascii_ratio": """
+        WITH t AS (
+            SELECT doc_id,
+                   length(coalesce(text, ''))::BIGINT AS n_chars,
+                   len(regexp_extract_all(coalesce(text, ''),
+                                          '[ -~]'))::BIGINT AS n_ascii
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_ascii,
+               CASE WHEN n_chars > 0
+                    THEN n_ascii * 1000000 // n_chars
+                    ELSE 0 END::BIGINT AS ascii_ppm
+        FROM t ORDER BY doc_id
     """,
 }

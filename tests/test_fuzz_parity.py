@@ -37,7 +37,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q137_containment_directed", "q139_source_dup_rate",
           "q141_hashed_embedding", "q145_phrase_search",
           "q151_dedup_loss_weights", "q152_contamination_pairs",
-          "q153_keep_n_dedup", "q154_readability_counts"]
+          "q153_keep_n_dedup", "q154_readability_counts",
+          "q157_ascii_ratio"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 
