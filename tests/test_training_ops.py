@@ -3309,3 +3309,24 @@ def test_source_similarity_sketch_planted(ray_session, tmp_path):
     assert got.loc[("feedA", "feedB"), "jaccard_est"] == 1.0
     assert got.loc[("feedA", "feedZ"), "jaccard_est"] < 0.1
     assert got.loc[("feedB", "feedZ"), "jaccard_est"] < 0.1
+
+
+def test_readability_counts_planted(ray_session, tmp_path):
+    """Hand counts: 'Hello there. How are you?!' → 5 words, 2
+    sentence runs ('.'; '?!'), vowel groups he-llo-the-re-how-a-re-you
+    = 8; a punctuation-free doc floors n_sentences at 1."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q154_readability_counts,
+    )
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2],
+        "lang": ["en"] * 2,
+        "text": ["Hello there. How are you?!", "no punctuation here"]}))
+    got = q154_readability_counts(sf).set_index("doc_id")
+    assert got.loc[1, "n_words"] == 5
+    assert got.loc[1, "n_sentences"] == 2
+    assert got.loc[1, "n_vowel_groups"] == 8
+    assert got.loc[2, "n_sentences"] == 1
