@@ -7740,6 +7740,83 @@ def q145_phrase_search(sf_dir: str) -> pd.DataFrame:
     return phrase_search(idx, [top["w1"], top["w2"]])
 
 
+def q158_leakfree_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-free train/val/test split: q56's fmix32 range split
+    applied at the DUP-CLUSTER level — the split key is the exact-
+    Jaccard cluster id (min member doc_id from q28's CC), so a dup
+    family can never straddle a split boundary.  Doc-level hashing
+    (q56) leaks train text into val/test whenever a family splits —
+    the eval-contamination mechanism Lee et al. 2022 measure; hashing
+    the cluster id removes it at zero extra shuffles past q28's.
+    Exact-integer fmix32 thresholds shared with q56's oracle chain
+    (cluster ids are min doc_ids, hence nonnegative — the domain where
+    engine and SQL hashes agree)."""
+    T_TRAIN = 3435973836  # floor(0.8 * 2**32)
+    T_VAL = 3865470566    # floor(0.9 * 2**32)
+    asn = q28_ngram_jaccard_clusters(sf_dir)
+    if not isinstance(asn, pd.DataFrame):
+        asn = asn.to_pandas()
+    asn = _with_schema(asn, {"doc_id": "int64", "cluster_id": "int64"})
+    h = H.sample_hash32(asn["cluster_id"].to_numpy())
+    out = asn.copy()
+    out["split"] = np.where(h < T_TRAIN, "train",
+                            np.where(h < T_VAL, "val", "test"))
+    return (out[["doc_id", "cluster_id", "split"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q159_key_skew(sf_dir: str) -> pd.DataFrame:
+    """Key-skew audit: exact per-key frequency statistics for the
+    shuffle keys this engine would partition the events stream by —
+    the operational readout behind every salting/hot-key decision
+    (n_keys, max, exact p99 of per-key counts, top-1 share).  Shape:
+    per-batch count partials → ONE key shuffle per audited column →
+    each partition folds its keys to a count-of-counts histogram, so
+    driver traffic is O(distinct count values), never O(keys).  The
+    p99 index uses DuckDB percentile_disc's exact-decimal ceil(p·n)
+    (= (99·n+99)//100 — float ceil is wrong at n=100); the top-1
+    share is exact integer ppm."""
+    rows = []
+    for key_col in ("event_type", "user_id"):
+        ds = _read(sf_dir, "events", [key_col])
+
+        def partial(df: pd.DataFrame, kc=key_col) -> pd.DataFrame:
+            g = df.groupby(kc, as_index=False).size()
+            g = g.rename(columns={kc: "k", "size": "n"})
+            g["k"] = g["k"].astype(str)
+            return g
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("k", as_index=False)["n"].sum()
+            h = g.groupby("n", as_index=False).size()
+            return h.rename(columns={"size": "n_keys"})
+
+        hist = _with_schema(
+            partition_apply(
+                ds.map_batches(partial, batch_format="pandas"),
+                ["k"], QCFG.join_num_partitions, fold).to_pandas(),
+            {"n": "int64", "n_keys": "int64"})
+        hist = hist.groupby("n", as_index=False)["n_keys"].sum() \
+            .sort_values("n").reset_index(drop=True)
+        if not len(hist):
+            continue
+        nk = int(hist["n_keys"].sum())
+        total = int((hist["n"] * hist["n_keys"]).sum())
+        mx = int(hist["n"].max())
+        idx = (99 * nk + 99) // 100  # 1-based exact ceil(0.99 * nk)
+        cum = hist["n_keys"].cumsum()
+        p99 = int(hist.loc[cum >= idx, "n"].iloc[0])
+        rows.append((key_col, nk, total, mx, p99,
+                     1_000_000 * mx // total))
+    return pd.DataFrame(
+        rows, columns=["key_col", "n_keys", "total_rows", "max_count",
+                       "p99_count", "top1_share_ppm"]
+    ).astype({"n_keys": "int64", "total_rows": "int64",
+              "max_count": "int64", "p99_count": "int64",
+              "top1_share_ppm": "int64"}).sort_values("key_col") \
+        .reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -7894,6 +7971,8 @@ RAY_QUERIES = {
     "q155_corpus_drift": q155_corpus_drift,
     "q156_source_similarity_sketch": q156_source_similarity_sketch,
     "q157_ascii_ratio": q157_ascii_ratio,
+    "q158_leakfree_split": q158_leakfree_split,
+    "q159_key_skew": q159_key_skew,
 }
 
 
@@ -10276,5 +10355,51 @@ ORACLE_SQL = {
                     THEN n_ascii * 1000000 // n_chars
                     ELSE 0 END::BIGINT AS ascii_ppm
         FROM t ORDER BY doc_id
+    """,
+    # cluster-level fmix32 split over the exact-Jaccard CC: the q56
+    # hash chain applied to assign.cluster_id (nonnegative min doc_id)
+    "q158_leakfree_split": _NGRAM_CC_SQL + """
+        , f0 AS (
+            SELECT doc_id, cluster_id,
+                   xor(cluster_id, cluster_id // 4294967296)
+                       % 4294967296 AS v
+            FROM assign
+        ),
+        f1 AS (SELECT *, ((v::HUGEINT * 2246822507) % 4294967296)::BIGINT
+                          AS v1 FROM f0),
+        f2 AS (SELECT *, xor(v1, v1 // 8192)  AS v2 FROM f1),
+        f3 AS (SELECT *, ((v2::HUGEINT * 3266489909) % 4294967296)::BIGINT
+                          AS v3 FROM f2),
+        f4 AS (SELECT *, xor(v3, v3 // 65536) AS h  FROM f3)
+        SELECT doc_id, cluster_id,
+               CASE WHEN h < 3435973836 THEN 'train'
+                    WHEN h < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM f4 ORDER BY doc_id
+    """,
+    # percentile_disc is DuckDB's exact-decimal ceil(p*n) index — the
+    # engine mirrors it as (99*n+99)//100 over the count histogram
+    "q159_key_skew": """
+        WITH ce AS (
+            SELECT event_type::VARCHAR AS k, count(*)::BIGINT AS n
+            FROM events GROUP BY 1
+        ), cu AS (
+            SELECT user_id::VARCHAR AS k, count(*)::BIGINT AS n
+            FROM events GROUP BY 1
+        ), s AS (
+            SELECT 'event_type' AS key_col, count(*)::BIGINT AS n_keys,
+                   sum(n)::BIGINT AS total_rows, max(n)::BIGINT AS max_count,
+                   percentile_disc(0.99) WITHIN GROUP (ORDER BY n)::BIGINT
+                       AS p99_count
+            FROM ce
+            UNION ALL
+            SELECT 'user_id', count(*)::BIGINT, sum(n)::BIGINT,
+                   max(n)::BIGINT,
+                   percentile_disc(0.99) WITHIN GROUP (ORDER BY n)::BIGINT
+            FROM cu
+        )
+        SELECT key_col, n_keys, total_rows, max_count, p99_count,
+               (1000000 * max_count // total_rows)::BIGINT AS top1_share_ppm
+        FROM s ORDER BY key_col
     """,
 }

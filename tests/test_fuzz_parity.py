@@ -38,7 +38,7 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q141_hashed_embedding", "q145_phrase_search",
           "q151_dedup_loss_weights", "q152_contamination_pairs",
           "q153_keep_n_dedup", "q154_readability_counts",
-          "q157_ascii_ratio"]
+          "q157_ascii_ratio", "q158_leakfree_split"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 
@@ -131,7 +131,7 @@ EV_FUZZED = ["q06_user_hourly_windows", "q14_session_windows",
              "q113_late_data_drop", "q121_user_entropy",
              "q131_global_range_join", "q134_event_rate_anomaly",
              "q136_hopping_windows", "q142_contract_audit",
-             "q143_table_profile", "q148_fd_audit"]
+             "q143_table_profile", "q148_fd_audit", "q159_key_skew"]
 
 
 def _events(seed: int) -> pd.DataFrame:

@@ -3330,3 +3330,70 @@ def test_readability_counts_planted(ray_session, tmp_path):
     assert got.loc[1, "n_sentences"] == 2
     assert got.loc[1, "n_vowel_groups"] == 8
     assert got.loc[2, "n_sentences"] == 1
+
+
+def test_leakfree_split_planted(ray_session, tmp_path):
+    """Dup-family members must land in the SAME split (the property
+    q56's doc-level hash lacks): plant an exact-dup pair whose two
+    doc-level q56 splits DIFFER, assert q158 gives them one split —
+    the fmix32 of their cluster id (= min member doc_id)."""
+    import pandas as pd
+
+    from event_deduplication_ray.functions.hashing import sample_hash32
+    from event_deduplication_ray.pipelines.queries import q158_leakfree_split
+
+    T_TRAIN, T_VAL = 3435973836, 3865470566
+
+    def split_of(key: int) -> str:
+        h = int(sample_hash32(np.array([key], dtype=np.int64))[0])
+        return "train" if h < T_TRAIN else ("val" if h < T_VAL else "test")
+
+    # find a partner id whose DOC-level split differs from id 1's
+    base = 1
+    partner = next(i for i in range(2, 4000)
+                   if split_of(i) != split_of(base))
+    dup_text = "the quick brown fox jumps over the lazy sleeping dog again"
+    docs = pd.DataFrame({
+        "doc_id": [base, partner, 9001, 9002],
+        "lang": ["en"] * 4,
+        "text": [dup_text, dup_text,
+                 "completely different first unique document body text here",
+                 "another entirely unrelated second unique document body"],
+    })
+    sf = _write_tbl(tmp_path, "documents", docs)
+    got = q158_leakfree_split(sf).set_index("doc_id")
+    # the dup pair clusters together and shares ONE split ...
+    assert got.loc[base, "cluster_id"] == got.loc[partner, "cluster_id"] == base
+    assert got.loc[base, "split"] == got.loc[partner, "split"] == split_of(base)
+    # ... even though their doc-level (q56) splits disagree
+    assert split_of(base) != split_of(partner)
+    # singletons hash their own id
+    for d in (9001, 9002):
+        assert got.loc[d, "cluster_id"] == d
+        assert got.loc[d, "split"] == split_of(d)
+
+
+def test_key_skew_planted(ray_session, tmp_path):
+    """Hand-counted skew stats: user counts [5,1,1,1] → p99 index
+    ceil(.99*4)=4 → 5, top1 5/8 = 625000 ppm; event_type counts
+    [6,2] → p99 index 2 → 6, top1 750000 ppm."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q159_key_skew
+
+    ev = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "ts": pd.to_datetime(["2025-01-01"] * 8),
+        "user_id": np.array([1, 1, 1, 1, 1, 2, 3, 4], dtype=np.int64),
+        "event_type": ["a", "a", "a", "a", "a", "a", "b", "b"],
+        "value": np.ones(8),
+        "props": ["{}"] * 8,
+    })
+    sf = _write_tbl(tmp_path, "events", ev)
+    got = q159_key_skew(sf).set_index("key_col")
+    u = got.loc["user_id"]
+    assert (u["n_keys"], u["total_rows"], u["max_count"]) == (4, 8, 5)
+    assert u["p99_count"] == 5 and u["top1_share_ppm"] == 625000
+    t = got.loc["event_type"]
+    assert (t["n_keys"], t["total_rows"], t["max_count"]) == (2, 8, 6)
+    assert t["p99_count"] == 6 and t["top1_share_ppm"] == 750000
