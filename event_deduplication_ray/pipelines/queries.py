@@ -7817,6 +7817,54 @@ def q159_key_skew(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q160_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """Learned quality classifier over the embeddings table
+    (`stages/classify.logreg_fit/logreg_score`): full-batch logistic
+    regression (label 0 = positive seed) trained with resident
+    partitions — one linear scan per round, O(P·d) driver traffic —
+    then the whole table scored in one streaming pass (the GPT-3
+    WebText-classifier / CCNet-filter verb).  Readouts: exact train
+    accuracy, rank-AUC of the score against the seed labels (the
+    driver embeddings are only weakly label-clustered, so AUC — not
+    0/1 accuracy — is the informative number), and the top-(seed-
+    size) keep count.  The AUC join collects (score, label) pairs —
+    an EVAL readout bounded by the labeled-seed size, like
+    eval.evaluate_pairs; production scoring stays the lazy Dataset.
+    Rows-only (iterative float fixpoint); planted-separability,
+    determinism and partition-invariance gates in
+    tests/test_classify.py."""
+    from event_deduplication_ray.stages.classify import (
+        logreg_fit,
+        logreg_score,
+        scored_frame,
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    fit = logreg_fit(emb, QCFG, positive=0, n_iters=50, lr=8.0, l2=1e-4)
+    scored = scored_frame(logreg_score(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), fit["w"]))
+    lab = _read(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
+    j = scored.merge(lab, on="vec_id")
+    y = (j["label"].to_numpy(np.int64) == 0)
+    n_p, n_n = int(y.sum()), int((~y).sum())
+    if n_p and n_n:
+        ranks = j["score"].rank(method="average").to_numpy()
+        u = ranks[y].sum() - n_p * (n_p + 1) / 2
+        auc_ppm = int(1_000_000 * u / (n_p * n_n))
+    else:
+        auc_ppm = 0
+    kept = j.nlargest(n_p, "score") if n_p else j.iloc[:0]
+    return pd.DataFrame({
+        "n": [np.int64(fit["n"])],
+        "n_pos": [np.int64(fit["n_pos"])],
+        "train_accuracy_ppm": [np.int64(fit["accuracy_ppm"])],
+        "auc_ppm": [np.int64(auc_ppm)],
+        "seed_recall_at_seed_ppm": [np.int64(
+            1_000_000 * int(y[j.index.isin(kept.index)].sum())
+            // max(n_p, 1))],
+    })
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -7973,6 +8021,7 @@ RAY_QUERIES = {
     "q157_ascii_ratio": q157_ascii_ratio,
     "q158_leakfree_split": q158_leakfree_split,
     "q159_key_skew": q159_key_skew,
+    "q160_quality_classifier": q160_quality_classifier,
 }
 
 

@@ -126,7 +126,7 @@ ROWS_ONLY = [
     "q135_winnow_dedup", "q140_dup_kcore", "q144_join_size_cms",
     "q147_bpe_subword_counts", "q149_dbscan_clusters",
     "q150_ivfpq_topk", "q155_corpus_drift",
-    "q156_source_similarity_sketch",
+    "q156_source_similarity_sketch", "q160_quality_classifier",
 ]
 
 
