@@ -190,6 +190,36 @@ def cmd_add(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_screen(args: argparse.Namespace) -> int:
+    """READ-ONLY admission control: screen a candidate batch against
+    a checkpointed corpus (is each doc a dup, of what, at which tier)
+    without mutating the run dir — the cheap question to ask BEFORE
+    `add`.  Prints a summary line; --output writes the per-doc
+    verdict table."""
+    _ray_init(args.num_cpus)
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.incremental import screen_docs
+    from event_deduplication_ray.state.runstate import load_run_config
+
+    cfg = load_run_config(args.run_dir) or DedupConfig()
+    got = screen_docs(args.run_dir, args.input, cfg)
+    if args.output:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(got, preserve_index=False),
+                       args.output)
+    print(json.dumps({
+        "n_docs": int(len(got)),
+        "n_dup": int(got["is_dup"].sum()),
+        "n_novel": int((~got["is_dup"]).sum()),
+        "by_tier": {k: int(v) for k, v in
+                    got.loc[got["is_dup"], "tier"]
+                    .value_counts().items()},
+    }))
+    return 0
+
+
 def cmd_remove(args: argparse.Namespace) -> int:
     """Deletion propagation (watcher REMOVE / GDPR-delete): drop docs
     and their edges from a checkpointed run, re-run CC so a removed
@@ -477,6 +507,13 @@ def main(argv: list[str] | None = None) -> int:
                      help="fold the result back into the run dir so "
                           "the next add chains on it (watcher loop)")
     pa_.set_defaults(fn=cmd_add)
+
+    psc = sub.add_parser("screen")
+    psc.add_argument("--run-dir", required=True)
+    psc.add_argument("--input", required=True)
+    psc.add_argument("--output", default=None,
+                     help="optional Parquet path for the per-doc verdicts")
+    psc.set_defaults(fn=cmd_screen)
 
     prm = sub.add_parser("remove")
     prm.add_argument("--run-dir", required=True)

@@ -98,39 +98,17 @@ def _affected_band_table(
     return new_band.union(old_rows), new_keys
 
 
-def incremental_add(
-    run_dir: str, new_docs_path: str, cfg: DedupConfig | None = None
-) -> DedupResult:
-    """Combine a checkpointed run (dedup_path_resumable at run_dir)
-    with a new docs batch; returns the combined DedupResult."""
-    cfg = cfg or DedupConfig()
-
-    old_meta = rd.read_parquet(f"{run_dir}/extracted")
-    old_sigs = rd.read_parquet(f"{run_dir}/signatures")
-    old_edges = rd.read_parquet(f"{run_dir}/edges")
-
-    new_extracted = extract_stage(read_docs(new_docs_path), cfg)
-    new_full = signature_stage(
-        new_extracted, cfg,
-        passthrough=("url", "warc_ts", "lang", "text", "text_norm"),
-    ).materialize()
-
-    new_ids = set(
-        new_full.select_columns(["doc_id"]).to_pandas()["doc_id"].tolist()
-    )
-    new_ids_arr = np.array(sorted(new_ids), dtype=np.int64)
-
-    sig_cols = ["doc_id", "n_chars", "n_tokens", "n_shingles", "band_keys",
-                "sig8", "simhash", "substr_fps"]
-    if cfg.lang_match_overrides:
-        # per-lang thresholds (P5): lang must ride the signature rows
-        # into verify_pairs.  Checkpoints written by
-        # dedup_path_resumable under the same config carry it (the
-        # config fingerprint invalidates older lang-less checkpoints).
-        sig_cols.append("lang")
-    all_sigs = old_sigs.select_columns(sig_cols).union(
-        new_full.select_columns(sig_cols)
-    )
+def _new_edges(
+    old_meta: Dataset, old_sigs: Dataset, all_sigs: Dataset,
+    new_full: Dataset, new_ids_arr: np.ndarray, cfg: DedupConfig,
+) -> tuple[list[Dataset], dict]:
+    """Verified match edges touching >= 1 new doc — the shared core
+    of incremental_add (which persists them) and screen_docs (which
+    only reports them).  Every shuffle is O(new batch): band tables
+    are semi-joined to the new docs' key set, verify cogroups move
+    only signatures of docs occurring in a candidate pair."""
+    metrics: dict = {}
+    pair_sets: list[Dataset] = []
 
     def touching_new(t: pa.Table) -> pa.Table:
         mask = np.isin(t["id_a"].to_numpy(), new_ids_arr) | np.isin(
@@ -138,9 +116,6 @@ def incremental_add(
         )
         return t.filter(pa.array(mask))
 
-    metrics: dict = {"n_new_docs": len(new_ids)}
-    pair_sets = []
-    touched_ids: list[np.ndarray] = []
     if cfg.use_minhash:
         band, keys = _affected_band_table(
             minhash_band_table(new_full, cfg), old_sigs, minhash_band_table,
@@ -168,7 +143,6 @@ def incremental_add(
                 new_ids_arr,
             ])
         ).astype(np.int64)
-        touched_ids.append(pair_ids)
         metrics["minhash_candidates"] = int(len(pair_id_cols))
         # the verify cogroups shuffle ONLY the signatures of docs that
         # occur in a candidate pair — never the full corpus
@@ -212,7 +186,48 @@ def incremental_add(
             ["id_a", "id_b", "score", "tier"]
         )
         pair_sets.append(sub_new)
+    return pair_sets, metrics
 
+
+def incremental_add(
+    run_dir: str, new_docs_path: str, cfg: DedupConfig | None = None
+) -> DedupResult:
+    """Combine a checkpointed run (dedup_path_resumable at run_dir)
+    with a new docs batch; returns the combined DedupResult."""
+    cfg = cfg or DedupConfig()
+
+    old_meta = rd.read_parquet(f"{run_dir}/extracted")
+    old_sigs = rd.read_parquet(f"{run_dir}/signatures")
+    old_edges = rd.read_parquet(f"{run_dir}/edges")
+
+    new_extracted = extract_stage(read_docs(new_docs_path), cfg)
+    new_full = signature_stage(
+        new_extracted, cfg,
+        passthrough=("url", "warc_ts", "lang", "text", "text_norm"),
+    ).materialize()
+
+    new_ids = set(
+        new_full.select_columns(["doc_id"]).to_pandas()["doc_id"].tolist()
+    )
+    new_ids_arr = np.array(sorted(new_ids), dtype=np.int64)
+
+    sig_cols = ["doc_id", "n_chars", "n_tokens", "n_shingles", "band_keys",
+                "sig8", "simhash", "substr_fps"]
+    if cfg.lang_match_overrides:
+        # per-lang thresholds (P5): lang must ride the signature rows
+        # into verify_pairs.  Checkpoints written by
+        # dedup_path_resumable under the same config carry it (the
+        # config fingerprint invalidates older lang-less checkpoints).
+        sig_cols.append("lang")
+    all_sigs = old_sigs.select_columns(sig_cols).union(
+        new_full.select_columns(sig_cols)
+    )
+
+    metrics: dict = {"n_new_docs": len(new_ids)}
+    pair_sets, tier_metrics = _new_edges(
+        old_meta, old_sigs, all_sigs, new_full, new_ids_arr, cfg
+    )
+    metrics.update(tier_metrics)
     edges = old_edges.select_columns(["id_a", "id_b", "score", "tier"])
     for extra in pair_sets:
         edges = edges.union(extra.select_columns(["id_a", "id_b", "score", "tier"]))
@@ -385,3 +400,82 @@ def incremental_update(
             shutil.rmtree(scratch, ignore_errors=True)
 
     return {k: int(len(v)) for k, v in delta.items()}
+
+
+def screen_docs(
+    run_dir: str, new_docs_path: str, cfg: DedupConfig | None = None
+) -> pd.DataFrame:
+    """READ-ONLY near-dup screening of a candidate batch against a
+    checkpointed corpus: for every new doc — is it a duplicate, of
+    what, at which tier — WITHOUT mutating the run dir, re-clustering
+    or paying any O(corpus) shuffle.  The admission-control verb in
+    front of incremental_add: screen first, ingest only what's novel
+    (the reference's watcher admits per file,
+    worker/orchestrator.py:174-260; this decides per doc).
+
+    Returns (doc_id, is_dup, dup_of, score, tier), one row per new
+    doc; dup_of = -1 for novel docs.  A new doc is flagged against
+    the corpus or against a SMALLER-id batch mate (keep-first within
+    the batch), so admitting the is_dup == False rows reproduces
+    exact keep-first semantics.  Driver traffic is bounded by the
+    batch's edge count, never the corpus.
+    """
+    cfg = cfg or DedupConfig()
+    old_meta = rd.read_parquet(f"{run_dir}/extracted")
+    old_sigs = rd.read_parquet(f"{run_dir}/signatures")
+
+    new_full = signature_stage(
+        extract_stage(read_docs(new_docs_path), cfg), cfg,
+        passthrough=("url", "warc_ts", "lang", "text", "text_norm"),
+    ).materialize()
+    id_df = new_full.select_columns(["doc_id"]).to_pandas()
+    if "doc_id" not in id_df.columns:
+        id_df = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    new_ids_arr = np.unique(id_df["doc_id"].to_numpy()).astype(np.int64)
+
+    sig_cols = ["doc_id", "n_chars", "n_tokens", "n_shingles", "band_keys",
+                "sig8", "simhash", "substr_fps"]
+    if cfg.lang_match_overrides:
+        sig_cols.append("lang")
+    all_sigs = old_sigs.select_columns(sig_cols).union(
+        new_full.select_columns(sig_cols)
+    )
+    pair_sets, _metrics = _new_edges(
+        old_meta, old_sigs, all_sigs, new_full, new_ids_arr, cfg
+    )
+
+    frames = []
+    for ps in pair_sets:
+        df = ps.select_columns(["id_a", "id_b", "score", "tier"]).to_pandas()
+        if "id_a" in df.columns and len(df):
+            frames.append(df)
+    if frames:
+        e = pd.concat(frames, ignore_index=True)
+        long = pd.concat([
+            e.rename(columns={"id_a": "doc_id", "id_b": "partner"}),
+            e.rename(columns={"id_b": "doc_id", "id_a": "partner"}),
+        ], ignore_index=True)[["doc_id", "partner", "score", "tier"]]
+        long = long[np.isin(long["doc_id"].to_numpy(), new_ids_arr)]
+        p_new = np.isin(long["partner"].to_numpy(), new_ids_arr)
+        keep = (~p_new) | (long["partner"].to_numpy()
+                           < long["doc_id"].to_numpy())
+        long = long[keep]
+        best = (long.sort_values(["doc_id", "score", "partner"],
+                                 ascending=[True, False, True])
+                .groupby("doc_id", as_index=False).first())
+    else:
+        best = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "partner": pd.Series(dtype="float64"),
+                             "score": pd.Series(dtype="float64"),
+                             "tier": pd.Series(dtype="object")})
+    # partner must stay integral through the left merge: NaN-backed
+    # float64 silently corrupts the low bits of 62-bit doc ids
+    best["partner"] = best["partner"].astype("Int64")
+    out = pd.DataFrame({"doc_id": new_ids_arr}).merge(
+        best, on="doc_id", how="left")
+    out["is_dup"] = out["partner"].notna()
+    out["dup_of"] = out["partner"].fillna(-1).astype(np.int64)
+    out["score"] = out["score"].fillna(0.0)
+    out["tier"] = out["tier"].fillna("")
+    return out[["doc_id", "is_dup", "dup_of", "score", "tier"]] \
+        .sort_values("doc_id").reset_index(drop=True)

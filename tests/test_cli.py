@@ -497,3 +497,66 @@ def test_cli_report_subcommand():
     assert rep["effective_tokens"]["kept_tokens"] <= \
         rep["effective_tokens"]["total_tokens"]
     assert all(0 <= v <= 1_000_000 for v in rep["source_dup_ppm"].values())
+
+
+def test_cli_screen_subcommand(tmp_path):
+    """Read-only admission control from the shell: run a tiny corpus,
+    screen a batch with one corpus dup, one within-batch twin pair and
+    one novel doc → 2 dup / 2 novel, verdict Parquet written, run dir
+    untouched."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    base = [sys.executable, "-m", "event_deduplication_ray.cli",
+            "--num-cpus", "4"]
+    run_dir = str(tmp_path / "screenrun")
+
+    def docs_tbl(rows):
+        return pa.Table.from_pandas(pd.DataFrame({
+            "url": [u for u, _ in rows],
+            "warc_ts": pd.Series(pd.to_datetime(
+                ["2026-01-01"] * len(rows))).astype("datetime64[us]"),
+            "text": [t for _, t in rows],
+            "lang": ["en"] * len(rows),
+        }), preserve_index=False)
+
+    corpus = str(tmp_path / "corpus.parquet")
+    base_text = ("the quick brown fox jumps over the lazy dog near "
+                 "the old river bank today")
+    pq.write_table(docs_tbl([
+        ("https://c.example/1", base_text),
+        ("https://c.example/2", "pottery glazes and kiln temperature "
+                                "control methods for stoneware firing"),
+        ("https://c.example/3", "alpine weather patterns and seasonal "
+                                "snowfall accumulation measurements"),
+    ]), corpus)
+    batch = str(tmp_path / "batch.parquet")
+    twin = ("twin text shared by exactly two batch documents for "
+            "the keep first admission check")
+    pq.write_table(docs_tbl([
+        ("https://b.example/dup", base_text),
+        ("https://b.example/new", "entirely novel content on deep sea "
+                                  "vents and chemosynthetic ecosystems"),
+        ("https://b.example/twin1", twin),
+        ("https://b.example/twin2", twin),
+    ]), batch)
+
+    r = subprocess.run(
+        base + ["run", "--input", corpus, "--run-dir", run_dir,
+                "--substring"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    verdicts = str(tmp_path / "verdicts.parquet")
+    r2 = subprocess.run(
+        base + ["screen", "--run-dir", run_dir, "--input", batch,
+                "--output", verdicts],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert m["n_docs"] == 4 and m["n_dup"] == 2 and m["n_novel"] == 2
+    v = pq.read_table(verdicts).to_pandas()
+    assert set(v.columns) == {"doc_id", "is_dup", "dup_of", "score", "tier"}
+    assert int(v["is_dup"].sum()) == 2

@@ -171,3 +171,90 @@ def test_chained_incremental_matches_full(corpus_dir, tmp_path):
     grp_inc = m.groupby("cluster_id_inc")["doc_id"].apply(frozenset)
     grp_full = m.groupby("cluster_id_full")["doc_id"].apply(frozenset)
     assert set(grp_inc) == set(grp_full)
+
+
+def _mini_docs(urls_texts):
+    import pandas as pd
+
+    from event_deduplication_ray import fixtures as FX
+
+    rows = [{"url": u, "warc_ts": "2024-01-01T00:00:00Z",
+             "html": FX.wrap_html(t, f"t{i}", "site.example"),
+             "text": t, "lang": "en"}
+            for i, (u, t) in enumerate(urls_texts)]
+    return pd.DataFrame(rows)
+
+
+def _dir_state(root):
+    out = []
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.append((p, st.st_size, st.st_mtime_ns))
+    return out
+
+
+def test_screen_docs_verdicts_and_read_only(tmp_path):
+    """screen_docs: a batch doc duplicating the corpus is flagged with
+    the corpus partner; within-batch dups resolve keep-first (only the
+    larger doc_id flags, against the smaller); novel docs pass — and
+    the run dir is bit-untouched (read-only contract)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from event_deduplication_ray.functions.hashing import doc_ids_for_urls
+    from event_deduplication_ray.pipelines.incremental import screen_docs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = _mini_docs([
+        ("http://a.example/1", base),
+        ("http://a.example/2", "completely different article about pottery "
+                               "glazes and kiln temperature control methods"),
+        ("http://a.example/3", "a third unrelated piece discussing alpine "
+                               "weather patterns and seasonal snowfall data"),
+    ])
+    batch = _mini_docs([
+        ("http://b.example/dup", base),                      # corpus dup
+        ("http://b.example/new", "entirely novel content on deep sea vents "
+                                 "and chemosynthetic bacterial ecosystems"),
+        ("http://b.example/twin1", "twin text shared by exactly two batch "
+                                   "documents for the keep first check"),
+        ("http://b.example/twin2", "twin text shared by exactly two batch "
+                                   "documents for the keep first check"),
+    ])
+    old_dir, new_dir = str(tmp_path / "old"), str(tmp_path / "new")
+    os.makedirs(old_dir), os.makedirs(new_dir)
+    pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
+                   f"{old_dir}/docs.parquet")
+    pq.write_table(pa.Table.from_pandas(batch, preserve_index=False),
+                   f"{new_dir}/docs.parquet")
+    run_dir = str(tmp_path / "run_screen")
+    dedup_path_resumable(f"{old_dir}/docs.parquet", run_dir, CFG)
+
+    before = _dir_state(run_dir)
+    got = screen_docs(run_dir, f"{new_dir}/docs.parquet", CFG)
+    assert _dir_state(run_dir) == before   # READ-ONLY
+
+    ids = {u: i for u, i in zip(
+        [r[0] for r in [
+            ("http://b.example/dup",), ("http://b.example/new",),
+            ("http://b.example/twin1",), ("http://b.example/twin2",)]],
+        doc_ids_for_urls(pd.Series([
+            "http://b.example/dup", "http://b.example/new",
+            "http://b.example/twin1", "http://b.example/twin2"])))}
+    corpus_id = int(doc_ids_for_urls(pd.Series(["http://a.example/1"]))[0])
+    g = got.set_index("doc_id")
+    assert len(got) == 4 and got["doc_id"].is_unique
+
+    assert bool(g.loc[ids["http://b.example/dup"], "is_dup"])
+    assert int(g.loc[ids["http://b.example/dup"], "dup_of"]) == corpus_id
+
+    assert not bool(g.loc[ids["http://b.example/new"], "is_dup"])
+    assert int(g.loc[ids["http://b.example/new"], "dup_of"]) == -1
+
+    t1, t2 = sorted([ids["http://b.example/twin1"],
+                     ids["http://b.example/twin2"]])
+    assert not bool(g.loc[t1, "is_dup"])   # keep-first: smaller id novel
+    assert bool(g.loc[t2, "is_dup"])
+    assert int(g.loc[t2, "dup_of"]) == t1
