@@ -7865,6 +7865,50 @@ def q160_quality_classifier(sf_dir: str) -> pd.DataFrame:
     })
 
 
+_SCREEN_RUN_CACHE: dict[str, str] = {}
+
+
+def q161_corpus_screen(sf_dir: str) -> pd.DataFrame:
+    """Admission-control screening on the driver tables
+    (`pipelines/incremental.screen_docs`): even-doc_id documents form
+    the checkpointed corpus (one cached resumable run per sf_dir),
+    odd-doc_id documents arrive as the candidate batch — every
+    odd doc gets a read-only verdict (is_dup, dup_of, tier) at
+    O(batch) shuffle cost.  The driver corpus's dup families straddle
+    the parity split, so both dup and novel verdicts are exercised.
+    Rows-only (verdicts ride hash-seeded tiers); the planted
+    semantics + read-only gates live in tests/test_incremental.py."""
+    import os
+    import tempfile
+
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.dedup_pipeline import (
+        dedup_path_resumable,
+    )
+    from event_deduplication_ray.pipelines.incremental import screen_docs
+
+    cfg = DedupConfig(use_substring=True, join_num_partitions=8)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    d = docs.to_pandas()
+    corpus, batch = d[d["doc_id"] % 2 == 0], d[d["doc_id"] % 2 == 1]
+
+    root = _SCREEN_RUN_CACHE.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        root = tempfile.mkdtemp(prefix="edr_screen_")
+        pa_tbl = pa.Table.from_pandas(corpus, preserve_index=False)
+        pq.write_table(pa_tbl, f"{root}/corpus.parquet")
+        dedup_path_resumable(f"{root}/corpus.parquet",
+                             f"{root}/run", cfg)
+        _SCREEN_RUN_CACHE[sf_dir] = root
+    batch_path = f"{root}/batch.parquet"
+    if not os.path.exists(batch_path):
+        pq.write_table(pa.Table.from_pandas(batch, preserve_index=False),
+                       batch_path)
+    out = screen_docs(f"{root}/run", batch_path, cfg)
+    return out[["doc_id", "is_dup", "dup_of", "tier"]]
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -8022,6 +8066,7 @@ RAY_QUERIES = {
     "q158_leakfree_split": q158_leakfree_split,
     "q159_key_skew": q159_key_skew,
     "q160_quality_classifier": q160_quality_classifier,
+    "q161_corpus_screen": q161_corpus_screen,
 }
 
 
