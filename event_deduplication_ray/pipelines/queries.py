@@ -7840,7 +7840,7 @@ def q160_quality_classifier(sf_dir: str) -> pd.DataFrame:
     )
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    fit = logreg_fit(emb, QCFG, positive=0, n_iters=50, lr=8.0, l2=1e-4)
+    fit = logreg_fit(emb, QCFG, positive=0, n_iters=30, lr=12.0, l2=1e-4)
     scored = scored_frame(logreg_score(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), fit["w"]))
     lab = _read(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
