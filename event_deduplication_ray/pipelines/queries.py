@@ -7775,7 +7775,9 @@ def q159_key_skew(sf_dir: str) -> pd.DataFrame:
     driver traffic is O(distinct count values), never O(keys).  The
     p99 index uses DuckDB percentile_disc's exact-decimal ceil(p·n)
     (= (99·n+99)//100 — float ceil is wrong at n=100); the top-1
-    share is exact integer ppm."""
+    share is exact integer ppm.  Contract: an EMPTY events table
+    yields no row for that key (SQL would emit one all-NULL row) —
+    observed-keys-only, like q134's observed-hours contract."""
     rows = []
     for key_col in ("event_type", "user_id"):
         ds = _read(sf_dir, "events", [key_col])

@@ -77,3 +77,18 @@ def test_logreg_one_class_degenerate(ray_session):
     assert fit["accuracy_ppm"] == 1_000_000  # trivially all-negative
     scored = scored_frame(logreg_score(ds, fit["w"]))
     assert not scored["pred"].any()
+
+
+def test_logreg_empty_table(ray_session):
+    """Zero-row embeddings: fit returns the degenerate model instead
+    of crashing in the dim probe, and scoring stays a typed empty."""
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32()),
+    }))
+    fit = logreg_fit(ds, CFG)
+    assert fit["n"] == 0 and fit["accuracy_ppm"] == 0
+    scored = scored_frame(logreg_score(ds, np.zeros(9)))
+    assert len(scored) == 0 and list(scored.columns) == [
+        "vec_id", "score", "pred"]
