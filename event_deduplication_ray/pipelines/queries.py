@@ -7867,6 +7867,61 @@ def q160_quality_classifier(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q162_hard_negatives(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Hard-negative mining for matcher training: candidate pairs
+    that COLLIDED in an LSH band (lexically close enough to bucket
+    together) but whose verified signature Jaccard is <= the no-match
+    threshold — the adversarial non-duplicates a pairwise model must
+    learn to reject (reference E2/E3 plant these by hand in fixtures;
+    this mines them at corpus scale).  Reuses q20's signature→band→
+    pair→verify machinery plus one filter, and the substring tier's
+    opt-in sub-threshold emission (shared real substrings, low
+    containment — where boilerplate-driven negatives actually live;
+    a minhash band collision at Jaccard <= 0.35 needs 8 agreeing
+    hashes and is vanishingly rare).  The hardest k (highest score
+    below each tier's bar) survive a per-batch local top-k before
+    the driver concat, so driver traffic is O(batches·k).  Rows-only
+    (hash-seeded bands decide which negatives surface)."""
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.banding import (
+        minhash_band_table,
+        substring_fp_table,
+    )
+    from event_deduplication_ray.stages.pairs import (
+        minhash_candidate_pairs,
+        substring_match_pairs,
+    )
+    from event_deduplication_ray.stages.signatures import signature_stage
+    from event_deduplication_ray.stages.verify import verify_pairs
+
+    docs = _docs_from_documents(sf_dir)
+    sigs = signature_stage(docs, QCFG).materialize()
+    pairs = minhash_candidate_pairs(minhash_band_table(sigs, QCFG), QCFG)
+    verified = verify_pairs(pairs, sigs, QCFG)
+    sub = substring_match_pairs(substring_fp_table(sigs, QCFG), QCFG,
+                                emit_below=0.1)
+
+    def neg_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["decision"], "no_match"))
+        df = t.select(["id_a", "id_b", "score", "tier"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["score", "id_a", "id_b"],
+                           ascending=[False, True, True]).head(k),
+            preserve_index=False)
+
+    frames = []
+    for src in (verified, sub):
+        f = src.map_batches(neg_topk, batch_format="pyarrow").to_pandas()
+        frames.append(_with_schema(
+            f, {"id_a": "int64", "id_b": "int64", "score": "float64",
+                "tier": "object"}))
+    out = pd.concat(frames, ignore_index=True)
+    return (out.sort_values(["score", "id_a", "id_b"],
+                            ascending=[False, True, True])
+            .head(k).reset_index(drop=True))
+
+
 _SCREEN_RUN_CACHE: dict[str, str] = {}
 
 
@@ -8069,6 +8124,7 @@ RAY_QUERIES = {
     "q159_key_skew": q159_key_skew,
     "q160_quality_classifier": q160_quality_classifier,
     "q161_corpus_screen": q161_corpus_screen,
+    "q162_hard_negatives": q162_hard_negatives,
 }
 
 

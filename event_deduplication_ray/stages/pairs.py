@@ -296,13 +296,18 @@ def simhash_pair_table(t: pa.Table, cap: int, radius: int, bits: int) -> pa.Tabl
 
 
 def substring_match_pairs(
-    fp_table: Dataset, cfg: DedupConfig, pre_fn=None
+    fp_table: Dataset, cfg: DedupConfig, pre_fn=None,
+    emit_below: float | None = None,
 ) -> Dataset:
     """(fp_key, doc_id, n_fps) → containment-verified pairs.
 
     Within each fp group, enumerate pairs; count shared fingerprints
     per pair; keep pairs with shared/min(n_fps_a, n_fps_b) >= the
-    containment threshold.
+    containment threshold.  ``emit_below`` (opt-in, default off —
+    the dedup path never pays for it) ALSO emits pairs scoring in
+    [emit_below, threshold) with decision 'no_match': the mined
+    hard negatives q162 trains a matcher on (docs that share real
+    substrings yet are not duplicates).
 
     Skew: fp groups larger than ``max_block_pairs`` (hot templates)
     use star pairing against a hub — the member with the FEWEST total
@@ -351,12 +356,14 @@ def substring_match_pairs(
         na1, nb1 = na[rstart], nb[rstart]
         score = shared / np.minimum(na1, nb1)
         m = score >= thresh
-        n = int(m.sum())
+        if emit_below is not None:
+            m = score >= emit_below
+        dec = np.where(score >= thresh, "match", "no_match")
         return pa.table({
             "id_a": pa.array(ia[rstart][m]), "id_b": pa.array(ib[rstart][m]),
             "score": pa.array(score[m]),
-            "decision": pa.array(np.full(n, "match"), pa.string()),
-            "tier": pa.array(np.full(n, "substring"), pa.string()),
+            "decision": pa.array(dec[m].astype(object), pa.string()),
+            "tier": pa.array(np.full(int(m.sum()), "substring"), pa.string()),
         })
 
     return partition_apply(shared_rows, ["id_a", "id_b"], P, agg,

@@ -127,7 +127,7 @@ ROWS_ONLY = [
     "q147_bpe_subword_counts", "q149_dbscan_clusters",
     "q150_ivfpq_topk", "q155_corpus_drift",
     "q156_source_similarity_sketch", "q160_quality_classifier",
-    "q161_corpus_screen",
+    "q161_corpus_screen", "q162_hard_negatives",
 ]
 
 

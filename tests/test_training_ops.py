@@ -3397,3 +3397,34 @@ def test_key_skew_planted(ray_session, tmp_path):
     t = got.loc["event_type"]
     assert (t["n_keys"], t["total_rows"], t["max_count"]) == (2, 8, 6)
     assert t["p99_count"] == 6 and t["top1_share_ppm"] == 750000
+
+
+def test_hard_negatives_planted(ray_session, tmp_path):
+    """Mined hard negatives: two docs sharing a real 40-token
+    boilerplate block inside otherwise-disjoint bodies collide in the
+    substring tier with low containment → mined with decision-below-
+    threshold semantics; exact duplicates (a true match) must NOT
+    appear as negatives."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q162_hard_negatives
+
+    shared = " ".join(f"boiler{i}" for i in range(40))
+    ta = shared + " " + " ".join(f"alpha{i} body" for i in range(120))
+    tb = shared + " " + " ".join(f"beta{i} text" for i in range(120))
+    dup = "identical twin document body " * 10
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "lang": ["en"] * 5,
+        "text": [ta, tb,
+                 "totally unrelated filler about glacier moraines and "
+                 "sediment transport in braided river systems",
+                 dup, dup],
+    }))
+    got = q162_hard_negatives(sf)
+    mined = set(zip(got["id_a"], got["id_b"]))
+    assert (1, 2) in mined
+    row = got.set_index(["id_a", "id_b"]).loc[(1, 2)]
+    assert row["tier"] == "substring"
+    assert 0.1 <= row["score"] < 0.8
+    assert (4, 5) not in mined          # true dups are not negatives
