@@ -207,10 +207,19 @@ class RunState:
         return rd.read_parquet(self.stage_dir(stage))
 
     def stage(self, name: str, compute) -> Dataset:
-        """Return the checkpointed stage, computing it if missing."""
+        """Return the checkpointed stage, computing it if missing.
+
+        ``EDR_CRASH_AFTER_STAGE=<name>`` injects a process-fatal crash
+        immediately AFTER the named stage's atomic checkpoint lands —
+        the deterministic stand-in for a node loss mid-run that the
+        crash-recovery e2e uses to prove a rerun resumes from the
+        checkpoint instead of recomputing (or corrupting) anything."""
         if self.is_done(name):
             return self.read_stage(name)
-        return self.write_stage(name, compute())
+        out = self.write_stage(name, compute())
+        if os.environ.get("EDR_CRASH_AFTER_STAGE") == name:
+            raise RuntimeError(f"injected crash after stage '{name}'")
+        return out
 
     def record_metric(self, key: str, value) -> None:
         self.manifest["metrics"][key] = value

@@ -101,3 +101,29 @@ def test_run_config_persisted_and_patchable(corpus_dir, run_dir):
     with open(os.path.join(run_dir, "manifest.json")) as f:
         m = json.load(f)
     assert m["lineage"]["config_fingerprint"] == config_fingerprint(patched)
+
+
+@pytest.mark.parametrize("crash_stage", ["signatures", "edges"])
+def test_crash_after_stage_then_resume(corpus_dir, tmp_path, crash_stage,
+                                       monkeypatch):
+    """Deterministic node-loss drill: EDR_CRASH_AFTER_STAGE kills the
+    run right after the named checkpoint lands; the crashed dir holds
+    exactly the stages up to it (atomic — never a torn stage); a plain
+    rerun resumes and the final assignments equal a crash-free run."""
+    crashed = str(tmp_path / f"run_crash_{crash_stage}")
+    clean = str(tmp_path / "run_clean")
+
+    monkeypatch.setenv("EDR_CRASH_AFTER_STAGE", crash_stage)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dedup_path_resumable(f"{corpus_dir}/docs", crashed, CFG)
+    assert os.path.isdir(os.path.join(crashed, crash_stage))
+    assert not os.path.isdir(os.path.join(crashed, "canonical"))
+    # no torn stage: every present stage dir is marker-free and final
+    assert not [d for d in os.listdir(crashed)
+                if ".tmp-" in d or ".trash-" in d]
+
+    monkeypatch.delenv("EDR_CRASH_AFTER_STAGE")
+    resumed = dedup_path_resumable(f"{corpus_dir}/docs", crashed, CFG)
+    fresh = dedup_path_resumable(f"{corpus_dir}/docs", clean, CFG)
+    a, b = _asn(resumed), _asn(fresh)
+    assert a.equals(b)
