@@ -7922,6 +7922,97 @@ def q162_hard_negatives(sf_dir: str, k: int = 100) -> pd.DataFrame:
             .head(k).reset_index(drop=True))
 
 
+def q163_fragile_clusters(sf_dir: str, max_cluster: int = 128) -> pd.DataFrame:
+    """Fragile-cluster audit: articulation docs — members whose
+    removal DISCONNECTS their dup cluster (the doc a GDPR delete or
+    review split turns into a cluster split: `incremental_remove`
+    implements that split, this op predicts where it can happen).
+    Shape: q28's exact edges are tagged with their cluster id (the
+    multi-member slice of the assignment table — bounded by dup docs,
+    the q124 argument — broadcasts once) and hash-partition ONCE by
+    cluster_id; each partition runs the exact per-cluster articulation
+    test (remove x, BFS the rest — O(v·(v+e)), v bounded by
+    ``max_cluster``; larger boilerplate clusters are REPORTED with
+    checked=False, never silently skipped).  Rows-only (per-vertex
+    reachability-after-removal has no tractable SQL form); planted
+    path/triangle/star gates carry the semantics."""
+    import ray
+
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.pairs import ngram_jaccard_match_pairs
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    asn = q28_ngram_jaccard_clusters(sf_dir)
+    if not isinstance(asn, pd.DataFrame):
+        asn = asn.to_pandas()
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    docs = _docs_from_documents(sf_dir)
+    pairs = ngram_jaccard_match_pairs(
+        substring_fp_table(signature_stage(docs, cfg), cfg),
+        cfg, threshold=cfg.jaccard_match)
+
+    sz = asn.groupby("cluster_id")["doc_id"].transform("size")
+    mem = asn[sz >= 2]
+    empty = pd.DataFrame({
+        "cluster_id": pd.Series(dtype="int64"),
+        "doc_id": pd.Series(dtype="int64"),
+        "n_members": pd.Series(dtype="int64"),
+        "checked": pd.Series(dtype="bool")})
+    if not len(mem):
+        return empty
+    mids = mem["doc_id"].to_numpy(np.int64)
+    mcl = mem["cluster_id"].to_numpy(np.int64)
+    order = np.argsort(mids)
+    ref = ray.put((mids[order], mcl[order]))
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids_s, cl_s = ray.get(ref)
+        a = t["id_a"].to_numpy()
+        return pa.table({
+            "cluster_id": pa.array(cl_s[np.searchsorted(ids_s, a)]),
+            "id_a": t["id_a"], "id_b": t["id_b"]})
+
+    def artic(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, g in df.groupby("cluster_id"):
+            va = g["id_a"].to_numpy(np.int64)
+            vb = g["id_b"].to_numpy(np.int64)
+            verts = np.unique(np.concatenate([va, vb]))
+            v = len(verts)
+            if v > max_cluster:
+                rows.append((int(cid), -1, v, False))
+                continue
+            pos = {int(x): i for i, x in enumerate(verts)}
+            adj: list[set] = [set() for _ in range(v)]
+            for x, y in zip(va, vb):
+                adj[pos[int(x)]].add(pos[int(y)])
+                adj[pos[int(y)]].add(pos[int(x)])
+            for rm in range(v):
+                start = 0 if rm != 0 else 1
+                seen = {start}
+                stack = [start]
+                while stack:
+                    cur = stack.pop()
+                    for nxt in adj[cur]:
+                        if nxt != rm and nxt not in seen:
+                            seen.add(nxt)
+                            stack.append(nxt)
+                if len(seen) < v - 1:
+                    rows.append((int(cid), int(verts[rm]), v, True))
+        return pd.DataFrame(
+            rows, columns=["cluster_id", "doc_id", "n_members", "checked"])
+
+    out = _with_schema(
+        partition_apply(pairs.map_batches(tag, batch_format="pyarrow"),
+                        ["cluster_id"], QCFG.join_num_partitions,
+                        artic).to_pandas(),
+        {"cluster_id": "int64", "doc_id": "int64", "n_members": "int64",
+         "checked": "bool"})
+    return (out.astype({"cluster_id": "int64", "doc_id": "int64",
+                        "n_members": "int64", "checked": "bool"})
+            .sort_values(["cluster_id", "doc_id"]).reset_index(drop=True))
+
+
 _SCREEN_RUN_CACHE: dict[str, str] = {}
 
 
@@ -8125,6 +8216,7 @@ RAY_QUERIES = {
     "q160_quality_classifier": q160_quality_classifier,
     "q161_corpus_screen": q161_corpus_screen,
     "q162_hard_negatives": q162_hard_negatives,
+    "q163_fragile_clusters": q163_fragile_clusters,
 }
 
 

@@ -3428,3 +3428,42 @@ def test_hard_negatives_planted(ray_session, tmp_path):
     assert row["tier"] == "substring"
     assert 0.1 <= row["score"] < 0.8
     assert (4, 5) not in mined          # true dups are not negatives
+
+
+def test_fragile_clusters_planted(ray_session, tmp_path):
+    """Exact shingle arithmetic plants a star and a triangle: hub H
+    (60 tokens, 56 shingles) vs leaves differing in ONE token at
+    spaced positions → J(H, leaf) = 51/61 ≈ 0.836 (edge) while leaf
+    pairs share 46/66 ≈ 0.697 (< 0.75, no edge) — removing H splits
+    the cluster, so H alone is the articulation doc; three exact
+    copies form a triangle with NO articulation."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q163_fragile_clusters
+
+    toks = [f"tok{i:02d}" for i in range(60)]
+    hub = " ".join(toks)
+
+    def leaf(pos):
+        t = list(toks)
+        t[pos] = f"changed{pos}"
+        return " ".join(t)
+
+    tri = "three identical triangle documents sharing every shingle " * 3
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 10, 11, 12, 20],
+        "lang": ["en"] * 8,
+        "text": [hub, leaf(10), leaf(30), leaf(50),
+                 tri, tri, tri,
+                 "a lone unrelated document about tidal estuaries"],
+    }))
+    got = q163_fragile_clusters(sf)
+    # the star cluster (id 1) reports exactly the hub; all checked
+    assert got["checked"].all()
+    star = got[got["cluster_id"] == 1]
+    assert star["doc_id"].tolist() == [1]
+    assert star["n_members"].tolist() == [4]
+    # the triangle cluster (id 10) has no articulation rows
+    assert (got["cluster_id"] != 10).all()
+    # singletons never appear
+    assert (got["cluster_id"] != 20).all()
