@@ -87,6 +87,9 @@ class DedupConfig:
     # --- data-driven normalizers (reference M4-M6 analogs) ---
     synonyms: tuple[tuple[str, str], ...] = ()  # (variant, canonical), longest-first
     strip_prefixes: tuple[str, ...] = ()        # leading site-chrome labels
+    canonicalize_urls: bool = False  # fold tracking-variant urls to one doc
+    # (functions/text.canonical_url; extract then keeps the earliest
+    # (warc_ts, url) copy per collapsed doc_id — one id shuffle)
 
     # --- representative selection strategy (reference C3 analog) ---
     representative_strategy: str = "longest_text"  # longest_text|earliest_ts|min_url

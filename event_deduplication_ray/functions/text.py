@@ -60,6 +60,39 @@ def host_from_url(urls: pd.Series) -> pd.Series:
     return urls.str.extract(r"^[a-z]+://([^/]+)", expand=False).fillna("")
 
 
+def canonical_url(urls: pd.Series) -> pd.Series:
+    """Crawl-grade URL canonicalization: lowercase scheme and host,
+    strip one leading 'www.', drop default ports (:80 http / :443
+    https), drop the #fragment, remove tracking query params
+    (utm_*, gclid, fbclid), tidy leftover '?'/'&', strip trailing
+    slashes.  Tracking-variant URLs of one page collapse to ONE key,
+    so url-keyed doc ids dedup them for free (the
+    ``canonicalize_urls`` config knob).  Pure vectorized pandas
+    regex kernels; non-URL strings pass through unchanged.  Query
+    params are NOT re-sorted (a?b=1&c=2 and a?c=2&b=1 stay distinct
+    — reordering would need per-row parsing for a rare variant)."""
+    s = urls.fillna("").astype(str)
+    parts = s.str.extract(
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)"
+        r"(?P<rest>.*)$")
+    ok = parts["scheme"].notna()
+    scheme = parts["scheme"].str.lower()
+    host = parts["host"].str.lower().str.replace(r"^www\.", "", regex=True)
+    host = host.mask(scheme.eq("http"),
+                     host.str.replace(r":80$", "", regex=True))
+    host = host.mask(scheme.eq("https"),
+                     host.str.replace(r":443$", "", regex=True))
+    rest = parts["rest"].fillna("")
+    rest = rest.str.replace(r"#.*$", "", regex=True)
+    rest = rest.str.replace(
+        r"(?<=[?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&#]*&?", "",
+        regex=True)
+    rest = rest.str.replace(r"\?&", "?", regex=True)
+    rest = rest.str.replace(r"[?&]+$", "", regex=True)
+    rest = rest.str.replace(r"/+$", "", regex=True)
+    return s.mask(ok, scheme + "://" + host + rest)
+
+
 def normalize_text(s: pd.Series) -> pd.Series:
     """Canonical text form used for shingling.
 

@@ -56,6 +56,15 @@ def extract_batch(batch: pa.Table, cfg: DedupConfig | None = None) -> pa.Table:
         batch = batch.append_column("url", pa.array(urls, pa.string()))
     else:
         urls = batch["url"].to_pandas()
+        if cfg is not None and cfg.canonicalize_urls:
+            # tracking-variant urls collapse to ONE key, hence one
+            # doc_id; extract_stage keeps the earliest copy per id
+            from event_deduplication_ray.functions.text import canonical_url
+
+            urls = canonical_url(urls)
+            batch = batch.set_column(
+                batch.column_names.index("url"), "url",
+                pa.array(urls, pa.string()))
     # JSON-lines inputs may carry an all-null html column (pa.null
     # type), omit optional columns entirely, and/or ship
     # pre-extracted text (the reference's JSON record shape) —
@@ -205,6 +214,20 @@ def extract_stage(
             )
 
         out = out.map_batches(ok_gate, batch_format="pyarrow")
+
+        if cfg.canonicalize_urls:
+            # canonicalization makes doc_id non-unique (url variants of
+            # one page collide by design): ONE id shuffle keeps the
+            # deterministic earliest (warc_ts, url) copy per id
+            from event_deduplication_ray.stages.shuffle import partition_apply
+
+            def keep_first(df):
+                df = df.sort_values(["doc_id", "warc_ts", "url"],
+                                    na_position="last")
+                return df.drop_duplicates("doc_id", keep="first")
+
+            out = partition_apply(out, ["doc_id"],
+                                  cfg.join_num_partitions, keep_first)
     if cfg.langs:
         langs = set(cfg.langs)
 

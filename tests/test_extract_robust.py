@@ -118,3 +118,50 @@ def test_fuzz_extract_batch_never_throws(rows):
     for i, row in enumerate(rows):
         if len(row) > 0 and text_len[i] == 0:
             assert reasons[i] is not None
+
+
+def test_canonicalize_urls_dedups_tracking_variants(ray_session, tmp_path):
+    """canonicalize_urls=True: three tracking/port/slash variants of
+    one page collapse to ONE extracted doc (earliest warc_ts copy
+    kept, deterministic), distinct pages survive; default config
+    leaves all four rows distinct."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from event_deduplication_ray import fixtures as FX
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.functions.hashing import doc_ids_for_urls
+    from event_deduplication_ray.stages.extract import extract_stage
+
+    page = "one page of body text repeated across tracking variants"
+    other = "an unrelated second page about something else entirely"
+    df = pd.DataFrame({
+        "url": ["http://www.site.example:80/a?utm_source=mail#top",
+                "http://site.example/a/",
+                "http://site.example/a",
+                "http://site.example/b"],
+        "warc_ts": ["2024-01-03T00:00:00Z", "2024-01-02T00:00:00Z",
+                    "2024-01-01T00:00:00Z", "2024-01-01T00:00:00Z"],
+        "html": [FX.wrap_html(page, "t", "site.example")] * 3
+        + [FX.wrap_html(other, "t", "site.example")],
+        "text": [page] * 3 + [other],
+        "lang": ["en"] * 4,
+    })
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+
+    cfg = DedupConfig(canonicalize_urls=True, join_num_partitions=4)
+    got = extract_stage(rd.read_parquet(p), cfg).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert len(got) == 2
+    canon = "http://site.example/a"
+    row = got[got["url"] == canon].iloc[0]
+    assert row["doc_id"] == doc_ids_for_urls(pd.Series([canon]))[0]
+    assert str(row["warc_ts"]).startswith("2024-01-01")  # earliest kept
+
+    plain = extract_stage(rd.read_parquet(p),
+                          DedupConfig(join_num_partitions=4)).to_pandas()
+    assert len(plain) == 4                       # default: no collapse

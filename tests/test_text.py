@@ -101,3 +101,31 @@ def test_arrow_token_hashes_match_structure():
     assert list(lens) == [3, 0, 3, 1]
     assert np.array_equal(h[:3], h[3:6])     # same text → same hashes
     assert h[0] != h[1]
+
+
+def test_canonical_url_cases():
+    import pandas as pd
+
+    from event_deduplication_ray.functions.text import canonical_url
+
+    got = canonical_url(pd.Series([
+        "http://www.Ex.COM:80/a/?utm_source=x&utm_medium=y#frag",
+        "http://ex.com/a",
+        "https://ex.com:443/b?real=1&utm_campaign=z",
+        "https://ex.com/b?real=1",
+        "http://ex.com/c?utm_a=1&keep=2",
+        "http://ex.com/d?keep=2&gclid=abc",
+        "http://ex.com:8080/e/",          # non-default port kept
+        "https://ex.com:80/f",            # :80 is NOT https default
+        "not a url at all",
+        None,
+    ])).tolist()
+    assert got[0] == "http://ex.com/a"
+    assert got[1] == "http://ex.com/a"            # variants collapse
+    assert got[2] == got[3] == "https://ex.com/b?real=1"
+    assert got[4] == "http://ex.com/c?keep=2"
+    assert got[5] == "http://ex.com/d?keep=2"
+    assert got[6] == "http://ex.com:8080/e"
+    assert got[7] == "https://ex.com:80/f"
+    assert got[8] == "not a url at all"
+    assert got[9] == ""
