@@ -36,7 +36,8 @@ def cmd_run(args: argparse.Namespace) -> int:
     from event_deduplication_ray.config import DedupConfig
     from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path_resumable
 
-    cfg = DedupConfig(use_substring=args.substring, use_simhash=args.simhash)
+    cfg = DedupConfig(use_substring=args.substring, use_simhash=args.simhash,
+                      canonicalize_urls=args.canonicalize_urls)
     res = dedup_path_resumable(args.input, args.run_dir, cfg)
     print(json.dumps(res.metrics))
     return 0
@@ -459,6 +460,9 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--run-dir", required=True)
     pr.add_argument("--substring", action="store_true")
     pr.add_argument("--simhash", action="store_true")
+    pr.add_argument("--canonicalize-urls", action="store_true",
+                    help="fold tracking-variant urls to one doc at "
+                         "extract (persisted in the run config)")
     pr.set_defaults(fn=cmd_run)
 
     pe = sub.add_parser("export")
