@@ -221,6 +221,25 @@ def cmd_screen(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Pair-level match explanation (review surface): per-tier
+    evidence for WHY two docs did or didn't match, from the run's
+    checkpoints."""
+    _ray_init(args.num_cpus)
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.review import explain_pair
+    from event_deduplication_ray.state.runstate import load_run_config
+
+    cfg = load_run_config(args.run_dir) or DedupConfig()
+    try:
+        a, b = (int(x) for x in args.ids.split(","))
+    except ValueError:
+        print(json.dumps({"error": "--ids wants 'id_a,id_b'"}))
+        return 2
+    print(json.dumps(explain_pair(args.run_dir, a, b, cfg)))
+    return 0
+
+
 def cmd_remove(args: argparse.Namespace) -> int:
     """Deletion propagation (watcher REMOVE / GDPR-delete): drop docs
     and their edges from a checkpointed run, re-run CC so a removed
@@ -518,6 +537,12 @@ def main(argv: list[str] | None = None) -> int:
     psc.add_argument("--output", default=None,
                      help="optional Parquet path for the per-doc verdicts")
     psc.set_defaults(fn=cmd_screen)
+
+    pex = sub.add_parser("explain")
+    pex.add_argument("--run-dir", required=True)
+    pex.add_argument("--ids", required=True,
+                     help="comma-separated pair: id_a,id_b")
+    pex.set_defaults(fn=cmd_explain)
 
     prm = sub.add_parser("remove")
     prm.add_argument("--run-dir", required=True)

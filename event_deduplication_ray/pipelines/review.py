@@ -196,3 +196,96 @@ def resynthesize_after_edits(
     untouched groups produce identical rows (pure function of the
     group)."""
     return synthesize_clusters(docs_meta, apply_edits(assignments, edits, cfg), cfg)
+
+
+def explain_pair(run_dir: str, id_a: int, id_b: int,
+                 cfg: DedupConfig | None = None) -> dict:
+    """Pair-level match EXPLANATION for the review surface: why did
+    (or didn't) two docs match — per-tier evidence recomputed from
+    the run's checkpoints (reference Q4's detail join, re-keyed to
+    pair granularity).  Reads the two docs' rows via broadcast
+    semi-joins (two linear scans, no shuffle) and reports: exact
+    shingle Jaccard from text_norm, the signature-estimated Jaccard
+    (the verify tier's score), shared LSH bands, simhash Hamming
+    distance, shared substring fingerprints + containment, the
+    decision each score implies, and whether an edge was actually
+    persisted.  Driver cost is O(2 docs)."""
+    import ray.data as rd
+
+    from event_deduplication_ray.functions import hashing as H
+    from event_deduplication_ray.pipelines.incremental import (
+        semi_join_broadcast,
+    )
+    from event_deduplication_ray.stages.verify import decide
+
+    cfg = cfg or DedupConfig()
+    lo, hi = int(min(id_a, id_b)), int(max(id_a, id_b))
+    ids = np.array([lo, hi], dtype=np.int64)
+
+    meta = semi_join_broadcast(
+        rd.read_parquet(f"{run_dir}/extracted"), "doc_id", ids
+    ).to_pandas().set_index("doc_id")
+    if lo not in meta.index or hi not in meta.index:
+        missing = [i for i in (lo, hi) if i not in meta.index]
+        return {"id_a": lo, "id_b": hi, "error": "unknown doc_id",
+                "missing": missing}
+    sigs = semi_join_broadcast(
+        rd.read_parquet(f"{run_dir}/signatures"), "doc_id", ids
+    ).to_pandas().set_index("doc_id")
+
+    out: dict = {"id_a": lo, "id_b": hi,
+                 "url_a": str(meta.loc[lo, "url"]),
+                 "url_b": str(meta.loc[hi, "url"])}
+
+    # exact shingle Jaccard from the checkpointed normalized text
+    sh = []
+    for i in (lo, hi):
+        flat, lens = H.tokenize_offsets(
+            pd.Series([meta.loc[i, "text_norm"]]))
+        s, _ = H.shingle_hashes(H.hash_strings_u64(flat), lens,
+                                cfg.shingle_k, cfg.seed)
+        sh.append(set(np.asarray(s).tolist()))
+    inter = len(sh[0] & sh[1])
+    union = len(sh[0] | sh[1])
+    out["exact_jaccard"] = round(inter / union, 6) if union else 0.0
+    out["shared_shingles"] = inter
+
+    # minhash tier: folded-signature estimate + shared bands
+    s_a = np.asarray(sigs.loc[lo, "sig8"], dtype=np.uint8)
+    s_b = np.asarray(sigs.loc[hi, "sig8"], dtype=np.uint8)
+    est = float((s_a == s_b).mean()) if len(s_a) and len(s_a) == len(s_b) \
+        else 0.0
+    out["sig_jaccard_est"] = round(est, 6)
+    ba = set(np.asarray(sigs.loc[lo, "band_keys"]).tolist())
+    bb = set(np.asarray(sigs.loc[hi, "band_keys"]).tolist())
+    out["shared_bands"] = len(ba & bb)
+    out["minhash_decision"] = str(
+        decide(np.array([est]), cfg)[0]) if out["shared_bands"] else "no_candidate"
+
+    # simhash tier
+    ha = np.array([sigs.loc[lo, "simhash"]]).astype(np.int64).view(np.uint64)
+    hb = np.array([sigs.loc[hi, "simhash"]]).astype(np.int64).view(np.uint64)
+    out["simhash_hamming"] = int(H.hamming_distance_u64(ha, hb)[0])
+
+    # substring tier
+    fa = set(np.asarray(sigs.loc[lo, "substr_fps"]).tolist())
+    fb = set(np.asarray(sigs.loc[hi, "substr_fps"]).tolist())
+    shared_fps = len(fa & fb)
+    out["shared_substr_fps"] = shared_fps
+    mn = min(len(fa), len(fb))
+    out["containment"] = round(shared_fps / mn, 6) if mn else 0.0
+
+    # what the run actually persisted
+    edges = semi_join_broadcast(
+        rd.read_parquet(f"{run_dir}/edges"), "id_a", ids
+    ).to_pandas()
+    hit = edges[(edges["id_a"] == lo) & (edges["id_b"] == hi)]
+    out["edge"] = (
+        {"score": round(float(hit["score"].iloc[0]), 6),
+         "tier": str(hit["tier"].iloc[0])} if len(hit) else None)
+    asn = semi_join_broadcast(
+        rd.read_parquet(f"{run_dir}/assignments"), "doc_id", ids
+    ).to_pandas().set_index("doc_id")
+    out["same_cluster"] = bool(
+        asn.loc[lo, "cluster_id"] == asn.loc[hi, "cluster_id"])
+    return out

@@ -335,3 +335,66 @@ def test_export_bundle_large_is_zip_of_chunks(result, tmp_path):
             for line in io.TextIOWrapper(zf.open(m)):
                 seen.append(json.loads(line))
     assert len(seen) == n
+
+
+def test_explain_pair(tmp_path):
+    """Pair EXPLAIN: a planted exact-dup pair reports exact_jaccard
+    1.0, all 16 bands shared, a persisted edge and same_cluster; an
+    unrelated pair reports no edge and different clusters; unknown
+    ids come back as a typed error."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from event_deduplication_ray import fixtures as FX
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.functions.hashing import doc_ids_for_urls
+    from event_deduplication_ray.pipelines.dedup_pipeline import (
+        dedup_path_resumable,
+    )
+    from event_deduplication_ray.pipelines.review import explain_pair
+
+    dup = ("an identical pair of documents used to pin the explain "
+           "readout across every tier of the engine")
+    urls = ["http://e.example/1", "http://e.example/2",
+            "http://e.example/3"]
+    rows = pd.DataFrame({
+        "url": urls,
+        "warc_ts": ["2024-01-01T00:00:00Z"] * 3,
+        "html": [FX.wrap_html(dup, "a", "e.example"),
+                 FX.wrap_html(dup, "b", "e.example"),
+                 FX.wrap_html("completely unrelated text about orbital "
+                              "mechanics and transfer windows", "c",
+                              "e.example")],
+        "text": [dup, dup, "x"],
+        "lang": ["en"] * 3,
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                   f"{d}/docs.parquet")
+    run_dir = str(tmp_path / "run")
+    cfg = DedupConfig(use_substring=True, join_num_partitions=4)
+    dedup_path_resumable(f"{d}/docs.parquet", run_dir, cfg)
+
+    i1, i2, i3 = (int(x) for x in doc_ids_for_urls(pd.Series(urls)))
+    got = explain_pair(run_dir, i1, i2, cfg)
+    assert got["exact_jaccard"] == 1.0
+    assert got["sig_jaccard_est"] == 1.0
+    assert got["shared_bands"] == 16
+    assert got["minhash_decision"] == "match"
+    assert got["simhash_hamming"] == 0
+    assert got["containment"] == 1.0
+    assert got["edge"] is not None and got["edge"]["score"] == 1.0
+    assert got["same_cluster"] is True
+
+    far = explain_pair(run_dir, i1, i3, cfg)
+    assert far["exact_jaccard"] < 0.1
+    assert far["shared_bands"] == 0
+    assert far["minhash_decision"] == "no_candidate"
+    assert far["edge"] is None and far["same_cluster"] is False
+
+    bad = explain_pair(run_dir, i1, 12345, cfg)
+    assert bad["error"] == "unknown doc_id" and bad["missing"] == [12345]
