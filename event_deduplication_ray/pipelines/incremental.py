@@ -211,6 +211,20 @@ def incremental_add(
     )
     new_ids_arr = np.array(sorted(new_ids), dtype=np.int64)
 
+    # a batch id already in the corpus is a RE-CRAWL of the same url
+    # (ids are url hashes): silently unioning it would duplicate the
+    # doc's signature/meta rows through every downstream join.  The
+    # correct verb is incremental_update (remove + re-add, content
+    # refresh included) — fail loudly instead of corrupting.
+    n_overlap = semi_join_broadcast(
+        old_sigs.select_columns(["doc_id"]), "doc_id", new_ids_arr
+    ).count()
+    if n_overlap:
+        raise ValueError(
+            f"incremental_add: {n_overlap} doc id(s) in the new batch "
+            "already exist in the run dir (same url re-crawled). Use "
+            "incremental_update to refresh existing docs.")
+
     sig_cols = ["doc_id", "n_chars", "n_tokens", "n_shingles", "band_keys",
                 "sig8", "simhash", "substr_fps"]
     if cfg.lang_match_overrides:

@@ -258,3 +258,14 @@ def test_screen_docs_verdicts_and_read_only(tmp_path):
     assert not bool(g.loc[t1, "is_dup"])   # keep-first: smaller id novel
     assert bool(g.loc[t2, "is_dup"])
     assert int(g.loc[t2, "dup_of"]) == t1
+
+
+def test_add_rejects_existing_doc_ids(split_corpus, tmp_path):
+    """Re-adding docs already in the corpus (same url → same id) must
+    fail loudly and point at incremental_update — a silent union would
+    duplicate every downstream row for those ids."""
+    old_dir, _new_dir, _ = split_corpus
+    run_dir = str(tmp_path / "run_overlap")
+    dedup_path_resumable(f"{old_dir}/docs.parquet", run_dir, CFG)
+    with pytest.raises(ValueError, match="incremental_update"):
+        incremental_add(run_dir, f"{old_dir}/docs.parquet", CFG)
