@@ -77,7 +77,10 @@ def canonical_url(urls: pd.Series) -> pd.Series:
         r"(?P<rest>.*)$")
     ok = parts["scheme"].notna()
     scheme = parts["scheme"].str.lower()
-    host = parts["host"].str.lower().str.replace(r"^www\.", "", regex=True)
+    # (www\.)+ not www\.: stripping one layer per call would break
+    # idempotence on www.www.* hosts (property-tested)
+    host = parts["host"].str.lower().str.replace(r"^(?:www\.)+", "",
+                                                 regex=True)
     host = host.mask(scheme.eq("http"),
                      host.str.replace(r":80$", "", regex=True))
     host = host.mask(scheme.eq("https"),

@@ -202,3 +202,35 @@ def test_winnow_shared_chunk_guarantee(seed, w):
         hh = h[d == did]
         fps[did] = set(hh[_winnow_select(hh, w)].tolist())
     assert fps[1] & fps[2]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=120))
+def test_canonical_url_total_and_idempotent(s):
+    """canonical_url never throws on arbitrary strings and is
+    IDEMPOTENT — a second canonicalization is a no-op (the contract
+    that lets stored canonical urls be re-fed through extraction;
+    the (www\\.)+ strip exists because one-layer stripping broke
+    this on www.www.* hosts)."""
+    import pandas as pd
+
+    from event_deduplication_ray.functions.text import canonical_url
+
+    once = canonical_url(pd.Series([s]))
+    twice = canonical_url(once)
+    assert once.iloc[0] == twice.iloc[0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.from_regex(r"https?://(www\.)*[A-Za-z0-9.\-]{1,20}"
+                     r"(:[0-9]{1,4})?(/[A-Za-z0-9._\-/]{0,25})?"
+                     r"(\?[A-Za-z0-9_=&\-]{0,25})?(#[A-Za-z0-9]{0,8})?",
+                     fullmatch=True))
+def test_canonical_url_idempotent_on_urls(u):
+    import pandas as pd
+
+    from event_deduplication_ray.functions.text import canonical_url
+
+    once = canonical_url(pd.Series([u]))
+    twice = canonical_url(once)
+    assert once.iloc[0] == twice.iloc[0]
