@@ -8013,6 +8013,69 @@ def q163_fragile_clusters(sf_dir: str, max_cluster: int = 128) -> pd.DataFrame:
             .sort_values(["cluster_id", "doc_id"]).reset_index(drop=True))
 
 
+def q164_ann_recall(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
+    """ANN serving-quality audit (the FAISS-bench shape): recall@k of
+    every persisted index family — SRP (Hamming-1 partitions), IVF
+    (probe-4) and IVF-PQ (probe-4, 8-byte ADC codes) — against the
+    exact brute-force answer over the first ``n_queries`` vectors, as
+    ONE exact-integer-ppm number per family per round.  Probe-limited
+    modes are the at-scale serving points, so recall < 1.0 is the
+    designed trade, not a bug; per-family planted recall gates live
+    in tests/test_similarity*.py.  Indexes reuse the battery's cached
+    builds; rows-only (recall depends on hash/k-means layout)."""
+    from event_deduplication_ray.stages.similarity import (
+        _emb_matrix,
+        brute_force_topk_many,
+        ivf_topk,
+        ivfpq_topk,
+        srp_index_topk,
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def head_rows(t: pa.Table) -> pa.Table:
+        m = t["vec_id"].to_numpy() < n_queries
+        return t.filter(pa.array(m))
+
+    qdf = emb.map_batches(head_rows, batch_format="pyarrow").to_pandas()
+    if "vec_id" not in qdf.columns or not len(qdf):
+        return pd.DataFrame({"family": pd.Series(dtype="object"),
+                             "recall_ppm": pd.Series(dtype="int64")})
+    qdf = qdf.sort_values("vec_id").reset_index(drop=True)
+    Q = _emb_matrix(qdf["embedding"])
+    nq = len(qdf)
+
+    exact = brute_force_topk_many(emb, Q, k=k)
+    truth = {int(i): set(g["vec_id"].astype(int))
+             for i, g in exact.groupby("query_idx")}
+
+    # ensure the cached index dirs exist (side effect of the battery
+    # entries; cheap single-query serves)
+    q25_lsh_topk(sf_dir)
+    q32_ivf_topk(sf_dir)
+    q150_ivfpq_topk(sf_dir)
+    srp_dir = _SRP_INDEX_CACHE[sf_dir]
+    ivf_dir = _IVF_INDEX_CACHE[sf_dir]
+    pq_dir = _IVFPQ_INDEX_CACHE[sf_dir]
+
+    serves = {
+        "srp_hamming1": lambda v: srp_index_topk(srp_dir, v, k=k),
+        "ivf_probe4": lambda v: ivf_topk(ivf_dir, v, k=k, n_probes=4),
+        "ivfpq_probe4": lambda v: ivfpq_topk(pq_dir, v, k=k, n_probes=4),
+    }
+    rows = [("brute_force", 1_000_000)]
+    denom = sum(len(truth.get(i, ())) for i in range(nq))
+    for fam, serve in serves.items():
+        hits = 0
+        for i in range(nq):
+            got = set(serve(Q[i])["vec_id"].astype(int))
+            hits += len(got & truth.get(i, set()))
+        rows.append((fam, 1_000_000 * hits // max(denom, 1)))
+    return pd.DataFrame(rows, columns=["family", "recall_ppm"]) \
+        .astype({"recall_ppm": "int64"}) \
+        .sort_values("family").reset_index(drop=True)
+
+
 _SCREEN_RUN_CACHE: dict[str, str] = {}
 
 
@@ -8217,6 +8280,7 @@ RAY_QUERIES = {
     "q161_corpus_screen": q161_corpus_screen,
     "q162_hard_negatives": q162_hard_negatives,
     "q163_fragile_clusters": q163_fragile_clusters,
+    "q164_ann_recall": q164_ann_recall,
 }
 
 

@@ -128,7 +128,7 @@ ROWS_ONLY = [
     "q150_ivfpq_topk", "q155_corpus_drift",
     "q156_source_similarity_sketch", "q160_quality_classifier",
     "q161_corpus_screen", "q162_hard_negatives",
-    "q163_fragile_clusters",
+    "q163_fragile_clusters", "q164_ann_recall",
 ]
 
 
