@@ -8120,6 +8120,125 @@ def q161_corpus_screen(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "is_dup", "dup_of", "tier"]]
 
 
+def _lev1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance-1 test for two DISTINCT strings
+    (callers never pass equal keys): O(len) two-pointer check instead
+    of the full DP — equal lengths need exactly one substitution,
+    lengths off by one need the shorter to equal the longer minus one
+    character."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def q165_editdist_dedup(sf_dir: str) -> pd.DataFrame:
+    """Edit-distance near-dup pairs via deletion-neighborhood (FastSS)
+    banding — the character-granularity dedup family beside token
+    5-grams (q28), lines (q78), 64-char windows (q129) and simhash
+    bits (q21): typo/OCR-variant heads that no shingle tier can pair.
+    Keys are the first 16 chars of the q59 ASCII normalization; docs
+    collapse to DISTINCT keys first (min doc_id + copy count —
+    distance-0 dups are q59's job), each key emits itself plus its
+    ≤16 single-deletion variants, ONE variant-hash shuffle co-locates
+    candidates (FastSS guarantee: two strings at Levenshtein 1 share
+    a variant — a substitution pair at the both-sides deletion, an
+    indel pair at the shorter string itself), the two-pointer verify
+    keeps exact distance-1 pairs, and a second tiny shuffle dedups
+    pairs colliding in several buckets.  At 100 TB only (u64 hash,
+    i64 id, ≤16-char key) rows per DISTINCT key move — corpus text
+    never enters a shuffle, and bucket fan-out is bounded by key
+    length + 1.  Oracle: DuckDB levenshtein() all-pairs over the
+    distinct keys (audit-mode cross check, q28 precedent)."""
+    klen = 16
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (df["text"].fillna("").str.lower()
+                .str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip())
+        g = pd.DataFrame({"key": norm.str.slice(0, klen),
+                          "doc_id": df["doc_id"].astype(np.int64)})
+        g = g[g["key"] != ""]
+        return g.groupby("key", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_docs=("doc_id", "size"))
+
+    parts = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pandas")
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_docs=("n_docs", "sum"))
+        vs: list[str] = []
+        doc: list[int] = []
+        key: list[str] = []
+        nd: list[int] = []
+        for k, d, n in zip(g["key"], g["doc_id"], g["n_docs"]):
+            seen = {k}
+            for i in range(len(k)):
+                seen.add(k[:i] + k[i + 1:])
+            vs.extend(seen)
+            doc.extend([int(d)] * len(seen))
+            key.extend([k] * len(seen))
+            nd.extend([int(n)] * len(seen))
+        # one vectorized hash per partition; >>1 keeps vh a
+        # non-negative int64 (doc_ids_for_urls precedent) — stray
+        # hash collisions only co-locate keys, _lev1 still verifies
+        vh = ((H.hash_strings_u64(pd.Series(vs, dtype="object"))
+               >> np.uint64(1)).astype(np.int64)
+              if vs else np.array([], dtype=np.int64))
+        return pd.DataFrame({
+            "vh": vh,
+            "doc_id": np.asarray(doc, dtype=np.int64),
+            "key": pd.Series(key, dtype="object"),
+            "n_docs": np.asarray(nd, dtype=np.int64),
+        })
+
+    vtab = partition_apply(parts, ["key"], QCFG.join_num_partitions, variants)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out: list[tuple[int, int, str, str, int, int]] = []
+        for _, grp in df.groupby("vh"):
+            if len(grp) < 2:
+                continue
+            recs = list(zip(grp["doc_id"], grp["key"], grp["n_docs"]))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    (da, ka, na), (db, kb, nb) = recs[i], recs[j]
+                    if ka == kb or not _lev1(ka, kb):
+                        continue
+                    if db < da:
+                        da, db, ka, kb, na, nb = db, da, kb, ka, nb, na
+                    out.append((int(da), int(db), ka, kb, int(na), int(nb)))
+        cols = ["id_a", "id_b", "key_a", "key_b", "n_docs_a", "n_docs_b"]
+        if not out:
+            return pd.DataFrame({
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "key_a": pd.Series(dtype="object"),
+                "key_b": pd.Series(dtype="object"),
+                "n_docs_a": pd.Series(dtype="int64"),
+                "n_docs_b": pd.Series(dtype="int64"),
+            })
+        return pd.DataFrame(out, columns=cols).drop_duplicates(
+            ["id_a", "id_b"])
+
+    cands = partition_apply(vtab, ["vh"], QCFG.join_num_partitions,
+                            bucket_pairs)
+    out = _with_schema(cands.to_pandas(), {
+        "id_a": "int64", "id_b": "int64", "key_a": "object",
+        "key_b": "object", "n_docs_a": "int64", "n_docs_b": "int64",
+    })
+    out = out.drop_duplicates(["id_a", "id_b"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)[
+        ["id_a", "id_b", "key_a", "key_b", "n_docs_a", "n_docs_b"]]
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -8281,6 +8400,7 @@ RAY_QUERIES = {
     "q162_hard_negatives": q162_hard_negatives,
     "q163_fragile_clusters": q163_fragile_clusters,
     "q164_ann_recall": q164_ann_recall,
+    "q165_editdist_dedup": q165_editdist_dedup,
 }
 
 
@@ -10709,5 +10829,25 @@ ORACLE_SQL = {
         SELECT key_col, n_keys, total_rows, max_count, p99_count,
                (1000000 * max_count // total_rows)::BIGINT AS top1_share_ppm
         FROM s ORDER BY key_col
+    """,
+    # all-pairs levenshtein over DISTINCT normalized 16-char head keys
+    # (audit-mode cross check of the FastSS deletion-variant banding;
+    # the normalization chain mirrors q59's ASCII-explicit class)
+    "q165_editdist_dedup": """
+        WITH keys AS (
+            SELECT substr(trim(regexp_replace(lower(coalesce(text, '')),
+                          '[^a-z0-9]+', ' ', 'g')), 1, 16) AS k,
+                   min(doc_id)::BIGINT AS doc_id,
+                   count(*)::BIGINT    AS n_docs
+            FROM documents
+            GROUP BY 1
+            HAVING k <> ''
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.k AS key_a, b.k AS key_b,
+               a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+        FROM keys a JOIN keys b
+          ON a.doc_id < b.doc_id AND levenshtein(a.k, b.k) = 1
+        ORDER BY id_a, id_b
     """,
 }

@@ -38,7 +38,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q141_hashed_embedding", "q145_phrase_search",
           "q151_dedup_loss_weights", "q152_contamination_pairs",
           "q153_keep_n_dedup", "q154_readability_counts",
-          "q157_ascii_ratio", "q158_leakfree_split"]
+          "q157_ascii_ratio", "q158_leakfree_split",
+          "q165_editdist_dedup"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 
@@ -78,6 +79,13 @@ def _corpus(seed: int) -> pd.DataFrame:
     # duplicate-line doc (q128 repetition signals): 3x one line
     dl = " ".join(rng.choice(VOCAB, 6))
     texts.append("\n".join([dl, dl, " ".join(rng.choice(VOCAB, 12)), dl]))
+    # typo variants inside the first 16 normalized chars (q165
+    # edit-distance pairs): substitution, deletion, and a distance-2
+    # non-pair off one random host doc
+    host = " ".join(rng.choice(VOCAB, 12))
+    texts.append("x" + host[1:])          # substitution at pos 0
+    texts.append(host[:7] + host[8:])     # deletion inside the head
+    texts.append("zz" + host[2:])         # distance 2 from host
     return pd.DataFrame({
         "doc_id": np.arange(1, len(texts) + 1, dtype=np.int64),
         "lang": rng.choice(["en", "de", "fr"], len(texts)),

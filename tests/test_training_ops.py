@@ -3467,3 +3467,31 @@ def test_fragile_clusters_planted(ray_session, tmp_path):
     assert (got["cluster_id"] != 10).all()
     # singletons never appear
     assert (got["cluster_id"] != 20).all()
+
+
+def test_editdist_dedup_planted(ray_session, tmp_path):
+    """The driver corpus has no head-level typo variants, so the q165
+    oracle parity is near-trivial — plant the three FastSS cases:
+    a substitution pair (equal-length keys), an indel pair (15- vs
+    16-char keys), a distance-2 non-pair, and a normalized exact copy
+    that must collapse into the key's n_docs instead of pairing."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q165_editdist_dedup
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["quick brown fox!",      # key "quick brown fox"
+                 "Quick brown fix",       # substitution: o -> i
+                 "quick brown foxy",      # insertion: trailing y
+                 "QUICK, brown fox",      # distance-0 copy of doc 1
+                 "quack brawn fix",       # distance 2 from doc 2
+                 ""],                     # empty key filtered
+    }))
+    got = q165_editdist_dedup(sf)
+    assert list(zip(got["id_a"], got["id_b"])) == [(1, 2), (1, 3)]
+    sub = got.iloc[0]
+    assert sub["key_a"] == "quick brown fox" and sub["n_docs_a"] == 2
+    assert sub["key_b"] == "quick brown fix" and sub["n_docs_b"] == 1
+    indel = got.iloc[1]
+    assert indel["key_b"] == "quick brown foxy"
