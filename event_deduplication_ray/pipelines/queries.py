@@ -8239,6 +8239,62 @@ def q165_editdist_dedup(sf_dir: str) -> pd.DataFrame:
         ["id_a", "id_b", "key_a", "key_b", "n_docs_a", "n_docs_b"]]
 
 
+def q166_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-doc novelty: the share of a doc's DISTINCT token 5-gram
+    shingles whose FIRST corpus occurrence (min doc_id over all docs
+    containing the shingle) is the doc itself — the redundancy /
+    memorization readout used to order training curricula and to
+    price marginal data (an all-novel doc scores 1e6 ppm, an exact
+    copy of an earlier doc 0, boilerplate-heavy docs in between).
+    Same exact shingle contract as q28/q33/q152 (substring_mod_p=1,
+    short-doc stub shingle; reference parity: the reference's
+    blocking keys are its analogous per-record token evidence,
+    src/event_dedup/matching/blocking.py).  Scale shape: ONE fp_key
+    shuffle both resolves each shingle's owner (all rows of an fp
+    land in one partition, so min is exact) and folds per-doc
+    (n, novel) partials in the same pass; a second narrow doc_id
+    shuffle sums partials — shuffle bytes are (fp_key, doc_id) plus
+    two int64 partial columns, never text.  Docs with zero tokens
+    emit no shingles and are absent (the oracle's dsh matches)."""
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    fps = substring_fp_table(signature_stage(_docs_from_documents(sf_dir),
+                                             cfg), cfg)
+
+    def per_fp(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_part": pd.Series(dtype="int64"),
+                                 "novel_part": pd.Series(dtype="int64")})
+        owner = df.groupby("fp_key")["doc_id"].transform("min")
+        g = (df.assign(novel=(df["doc_id"] == owner).astype(np.int64))
+             .groupby("doc_id", as_index=False)
+             .agg(n_part=("fp_key", "size"), novel_part=("novel", "sum")))
+        return g.astype({"doc_id": "int64", "n_part": "int64",
+                         "novel_part": "int64"})
+
+    parts = partition_apply(fps, ["fp_key"], QCFG.join_num_partitions,
+                            per_fp)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_shingles=("n_part", "sum"), n_novel=("novel_part", "sum"))
+        g["novel_ppm"] = (g["n_novel"] * 1_000_000
+                          // g["n_shingles"]).astype(np.int64)
+        return g.astype({"doc_id": "int64", "n_shingles": "int64",
+                         "n_novel": "int64", "novel_ppm": "int64"})
+
+    out = _with_schema(
+        partition_apply(parts, ["doc_id"], QCFG.join_num_partitions,
+                        per_doc).to_pandas(),
+        {"doc_id": "int64", "n_shingles": "int64", "n_novel": "int64",
+         "novel_ppm": "int64"})
+    return out[["doc_id", "n_shingles", "n_novel", "novel_ppm"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -8401,6 +8457,7 @@ RAY_QUERIES = {
     "q163_fragile_clusters": q163_fragile_clusters,
     "q164_ann_recall": q164_ann_recall,
     "q165_editdist_dedup": q165_editdist_dedup,
+    "q166_novelty": q166_novelty,
 }
 
 
@@ -10849,5 +10906,23 @@ ORACLE_SQL = {
         FROM keys a JOIN keys b
           ON a.doc_id < b.doc_id AND levenshtein(a.k, b.k) = 1
         ORDER BY id_a, id_b
+    """,
+    # per-doc novelty over the shared shingle CTE: first-occurrence
+    # owner = min doc_id per shingle, exact-integer ppm
+    "q166_novelty": _SHINGLE_SQL + """
+        , owners AS (
+            SELECT shingle, min(doc_id) AS owner FROM dsh GROUP BY shingle
+        ), per AS (
+            SELECT d.doc_id,
+                   count(*) AS n_shingles,
+                   count(*) FILTER (WHERE o.owner = d.doc_id) AS n_novel
+            FROM dsh d JOIN owners o ON o.shingle = d.shingle
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id,
+               n_shingles::BIGINT AS n_shingles,
+               n_novel::BIGINT AS n_novel,
+               (n_novel * 1000000 // n_shingles)::BIGINT AS novel_ppm
+        FROM per ORDER BY doc_id
     """,
 }

@@ -3495,3 +3495,36 @@ def test_editdist_dedup_planted(ray_session, tmp_path):
     assert sub["key_b"] == "quick brown fix" and sub["n_docs_b"] == 1
     indel = got.iloc[1]
     assert indel["key_b"] == "quick brown foxy"
+
+
+def test_novelty_planted(ray_session, tmp_path):
+    """Hand-computed novelty ppm: an original 6-token doc owns both
+    of its 5-gram shingles (1e6), its exact copy owns none (0), a
+    1-token-shifted doc shares one shingle and owns two (666666),
+    and the short-doc stub shingle behaves the same way (owner gets
+    1e6, its copy 0).  A zero-token doc emits no shingles and is
+    absent from the result."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q166_novelty
+
+    six = "w0 w1 w2 w3 w4 w5"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "lang": ["en"] * 6,
+        "text": [six,                       # shingles {01234, 12345}
+                 six,                       # exact copy: 0 novel
+                 "w1 w2 w3 w4 w5 w6 w7",    # {12345, 23456, 34567}
+                 "x y",                     # stub shingle, novel
+                 "x y",                     # stub copy: 0 novel
+                 ""],                       # no shingles: absent
+    }))
+    got = q166_novelty(sf)
+    assert got["doc_id"].tolist() == [1, 2, 3, 4, 5]
+    by = got.set_index("doc_id")
+    assert by.loc[1, "n_shingles"] == 2 and by.loc[1, "novel_ppm"] == 1_000_000
+    assert by.loc[2, "n_shingles"] == 2 and by.loc[2, "novel_ppm"] == 0
+    assert (by.loc[3, "n_shingles"], by.loc[3, "n_novel"]) == (3, 2)
+    assert by.loc[3, "novel_ppm"] == 666_666
+    assert by.loc[4, "novel_ppm"] == 1_000_000
+    assert by.loc[5, "novel_ppm"] == 0
