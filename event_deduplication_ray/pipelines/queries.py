@@ -8295,6 +8295,53 @@ def q166_novelty(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def q167_template_dedup(sf_dir: str) -> pd.DataFrame:
+    """Templated-boilerplate detection: q59's normalized exact dedup
+    with DIGIT RUNS masked to '#' first, so machine-generated page
+    families ("weather report for 2024 01 02 ...") that differ only
+    in numbers collapse to one template — the synthetic/templated-
+    content gate crawl curation needs beside true dup removal.  Per
+    template (>= 2 docs, non-empty key): template_id = min doc_id,
+    n_copies, and n_variants = distinct q59-normalized texts inside
+    the group — n_variants >= 2 separates real templating from plain
+    exact copies.  Scale shape is q59's: normalization + both hashes
+    run per batch, per-batch distinct partials, then ONE template-
+    hash shuffle folds counts and resolves variant distinctness
+    exactly (all rows of a template land in one partition).  ASCII-
+    explicit classes keep Python re and DuckDB RE2 identical (q59 /
+    q77 precedent)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["text"].fillna("").str.lower()
+        tk = (low.str.replace(r"[0-9]+", "#", regex=True)
+              .str.replace(r"[^a-z#]+", " ", regex=True).str.strip())
+        nk = (low.str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip())
+        g = pd.DataFrame({
+            "tkey": H.hash_strings_u64(tk).astype(np.int64),
+            "nkey": H.hash_strings_u64(nk).astype(np.int64),
+            "doc_id": df["doc_id"].astype(np.int64),
+        })[tk != ""]
+        return g.groupby(["tkey", "nkey"], as_index=False).agg(
+            min_doc=("doc_id", "min"), n=("doc_id", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tkey").agg(
+            template_id=("min_doc", "min"), n_copies=("n", "sum"),
+            n_variants=("nkey", "nunique")).reset_index(drop=True)
+        g = g[g["n_copies"] >= 2]
+        return g.astype({"template_id": "int64", "n_copies": "int64",
+                         "n_variants": "int64"})
+
+    out = _with_schema(
+        partition_apply(parts, ["tkey"], QCFG.join_num_partitions,
+                        combine).to_pandas(),
+        {"template_id": "int64", "n_copies": "int64", "n_variants": "int64"})
+    return out.sort_values("template_id").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -8458,6 +8505,7 @@ RAY_QUERIES = {
     "q164_ann_recall": q164_ann_recall,
     "q165_editdist_dedup": q165_editdist_dedup,
     "q166_novelty": q166_novelty,
+    "q167_template_dedup": q167_template_dedup,
 }
 
 
@@ -10924,5 +10972,23 @@ ORACLE_SQL = {
                n_novel::BIGINT AS n_novel,
                (n_novel * 1000000 // n_shingles)::BIGINT AS novel_ppm
         FROM per ORDER BY doc_id
+    """,
+    # digit-masked template groups; ASCII-explicit classes (q59/q77)
+    "q167_template_dedup": """
+        WITH t AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                        lower(coalesce(text, '')),
+                        '[0-9]+', '#', 'g'), '[^a-z#]+', ' ', 'g')) AS tk,
+                   trim(regexp_replace(lower(coalesce(text, '')),
+                        '[^a-z0-9]+', ' ', 'g')) AS nk
+            FROM documents
+        )
+        SELECT min(doc_id)::BIGINT          AS template_id,
+               count(*)::BIGINT             AS n_copies,
+               count(DISTINCT nk)::BIGINT   AS n_variants
+        FROM t WHERE tk <> ''
+        GROUP BY tk HAVING count(*) >= 2
+        ORDER BY template_id
     """,
 }

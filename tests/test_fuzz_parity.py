@@ -39,7 +39,7 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q151_dedup_loss_weights", "q152_contamination_pairs",
           "q153_keep_n_dedup", "q154_readability_counts",
           "q157_ascii_ratio", "q158_leakfree_split",
-          "q165_editdist_dedup", "q166_novelty"]
+          "q165_editdist_dedup", "q166_novelty", "q167_template_dedup"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 

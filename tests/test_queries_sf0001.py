@@ -99,7 +99,7 @@ SQL_CHECKED = [
     "q151_dedup_loss_weights", "q152_contamination_pairs",
     "q153_keep_n_dedup", "q154_readability_counts",
     "q157_ascii_ratio", "q158_leakfree_split", "q159_key_skew",
-    "q165_editdist_dedup", "q166_novelty",
+    "q165_editdist_dedup", "q166_novelty", "q167_template_dedup",
 ]
 
 

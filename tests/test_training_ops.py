@@ -3528,3 +3528,30 @@ def test_novelty_planted(ray_session, tmp_path):
     assert by.loc[3, "novel_ppm"] == 666_666
     assert by.loc[4, "novel_ppm"] == 1_000_000
     assert by.loc[5, "novel_ppm"] == 0
+
+
+def test_template_dedup_planted(ray_session, tmp_path):
+    """Digit-masked template grouping: two weather pages differing
+    only in the date plus an exact copy form ONE template (n_copies 3,
+    n_variants 2 — the copy collapses into its variant); a digit-free
+    exact-dup pair degenerates to q59 semantics (n_variants 1);
+    digit-only docs all mask to the template '#' and group together
+    (number-only pages ARE one template family); a unique doc emits
+    nothing."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q167_template_dedup
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "text": ["Weather report for 2024-01-02: sunny",
+                 "Weather report for 2024-01-03: sunny",
+                 "weather report for 2024 01 02  sunny",  # exact variant copy
+                 "hello world", "Hello, world!",          # digit-free dups
+                 "12345", "67890",                        # both template '#'
+                 "a unique document about estuaries"],
+    }))
+    got = q167_template_dedup(sf)
+    assert got["template_id"].tolist() == [1, 4, 6]
+    assert got["n_copies"].tolist() == [3, 2, 2]
+    assert got["n_variants"].tolist() == [2, 1, 2]
