@@ -8342,6 +8342,64 @@ def q167_template_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("template_id").reset_index(drop=True)
 
 
+def q168_overlap_stitch(sf_dir: str) -> pd.DataFrame:
+    """Fragment stitching: ordered pairs (id_a, id_b) where the LAST
+    8 normalized tokens of doc A equal the FIRST 8 of doc B — the
+    pagination/continuation detector (a crawl that split one article
+    into consecutive pages leaves exactly this tail==head signature;
+    Lee et al. 2022 §4 reassembles such fragments before dedup).
+    Asymmetric positional join, not a similarity tier: each doc
+    emits ONE head key and ONE tail key (docs < 8 tokens emit none),
+    so the shuffle carries two 16 B rows per doc and the per-bucket
+    pair product is tails × heads of ONE key — no hot-group capping
+    needed.  Hash equality stands in for string equality (u64,
+    q59/q165 precedent).  An 8-token doc's head == its own tail;
+    exact-copy 8-token docs therefore stitch in BOTH directions
+    (documented, planted-tested)."""
+    W = 8
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (df["text"].fillna("").str.lower()
+                .str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip())
+        toks = norm.str.split()
+        ok = toks.str.len() >= W
+        toks, ids = toks[ok], df["doc_id"][ok].astype(np.int64)
+        head = toks.str[:W].str.join(" ")
+        tail = toks.str[-W:].str.join(" ")
+        hh = H.hash_strings_u64(head).astype(np.int64)
+        th = H.hash_strings_u64(tail).astype(np.int64)
+        return pd.DataFrame({
+            "key": np.concatenate([th, hh])
+            if len(ids) else np.array([], dtype=np.int64),
+            "doc_id": np.concatenate([ids.to_numpy(), ids.to_numpy()])
+            if len(ids) else np.array([], dtype=np.int64),
+            "is_tail": np.concatenate([np.ones(len(ids), dtype=np.int8),
+                                       np.zeros(len(ids), dtype=np.int8)]),
+        })
+
+    parts = ds.map_batches(keys, batch_format="pandas")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["is_tail"] == 1]
+        h = df[df["is_tail"] == 0]
+        if not len(t) or not len(h):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        m = t.merge(h, on="key", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] != m["doc_id_b"]]
+        return (m[["doc_id_a", "doc_id_b"]]
+                .rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
+                .drop_duplicates().astype("int64"))
+
+    out = _with_schema(
+        partition_apply(parts, ["key"], QCFG.join_num_partitions,
+                        pairs).to_pandas(),
+        {"id_a": "int64", "id_b": "int64"})
+    return (out.drop_duplicates().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -8506,6 +8564,7 @@ RAY_QUERIES = {
     "q165_editdist_dedup": q165_editdist_dedup,
     "q166_novelty": q166_novelty,
     "q167_template_dedup": q167_template_dedup,
+    "q168_overlap_stitch": q168_overlap_stitch,
 }
 
 
@@ -10990,5 +11049,24 @@ ORACLE_SQL = {
         FROM t WHERE tk <> ''
         GROUP BY tk HAVING count(*) >= 2
         ORDER BY template_id
+    """,
+    # tail==head 8-token stitch join (1-based inclusive list slices)
+    "q168_overlap_stitch": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(trim(regexp_replace(
+                       lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                       ' '), x -> x <> '') AS ws
+            FROM documents
+        ), keys AS (
+            SELECT doc_id,
+                   array_to_string(ws[1:8], ' ')               AS head,
+                   array_to_string(ws[len(ws)-7:len(ws)], ' ') AS tail
+            FROM toks WHERE len(ws) >= 8
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM keys a JOIN keys b
+          ON a.tail = b.head AND a.doc_id <> b.doc_id
+        ORDER BY id_a, id_b
     """,
 }

@@ -39,7 +39,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q151_dedup_loss_weights", "q152_contamination_pairs",
           "q153_keep_n_dedup", "q154_readability_counts",
           "q157_ascii_ratio", "q158_leakfree_split",
-          "q165_editdist_dedup", "q166_novelty", "q167_template_dedup"]
+          "q165_editdist_dedup", "q166_novelty", "q167_template_dedup",
+          "q168_overlap_stitch"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 
@@ -86,6 +87,10 @@ def _corpus(seed: int) -> pd.DataFrame:
     texts.append("x" + host[1:])          # substitution at pos 0
     texts.append(host[:7] + host[8:])     # deletion inside the head
     texts.append("zz" + host[2:])         # distance 2 from host
+    # stitch pair (q168): doc A's last 8 tokens == doc B's first 8
+    seam = " ".join(rng.choice(VOCAB, 8))
+    texts.append(" ".join(rng.choice(VOCAB, 9)) + " " + seam)
+    texts.append(seam + " " + " ".join(rng.choice(VOCAB, 6)))
     return pd.DataFrame({
         "doc_id": np.arange(1, len(texts) + 1, dtype=np.int64),
         "lang": rng.choice(["en", "de", "fr"], len(texts)),

@@ -3555,3 +3555,28 @@ def test_template_dedup_planted(ray_session, tmp_path):
     assert got["template_id"].tolist() == [1, 4, 6]
     assert got["n_copies"].tolist() == [3, 2, 2]
     assert got["n_variants"].tolist() == [2, 1, 2]
+
+
+def test_overlap_stitch_planted(ray_session, tmp_path):
+    """Stitch semantics: doc 2 begins with doc 1's last 8 tokens
+    (pair (1,2)); doc 3 shares doc 1's HEAD instead (no pair); doc 4
+    is a 7-token fragment (below W, emits no keys); docs 5/6 are
+    identical 8-token docs, so head == tail both ways and they stitch
+    in BOTH directions — the documented W-token-copy edge."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q168_overlap_stitch
+
+    w = [f"w{i}" for i in range(20)]
+    eight = " ".join(w[9:17])                       # doc 1's last 8
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [" ".join(w[:17]),                  # tokens w0..w16
+                 eight + " tail continues here",    # starts with seam
+                 " ".join(w[:9]),                   # shares doc1 head
+                 " ".join(w[:7]),                   # too short
+                 "a b c d e f g h",
+                 "a b c d e f g h"],
+    }))
+    got = q168_overlap_stitch(sf)
+    assert list(zip(got["id_a"], got["id_b"])) == [(1, 2), (5, 6), (6, 5)]
