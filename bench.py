@@ -146,6 +146,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q141_hashed_embedding", "q142_contract_audit",
         "q143_table_profile", "q148_fd_audit", "q151_dedup_loss_weights",
         "q158_leakfree_split", "q159_key_skew", "q160_quality_classifier",
+        "q166_novelty", "q167_template_dedup", "q168_overlap_stitch",
     ]
     out: dict[str, float] = {}
     for name in names:
