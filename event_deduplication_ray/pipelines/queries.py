@@ -8342,21 +8342,13 @@ def q167_template_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("template_id").reset_index(drop=True)
 
 
-def q168_overlap_stitch(sf_dir: str) -> pd.DataFrame:
-    """Fragment stitching: ordered pairs (id_a, id_b) where the LAST
-    8 normalized tokens of doc A equal the FIRST 8 of doc B — the
-    pagination/continuation detector (a crawl that split one article
-    into consecutive pages leaves exactly this tail==head signature;
-    Lee et al. 2022 §4 reassembles such fragments before dedup).
-    Asymmetric positional join, not a similarity tier: each doc
-    emits ONE head key and ONE tail key (docs < 8 tokens emit none),
-    so the shuffle carries two 16 B rows per doc and the per-bucket
-    pair product is tails × heads of ONE key — no hot-group capping
-    needed.  Hash equality stands in for string equality (u64,
-    q59/q165 precedent).  An 8-token doc's head == its own tail;
-    exact-copy 8-token docs therefore stitch in BOTH directions
-    (documented, planted-tested)."""
-    W = 8
+_STITCH_W = 8
+
+
+def _stitch_edges(sf_dir: str) -> pd.DataFrame:
+    """Shared q168/q169 edge pass: ordered (id_a, id_b) pairs where
+    doc A's last 8 normalized tokens equal doc B's first 8."""
+    W = _STITCH_W
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def keys(df: pd.DataFrame) -> pd.DataFrame:
@@ -8398,6 +8390,102 @@ def q168_overlap_stitch(sf_dir: str) -> pd.DataFrame:
         {"id_a": "int64", "id_b": "int64"})
     return (out.drop_duplicates().sort_values(["id_a", "id_b"])
             .reset_index(drop=True))
+
+
+def q168_overlap_stitch(sf_dir: str) -> pd.DataFrame:
+    """Fragment stitching: ordered pairs (id_a, id_b) where the LAST
+    8 normalized tokens of doc A equal the FIRST 8 of doc B — the
+    pagination/continuation detector (a crawl that split one article
+    into consecutive pages leaves exactly this tail==head signature;
+    Lee et al. 2022 §4 reassembles such fragments before dedup).
+    Asymmetric positional join, not a similarity tier: each doc
+    emits ONE head key and ONE tail key (docs < 8 tokens emit none),
+    so the shuffle carries two 16 B rows per doc and the per-bucket
+    pair product is tails × heads of ONE key — no hot-group capping
+    needed.  Hash equality stands in for string equality (u64,
+    q59/q165 precedent).  An 8-token doc's head == its own tail;
+    exact-copy 8-token docs therefore stitch in BOTH directions
+    (documented, planted-tested)."""
+    return _stitch_edges(sf_dir)
+
+
+def q169_stitch_rewrite(sf_dir: str) -> pd.DataFrame:
+    """Fragment REASSEMBLY — the transform behind q168's report (the
+    q78/q130 pattern: detector first, rewrite second).  Unambiguous
+    stitch chains (every member's in- and out-degree <= 1 after
+    dropping ambiguous edges; cycles have no head and are skipped)
+    are concatenated head-to-tail on the NORMALIZED token stream,
+    trimming the 8 duplicated seam tokens of every non-head fragment
+    once.  Output: one row per >= 2-fragment chain (chain_id = head
+    doc_id, n_fragments, text_merged).  Scale shape: the edge table
+    is dup-structure-sized (walked on the driver — q117's bounded
+    driver-loop precedent), member texts are filtered by a broadcast
+    id set and co-located with ONE chain_id shuffle; corpus docs off
+    any chain never move.  Oracle: recursive-CTE chain walk +
+    ORDER BY pos string_agg over the same normalization."""
+    e = _stitch_edges(sf_dir)
+    if len(e):
+        # unambiguous continuations only: unique source AND target
+        e = e[e.groupby("id_a")["id_b"].transform("size").eq(1)
+              & e.groupby("id_b")["id_a"].transform("size").eq(1)]
+    empty = pd.DataFrame({"chain_id": pd.Series(dtype="int64"),
+                          "n_fragments": pd.Series(dtype="int64"),
+                          "text_merged": pd.Series(dtype="object")})
+    if not len(e):
+        return empty
+    nxt = dict(zip(e["id_a"].tolist(), e["id_b"].tolist()))
+    heads = set(nxt) - set(nxt.values())
+    rows: list[tuple[int, int, int]] = []        # (doc_id, chain, pos)
+    for h in sorted(heads):
+        cur, pos = h, 0
+        while True:
+            rows.append((cur, h, pos))
+            if cur not in nxt:
+                break
+            cur, pos = nxt[cur], pos + 1
+    if not rows:
+        return empty
+    members = pd.DataFrame(rows, columns=["doc_id", "chain_id", "pos"])
+    member_ids = set(members["doc_id"].tolist())
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def member_norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"].isin(member_ids)]
+        norm = (df["text"].fillna("").str.lower()
+                .str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip())
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                            "norm": norm})
+        return out.merge(members, on="doc_id")
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for cid, grp in df.groupby("chain_id"):
+            grp = grp.sort_values("pos")
+            parts_txt = []
+            for p, t in zip(grp["pos"], grp["norm"]):
+                toks = t.split()
+                parts_txt.append(t if p == 0
+                                 else " ".join(toks[_STITCH_W:]))
+            merged = " ".join(s for s in parts_txt if s)
+            recs.append((int(cid), int(len(grp)), merged))
+        if not recs:
+            return pd.DataFrame({"chain_id": pd.Series(dtype="int64"),
+                                 "n_fragments": pd.Series(dtype="int64"),
+                                 "text_merged": pd.Series(dtype="object")})
+        return pd.DataFrame(recs,
+                            columns=["chain_id", "n_fragments",
+                                     "text_merged"]) \
+            .astype({"chain_id": "int64", "n_fragments": "int64"})
+
+    got = _with_schema(
+        partition_apply(ds.map_batches(member_norm, batch_format="pandas"),
+                        ["chain_id"], QCFG.join_num_partitions,
+                        assemble).to_pandas(),
+        {"chain_id": "int64", "n_fragments": "int64",
+         "text_merged": "object"})
+    got = got[got["n_fragments"] >= 2]
+    return got.sort_values("chain_id").reset_index(drop=True)
 
 
 RAY_QUERIES = {
@@ -8565,6 +8653,7 @@ RAY_QUERIES = {
     "q166_novelty": q166_novelty,
     "q167_template_dedup": q167_template_dedup,
     "q168_overlap_stitch": q168_overlap_stitch,
+    "q169_stitch_rewrite": q169_stitch_rewrite,
 }
 
 
@@ -11068,5 +11157,48 @@ ORACLE_SQL = {
         FROM keys a JOIN keys b
           ON a.tail = b.head AND a.doc_id <> b.doc_id
         ORDER BY id_a, id_b
+    """,
+    # chain walk over unambiguous stitch edges; seam tokens trimmed
+    # once per non-head fragment; 8-token fragments trim to NULL so
+    # string_agg skips them (engine drops empty parts the same way)
+    "q169_stitch_rewrite": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(trim(regexp_replace(
+                       lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                       ' '), x -> x <> '') AS ws
+            FROM documents
+        ), keys AS (
+            SELECT doc_id,
+                   array_to_string(ws[1:8], ' ')               AS head,
+                   array_to_string(ws[len(ws)-7:len(ws)], ' ') AS tail
+            FROM toks WHERE len(ws) >= 8
+        ), edges AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM keys a JOIN keys b
+              ON a.tail = b.head AND a.doc_id <> b.doc_id
+        ), e1 AS (
+            SELECT id_a, id_b FROM edges
+            QUALIFY count(*) OVER (PARTITION BY id_a) = 1
+                AND count(*) OVER (PARTITION BY id_b) = 1
+        ), chain(doc_id, chain_id, pos) AS (
+            SELECT id_a, id_a, 0 FROM e1
+            WHERE id_a NOT IN (SELECT id_b FROM e1)
+            UNION ALL
+            SELECT e.id_b, c.chain_id, c.pos + 1
+            FROM chain c JOIN e1 e ON e.id_a = c.doc_id
+        ), parts AS (
+            SELECT c.chain_id, c.pos,
+                   CASE WHEN c.pos = 0 THEN array_to_string(t.ws, ' ')
+                        ELSE array_to_string(t.ws[9:len(t.ws)], ' ')
+                   END AS part
+            FROM chain c JOIN toks t ON t.doc_id = c.doc_id
+        )
+        SELECT chain_id::BIGINT AS chain_id,
+               count(*)::BIGINT AS n_fragments,
+               string_agg(nullif(part, ''), ' ' ORDER BY pos)
+                   AS text_merged
+        FROM parts GROUP BY chain_id HAVING count(*) >= 2
+        ORDER BY chain_id
     """,
 }

@@ -3580,3 +3580,33 @@ def test_overlap_stitch_planted(ray_session, tmp_path):
     }))
     got = q168_overlap_stitch(sf)
     assert list(zip(got["id_a"], got["id_b"])) == [(1, 2), (5, 6), (6, 5)]
+
+
+def test_stitch_rewrite_planted(ray_session, tmp_path):
+    """Chain reassembly semantics: a 3-fragment chain 1→2→3 merges
+    with both 8-token seams trimmed once (hand-built expected token
+    stream); an ambiguous fork (4's tail continues into BOTH 5 and 6)
+    is dropped entirely; a 2-cycle of identical 8-token docs has no
+    head and never assembles."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q169_stitch_rewrite
+
+    w = [f"w{i}" for i in range(40)]
+    f1 = " ".join(w[0:16])        # w0..w15
+    f2 = " ".join(w[8:28])        # starts with f1's last 8 (w8..w15)
+    f3 = " ".join(w[20:30])       # starts with f2's last 8 (w20..w27)
+    fork = " ".join(w[30:38])
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "text": [f1, f2, f3,
+                 "lead in tokens here " + fork,   # tail = fork key
+                 fork + " branch one after",      # head = fork key
+                 fork + " branch two after",      # head = fork key
+                 "a b c d e f g h",               # 2-cycle pair
+                 "a b c d e f g h"],
+    }))
+    got = q169_stitch_rewrite(sf)
+    assert got["chain_id"].tolist() == [1]
+    assert got["n_fragments"].tolist() == [3]
+    assert got["text_merged"].tolist() == [" ".join(w[0:30])]
