@@ -8488,6 +8488,72 @@ def q169_stitch_rewrite(sf_dir: str) -> pd.DataFrame:
     return got.sort_values("chain_id").reset_index(drop=True)
 
 
+def q170_corpus_growth(sf_dir: str) -> pd.DataFrame:
+    """Corpus growth (Heaps-law) curve: distinct-shingle yield per
+    doc_id decile — bucket b's n_new_shingles counts shingles whose
+    FIRST occurrence (min doc_id owner, q166's pass) lands in that
+    tenth of the id range, and cum_new_shingles is the running
+    vocabulary size.  A flattening curve is the direct marginal-
+    value-of-more-data readout crawl acquisition decisions use.
+    Exact integer bucketing ((doc_id-lo)*10 // (hi-lo+1)) mirrors
+    the SQL; the fp shuffle emits 10-row partials per partition, so
+    driver traffic is O(P), never O(shingles)."""
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    ids = _read(sf_dir, "documents", ["doc_id"])
+
+    def id_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lo": [df["doc_id"].min()],
+                             "hi": [df["doc_id"].max()],
+                             "n": [len(df)]})
+
+    idp = ids.map_batches(id_partial, batch_format="pandas").to_pandas()
+    if not len(idp) or not int(idp["n"].sum()):
+        return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "n_new_shingles": pd.Series(dtype="int64"),
+                             "cum_new_shingles": pd.Series(dtype="int64")})
+    lo, hi = int(idp["lo"].min()), int(idp["hi"].max())
+    span = hi - lo + 1
+
+    def bucket_of(doc: pd.Series) -> pd.Series:
+        return ((doc - lo) * 10 // span).clip(upper=9).astype(np.int64)
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = bucket_of(df["doc_id"]).value_counts()
+        return pd.DataFrame({"bucket": vc.index.astype(np.int64),
+                             "n_docs": vc.to_numpy().astype(np.int64)})
+
+    dc = (ids.map_batches(doc_partial, batch_format="pandas").to_pandas()
+          .groupby("bucket", as_index=False)["n_docs"].sum())
+
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    fps = substring_fp_table(signature_stage(_docs_from_documents(sf_dir),
+                                             cfg), cfg)
+
+    def owner_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "n_new": pd.Series(dtype="int64")})
+        owner = df.groupby("fp_key", as_index=False)["doc_id"].min()
+        vc = bucket_of(owner["doc_id"]).value_counts()
+        return pd.DataFrame({"bucket": vc.index.astype(np.int64),
+                             "n_new": vc.to_numpy().astype(np.int64)})
+
+    nb = _with_schema(
+        partition_apply(fps, ["fp_key"], QCFG.join_num_partitions,
+                        owner_partial).to_pandas(),
+        {"bucket": "int64", "n_new": "int64"})
+    nb = nb.groupby("bucket", as_index=False)["n_new"].sum()
+    out = dc.merge(nb, on="bucket", how="left").fillna({"n_new": 0})
+    out = out.sort_values("bucket").reset_index(drop=True)
+    out["n_new_shingles"] = out["n_new"].astype(np.int64)
+    out["cum_new_shingles"] = out["n_new_shingles"].cumsum().astype(np.int64)
+    return out[["bucket", "n_docs", "n_new_shingles", "cum_new_shingles"]] \
+        .astype({"bucket": "int64", "n_docs": "int64"})
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -8654,6 +8720,7 @@ RAY_QUERIES = {
     "q167_template_dedup": q167_template_dedup,
     "q168_overlap_stitch": q168_overlap_stitch,
     "q169_stitch_rewrite": q169_stitch_rewrite,
+    "q170_corpus_growth": q170_corpus_growth,
 }
 
 
@@ -11200,5 +11267,31 @@ ORACLE_SQL = {
                    AS text_merged
         FROM parts GROUP BY chain_id HAVING count(*) >= 2
         ORDER BY chain_id
+    """,
+    # Heaps-law growth curve off the shared shingle CTE: first-
+    # occurrence owners bucketed into exact-integer doc_id deciles
+    "q170_corpus_growth": _SHINGLE_SQL + """
+        , mm AS (
+            SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+        ), owners AS (
+            SELECT shingle, min(doc_id) AS owner FROM dsh GROUP BY shingle
+        ), nb AS (
+            SELECT least(9, ((owner - mm.lo) * 10) // (mm.hi - mm.lo + 1))
+                       AS bucket,
+                   count(*) AS n_new
+            FROM owners, mm GROUP BY 1
+        ), dc AS (
+            SELECT least(9, ((doc_id - mm.lo) * 10) // (mm.hi - mm.lo + 1))
+                       AS bucket,
+                   count(*) AS n_docs
+            FROM documents, mm GROUP BY 1
+        )
+        SELECT dc.bucket::BIGINT AS bucket,
+               dc.n_docs::BIGINT AS n_docs,
+               coalesce(nb.n_new, 0)::BIGINT AS n_new_shingles,
+               sum(coalesce(nb.n_new, 0))
+                   OVER (ORDER BY dc.bucket)::BIGINT AS cum_new_shingles
+        FROM dc LEFT JOIN nb ON nb.bucket = dc.bucket
+        ORDER BY bucket
     """,
 }

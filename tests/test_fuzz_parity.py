@@ -40,7 +40,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q153_keep_n_dedup", "q154_readability_counts",
           "q157_ascii_ratio", "q158_leakfree_split",
           "q165_editdist_dedup", "q166_novelty", "q167_template_dedup",
-          "q168_overlap_stitch", "q169_stitch_rewrite"]
+          "q168_overlap_stitch", "q169_stitch_rewrite",
+          "q170_corpus_growth"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 

@@ -3610,3 +3610,28 @@ def test_stitch_rewrite_planted(ray_session, tmp_path):
     assert got["chain_id"].tolist() == [1]
     assert got["n_fragments"].tolist() == [3]
     assert got["text_merged"].tolist() == [" ".join(w[0:30])]
+
+
+def test_corpus_growth_planted(ray_session, tmp_path):
+    """Hand-computed growth curve over ids 0..9 (bucket == doc_id):
+    doc 0 owns its 2 shingles; doc 1 is an exact copy (0 new); doc 5
+    shifts by one token (1 new of 2); docs 2-4 and 6-9 are short stub
+    docs — 2/3/4 share one stub family (owner 2), 6-9 are distinct.
+    Cumulative column must sum exactly."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import q170_corpus_growth
+
+    six = "w0 w1 w2 w3 w4 w5"
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": list(range(10)),
+        "lang": ["en"] * 10,
+        "text": [six, six, "s s", "s s", "s s",
+                 "w1 w2 w3 w4 w5 w6",
+                 "u0", "u1", "u2", "u3"],
+    }))
+    got = q170_corpus_growth(sf)
+    assert got["bucket"].tolist() == list(range(10))
+    assert got["n_docs"].tolist() == [1] * 10
+    assert got["n_new_shingles"].tolist() == [2, 0, 1, 0, 0, 1, 1, 1, 1, 1]
+    assert got["cum_new_shingles"].tolist() == [2, 2, 3, 3, 3, 4, 5, 6, 7, 8]
