@@ -8554,6 +8554,63 @@ def q170_corpus_growth(sf_dir: str) -> pd.DataFrame:
         .astype({"bucket": "int64", "n_docs": "int64"})
 
 
+def q171_source_uniqueness(sf_dir: str) -> pd.DataFrame:
+    """Exact per-source vocabulary uniqueness — the audit-mode
+    counterpart of q156's sketch ESTIMATES: per source, the distinct
+    shingle count, how many of those shingles appear in NO other
+    source, and unique_ppm — the direct "what does this feed add
+    that nothing else carries" acquisition readout.  Scale shape:
+    one doc_id cogroup attaches source to the fp table and dedups
+    (fp, source) per partition BEFORE the wide move, then ONE fp
+    shuffle resolves each shingle's distinct-source set exactly and
+    per-source ~|sources|-row partials come back per partition.
+    Source rides the fp row as a dictionary-encodable short string;
+    at 100 TB swap it for a source-id int — the shape is
+    unchanged."""
+    from event_deduplication_ray.stages.banding import substring_fp_table
+    from event_deduplication_ray.stages.signatures import signature_stage
+
+    from event_deduplication_ray.stages.shuffle import cogroup_apply
+
+    cfg = QCFG.with_overrides(substring_mod_p=1, substring_min_fps=1)
+    fps = substring_fp_table(signature_stage(_docs_from_documents(sf_dir),
+                                             cfg), cfg)
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def attach(fp_df: pd.DataFrame, s_df: pd.DataFrame) -> pd.DataFrame:
+        if not len(fp_df) or not len(s_df):
+            return pd.DataFrame({"fp_key": pd.Series(dtype="int64"),
+                                 "source": pd.Series(dtype="object")})
+        m = fp_df[["fp_key", "doc_id"]].merge(
+            s_df.drop_duplicates("doc_id"), on="doc_id")
+        return m[["fp_key", "source"]].drop_duplicates()
+
+    pairs = cogroup_apply(fps, src, ["doc_id"], ["doc_id"],
+                          QCFG.join_num_partitions, attach)
+
+    def per_fp(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "n_shingles": pd.Series(dtype="int64"),
+                                 "n_unique": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["fp_key", "source"])
+        nsrc = d.groupby("fp_key")["source"].transform("nunique")
+        d = d.assign(u=(nsrc == 1).astype(np.int64))
+        g = d.groupby("source", as_index=False).agg(
+            n_shingles=("fp_key", "size"), n_unique=("u", "sum"))
+        return g.astype({"n_shingles": "int64", "n_unique": "int64"})
+
+    out = _with_schema(
+        partition_apply(pairs, ["fp_key"], QCFG.join_num_partitions,
+                        per_fp).to_pandas(),
+        {"source": "object", "n_shingles": "int64", "n_unique": "int64"})
+    out = out.groupby("source", as_index=False).sum()
+    out["unique_ppm"] = (out["n_unique"] * 1_000_000
+                         // out["n_shingles"].clip(lower=1)).astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True).astype(
+        {"n_shingles": "int64", "n_unique": "int64"})
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -8721,6 +8778,7 @@ RAY_QUERIES = {
     "q168_overlap_stitch": q168_overlap_stitch,
     "q169_stitch_rewrite": q169_stitch_rewrite,
     "q170_corpus_growth": q170_corpus_growth,
+    "q171_source_uniqueness": q171_source_uniqueness,
 }
 
 
@@ -11293,5 +11351,26 @@ ORACLE_SQL = {
                    OVER (ORDER BY dc.bucket)::BIGINT AS cum_new_shingles
         FROM dc LEFT JOIN nb ON nb.bucket = dc.bucket
         ORDER BY bucket
+    """,
+    # exact per-source vocabulary uniqueness off the shingle CTE
+    "q171_source_uniqueness": _SHINGLE_SQL + """
+        , ss AS (
+            SELECT DISTINCT d.shingle, doc.source
+            FROM dsh d JOIN documents doc ON doc.doc_id = d.doc_id
+        ), nsrc AS (
+            SELECT shingle, count(*) AS n_sources FROM ss GROUP BY shingle
+        ), per AS (
+            SELECT ss.source,
+                   count(*) AS n_shingles,
+                   count(*) FILTER (WHERE nsrc.n_sources = 1) AS n_unique
+            FROM ss JOIN nsrc ON nsrc.shingle = ss.shingle
+            GROUP BY ss.source
+        )
+        SELECT source,
+               n_shingles::BIGINT AS n_shingles,
+               n_unique::BIGINT AS n_unique,
+               (n_unique * 1000000 // greatest(n_shingles, 1))::BIGINT
+                   AS unique_ppm
+        FROM per ORDER BY source
     """,
 }

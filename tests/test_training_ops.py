@@ -3635,3 +3635,30 @@ def test_corpus_growth_planted(ray_session, tmp_path):
     assert got["n_docs"].tolist() == [1] * 10
     assert got["n_new_shingles"].tolist() == [2, 0, 1, 0, 0, 1, 1, 1, 1, 1]
     assert got["cum_new_shingles"].tolist() == [2, 2, 3, 3, 3, 4, 5, 6, 7, 8]
+
+
+def test_source_uniqueness_planted(ray_session, tmp_path):
+    """Hand-worked uniqueness: feed A's 6-token doc owns 2 shingles,
+    one of which feed B republishes verbatim — A is 2 shingles / 1
+    unique (500000 ppm), B's doc shares one and adds two of its own
+    (3 / 2 = 666666 ppm), and feed C's stub doc is fully unique
+    (1 / 1).  Exact counts, not sketch estimates (q156's contract)."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q171_source_uniqueness,
+    )
+
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "lang": ["en"] * 3,
+        "source": ["feedA", "feedB", "feedC"],
+        "text": ["w0 w1 w2 w3 w4 w5",        # {01234, 12345}
+                 "w1 w2 w3 w4 w5 w6 w7",     # {12345, 23456, 34567}
+                 "tiny stub"],               # one stub shingle
+    }))
+    got = q171_source_uniqueness(sf)
+    assert got["source"].tolist() == ["feedA", "feedB", "feedC"]
+    assert got["n_shingles"].tolist() == [2, 3, 1]
+    assert got["n_unique"].tolist() == [1, 2, 1]
+    assert got["unique_ppm"].tolist() == [500_000, 666_666, 1_000_000]
