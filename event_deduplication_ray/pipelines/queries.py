@@ -8611,6 +8611,59 @@ def q171_source_uniqueness(sf_dir: str) -> pd.DataFrame:
         {"n_shingles": "int64", "n_unique": "int64"})
 
 
+def q172_audience_overlap_hll(sf_dir: str) -> pd.DataFrame:
+    """Sketch-composed set algebra: |viewers ∩ purchasers| estimated
+    by inclusion–exclusion over three mergeable HLLs (|A| + |B| −
+    |A∪B|; the union sketch is the elementwise max of A's and B's
+    registers — no third pass) — the audience-overlap readout that at
+    100 TB replaces a distinct-pair join with three 4 KB registers
+    per batch and ZERO key shuffles (partials ride a single-row
+    combine).  Rows-only by construction (estimates); accuracy is
+    pytest-gated against the exact intersection (q48's 3σ pattern —
+    note inclusion–exclusion VARIANCE is the sum of the three
+    sketches', so the gate uses the summed σ, not one sketch's)."""
+    from event_deduplication_ray.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    sk_schema = pa.schema([("side", pa.string()), ("regs", pa.binary())])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for side, et in (("view", "view"), ("purchase", "purchase")):
+            u = df.loc[df["event_type"] == et, "user_id"] \
+                .to_numpy(np.int64)
+            if len(u):
+                rows.append({"side": side,
+                             "regs": hll_partial(u).tobytes()})
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["side", "regs"]),
+            schema=sk_schema, preserve_index=False)
+
+    parts = _with_schema(
+        ds.map_batches(partial, batch_format="pandas").to_pandas(),
+        {"side": "object", "regs": "object"})
+    merged = {
+        side: hll_merge([np.frombuffer(b, np.uint8) for b in sub["regs"]])
+        for side, sub in parts.groupby("side")
+    }
+    if "view" not in merged or "purchase" not in merged:
+        return pd.DataFrame({"n_viewers_est": pd.Series([0], dtype="int64"),
+                             "n_purchasers_est": [0], "n_both_est": [0]})
+    a, b = merged["view"], merged["purchase"]
+    na, nb = hll_estimate(a), hll_estimate(b)
+    nu = hll_estimate(np.maximum(a, b))
+    return pd.DataFrame({
+        "n_viewers_est": pd.Series([int(round(na))], dtype="int64"),
+        "n_purchasers_est": pd.Series([int(round(nb))], dtype="int64"),
+        "n_both_est": pd.Series([max(0, int(round(na + nb - nu)))],
+                                dtype="int64"),
+    })
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -8779,6 +8832,7 @@ RAY_QUERIES = {
     "q169_stitch_rewrite": q169_stitch_rewrite,
     "q170_corpus_growth": q170_corpus_growth,
     "q171_source_uniqueness": q171_source_uniqueness,
+    "q172_audience_overlap_hll": q172_audience_overlap_hll,
 }
 
 

@@ -132,6 +132,7 @@ ROWS_ONLY = [
     "q156_source_similarity_sketch", "q160_quality_classifier",
     "q161_corpus_screen", "q162_hard_negatives",
     "q163_fragile_clusters", "q164_ann_recall",
+    "q172_audience_overlap_hll",
 ]
 
 

@@ -3662,3 +3662,45 @@ def test_source_uniqueness_planted(ray_session, tmp_path):
     assert got["n_shingles"].tolist() == [2, 3, 1]
     assert got["n_unique"].tolist() == [1, 2, 1]
     assert got["unique_ppm"].tolist() == [500_000, 666_666, 1_000_000]
+
+
+def test_audience_overlap_hll(ray_session, tmp_path):
+    """Inclusion-exclusion over HLLs: planted 10k-viewer / 10k-
+    purchaser table with exactly 5k shared users — each estimate
+    within 3σ where the intersection's σ is the SUM of the three
+    sketches' (p=12 → 1.63 % each); and on the real sf0.001 events
+    the estimate brackets the exact pandas intersection the same
+    way."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from event_deduplication_ray.pipelines.queries import (
+        q172_audience_overlap_hll,
+    )
+
+    viewers = np.arange(10_000, dtype=np.int64)
+    buyers = np.arange(5_000, 15_000, dtype=np.int64)
+    sf = _write_tbl(tmp_path, "events", pd.DataFrame({
+        "event_id": np.arange(20_000, dtype=np.int64),
+        "event_type": ["view"] * 10_000 + ["purchase"] * 10_000,
+        "user_id": np.concatenate([viewers, buyers]),
+        "ts": pd.Timestamp("2024-01-01"),
+        "value": 1.0,
+        "props": "{}",
+    }))
+    got = q172_audience_overlap_hll(sf)
+    sig = 1.04 / np.sqrt(4096)
+    assert abs(got["n_viewers_est"][0] - 10_000) <= 3 * sig * 10_000
+    assert abs(got["n_purchasers_est"][0] - 10_000) <= 3 * sig * 10_000
+    # intersection error compounds all three sketches
+    assert abs(got["n_both_est"][0] - 5_000) <= 3 * sig * (10_000 + 10_000 + 15_000)
+
+    ev = pq_.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_type", "user_id"]).to_pandas()
+    va = set(ev.loc[ev["event_type"] == "view", "user_id"])
+    pa_ = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    exact = len(va & pa_)
+    got2 = q172_audience_overlap_hll("/root/testdata/sf0.001")
+    tol = 3 * sig * (len(va) + len(pa_) + len(va | pa_))
+    assert abs(got2["n_both_est"][0] - exact) <= max(tol, 5)
