@@ -1211,11 +1211,17 @@ def test_new_ops_tolerate_empty_tables(ray_session, tmp_path):
                  "q79_oov_rate", "q82_dsir_weights", "q89_token_and_search",
                  "q93_gopher_rules", "q76_user_running_total",
                  "q83_value_quantiles", "q87_retention_cohorts",
-                 "q88_event_type_cooccurrence"]:
+                 "q88_event_type_cooccurrence", "q166_novelty",
+                 "q167_template_dedup", "q168_overlap_stitch",
+                 "q169_stitch_rewrite", "q170_corpus_growth",
+                 "q171_source_uniqueness"]:
         got = Q.RAY_QUERIES[name](sf)
         if not isinstance(got, pd.DataFrame):
             got = got.to_pandas()
         assert len(got) == 0, name
+    # q172 on an empty events table reports zero estimates, not rows
+    got = Q.RAY_QUERIES["q172_audience_overlap_hll"](sf)
+    assert got["n_both_est"].tolist() == [0]
 
 
 def test_late_orders_semi_join_planted(ray_session, tmp_path):
