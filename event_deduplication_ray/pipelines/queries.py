@@ -8664,6 +8664,56 @@ def q172_audience_overlap_hll(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q173_boilerplate_lines(sf_dir: str) -> pd.DataFrame:
+    """Boilerplate-line MINING: the top 20 exact lines by distinct-
+    document frequency (df >= 2) — this DERIVES the boilerplate set
+    that q43/q63-style gates consume as a static input (CCNet builds
+    its list exactly this way: rank shared lines, then strip them).
+    Scale shape: vectorized line explode (q63's kernel) → per-batch
+    distinct (line, doc) → ONE line-hash shuffle with the line string
+    riding (strings move once, deduped per batch first) → per-
+    partition df counts and a top-20 partial (safe: a line's rows
+    all land in one partition, q86's eviction argument) → driver
+    merges P×20 rows.  Ties break on the line string ascending so
+    both engines order identically.  Lines trimmed of SPACES only
+    (q63's byte-parity rule); empty lines excluded."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df["text"].fillna("").str.split("\n")
+        n_lines = lines.str.len().to_numpy(np.int64)
+        doc_id = np.repeat(df["doc_id"].to_numpy(np.int64), n_lines)
+        flat = pd.Series(
+            np.concatenate([np.asarray(v, dtype=object) for v in lines])
+            if len(lines) else np.array([], dtype=object)
+        ).str.strip(" ")
+        out = pd.DataFrame({"line": flat, "doc_id": doc_id})
+        out = out[out["line"] != ""].drop_duplicates()
+        out["lkey"] = H.hash_strings_u64(out["line"]).astype(np.int64)
+        return out[["lkey", "line", "doc_id"]]
+
+    parts = ds.map_batches(explode, batch_format="pandas")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"line": pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["lkey", "doc_id"])
+        g = d.groupby(["lkey", "line"], as_index=False).agg(
+            df=("doc_id", "nunique"))
+        g = g[g["df"] >= 2]
+        g = g.sort_values(["df", "line"], ascending=[False, True]).head(20)
+        return g[["line", "df"]].astype({"df": "int64"})
+
+    out = _with_schema(
+        partition_apply(parts, ["lkey"], QCFG.join_num_partitions,
+                        topk).to_pandas(),
+        {"line": "object", "df": "int64"})
+    out = out.sort_values(["df", "line"],
+                          ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -8833,6 +8883,7 @@ RAY_QUERIES = {
     "q170_corpus_growth": q170_corpus_growth,
     "q171_source_uniqueness": q171_source_uniqueness,
     "q172_audience_overlap_hll": q172_audience_overlap_hll,
+    "q173_boilerplate_lines": q173_boilerplate_lines,
 }
 
 
@@ -11426,5 +11477,21 @@ ORACLE_SQL = {
                (n_unique * 1000000 // greatest(n_shingles, 1))::BIGINT
                    AS unique_ppm
         FROM per ORDER BY source
+    """,
+    # top boilerplate lines by distinct-doc frequency; spaces-only
+    # trim (q63 parity), (df desc, line asc) deterministic order
+    "q173_boilerplate_lines": """
+        WITH ln AS (
+            SELECT DISTINCT doc_id,
+                   trim(l, ' ') AS line
+            FROM documents,
+                 unnest(string_split(coalesce(text, ''), chr(10))) AS t(l)
+        ), g AS (
+            SELECT line, count(DISTINCT doc_id) AS df
+            FROM ln WHERE line <> ''
+            GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT line, df::BIGINT AS df
+        FROM g ORDER BY df DESC, line ASC LIMIT 20
     """,
 }

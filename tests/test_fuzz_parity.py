@@ -41,7 +41,8 @@ FUZZED = ["q34_length_quantiles", "q35_top_bigrams",
           "q157_ascii_ratio", "q158_leakfree_split",
           "q165_editdist_dedup", "q166_novelty", "q167_template_dedup",
           "q168_overlap_stitch", "q169_stitch_rewrite",
-          "q170_corpus_growth", "q171_source_uniqueness"]
+          "q170_corpus_growth", "q171_source_uniqueness",
+          "q173_boilerplate_lines"]
 
 VOCAB = [f"t{i}" for i in range(40)]
 

@@ -101,7 +101,7 @@ SQL_CHECKED = [
     "q157_ascii_ratio", "q158_leakfree_split", "q159_key_skew",
     "q165_editdist_dedup", "q166_novelty", "q167_template_dedup",
     "q168_overlap_stitch", "q169_stitch_rewrite", "q170_corpus_growth",
-    "q171_source_uniqueness",
+    "q171_source_uniqueness", "q173_boilerplate_lines",
 ]
 
 

@@ -3710,3 +3710,27 @@ def test_audience_overlap_hll(ray_session, tmp_path):
     got2 = q172_audience_overlap_hll("/root/testdata/sf0.001")
     tol = 3 * sig * (len(va) + len(pa_) + len(va | pa_))
     assert abs(got2["n_both_est"][0] - exact) <= max(tol, 5)
+
+
+def test_boilerplate_lines_planted(ray_session, tmp_path):
+    """Mining semantics: a cookie-banner line shared by 3 docs ranks
+    first, a footer in 2 docs second; a line REPEATED inside one doc
+    counts that doc once (distinct-doc df); the (df desc, line asc)
+    tie-break is deterministic; df=1 lines never appear."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q173_boilerplate_lines,
+    )
+
+    banner = "We use cookies to improve your experience."
+    footer = "All rights reserved."
+    sf = _write_tbl(tmp_path, "documents", pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"{banner}\nunique alpha\n{footer}",
+                 f"{banner}\n{banner}\nunique beta",   # in-doc repeat
+                 f"intro text\n{banner}\n{footer}"],
+    }))
+    got = q173_boilerplate_lines(sf)
+    assert got["line"].tolist() == [banner, footer]
+    assert got["df"].tolist() == [3, 2]
