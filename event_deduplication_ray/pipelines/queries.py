@@ -8392,6 +8392,45 @@ def _stitch_edges(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _assemble_stitch_chains(df: pd.DataFrame) -> pd.DataFrame:
+    """q169's per-partition chain assembly over co-located members
+    (chain_id, pos, norm).  Edges come from u64 seam-hash equality;
+    unlike the report-only q168, trimming here REWRITES text, so each
+    non-head fragment's first W tokens are confirmed as STRINGS
+    against the predecessor's last W (texts are already co-located —
+    the check is O(W) per seam) and the whole chain is dropped on a
+    collision rather than emitting a corrupted merge."""
+    recs = []
+    for cid, grp in df.groupby("chain_id"):
+        grp = grp.sort_values("pos")
+        parts_txt = []
+        prev_toks: "list[str] | None" = None
+        ok = True
+        for p, t in zip(grp["pos"], grp["norm"]):
+            toks = t.split()
+            if p == 0:
+                parts_txt.append(t)
+            else:
+                if (prev_toks is None
+                        or toks[:_STITCH_W] != prev_toks[-_STITCH_W:]):
+                    ok = False
+                    break
+                parts_txt.append(" ".join(toks[_STITCH_W:]))
+            prev_toks = toks
+        if not ok:
+            continue
+        merged = " ".join(s for s in parts_txt if s)
+        recs.append((int(cid), int(len(grp)), merged))
+    if not recs:
+        return pd.DataFrame({"chain_id": pd.Series(dtype="int64"),
+                             "n_fragments": pd.Series(dtype="int64"),
+                             "text_merged": pd.Series(dtype="object")})
+    return pd.DataFrame(recs,
+                        columns=["chain_id", "n_fragments",
+                                 "text_merged"]) \
+        .astype({"chain_id": "int64", "n_fragments": "int64"})
+
+
 def q168_overlap_stitch(sf_dir: str) -> pd.DataFrame:
     """Fragment stitching: ordered pairs (id_a, id_b) where the LAST
     8 normalized tokens of doc A equal the FIRST 8 of doc B — the
@@ -8458,30 +8497,10 @@ def q169_stitch_rewrite(sf_dir: str) -> pd.DataFrame:
                             "norm": norm})
         return out.merge(members, on="doc_id")
 
-    def assemble(df: pd.DataFrame) -> pd.DataFrame:
-        recs = []
-        for cid, grp in df.groupby("chain_id"):
-            grp = grp.sort_values("pos")
-            parts_txt = []
-            for p, t in zip(grp["pos"], grp["norm"]):
-                toks = t.split()
-                parts_txt.append(t if p == 0
-                                 else " ".join(toks[_STITCH_W:]))
-            merged = " ".join(s for s in parts_txt if s)
-            recs.append((int(cid), int(len(grp)), merged))
-        if not recs:
-            return pd.DataFrame({"chain_id": pd.Series(dtype="int64"),
-                                 "n_fragments": pd.Series(dtype="int64"),
-                                 "text_merged": pd.Series(dtype="object")})
-        return pd.DataFrame(recs,
-                            columns=["chain_id", "n_fragments",
-                                     "text_merged"]) \
-            .astype({"chain_id": "int64", "n_fragments": "int64"})
-
     got = _with_schema(
         partition_apply(ds.map_batches(member_norm, batch_format="pandas"),
                         ["chain_id"], QCFG.join_num_partitions,
-                        assemble).to_pandas(),
+                        _assemble_stitch_chains).to_pandas(),
         {"chain_id": "int64", "n_fragments": "int64",
          "text_merged": "object"})
     got = got[got["n_fragments"] >= 2]
@@ -8650,10 +8669,12 @@ def q172_audience_overlap_hll(sf_dir: str) -> pd.DataFrame:
         side: hll_merge([np.frombuffer(b, np.uint8) for b in sub["regs"]])
         for side, sub in parts.groupby("side")
     }
-    if "view" not in merged or "purchase" not in merged:
-        return pd.DataFrame({"n_viewers_est": pd.Series([0], dtype="int64"),
-                             "n_purchasers_est": [0], "n_both_est": [0]})
-    a, b = merged["view"], merged["purchase"]
+    # A missing side (e.g. zero purchase events) contributes an empty
+    # sketch — the present side's cardinality is still reported, and
+    # an empty-register HLL estimates ~0 via linear counting.
+    empty = hll_partial(np.array([], dtype=np.int64))
+    a = merged.get("view", empty)
+    b = merged.get("purchase", empty)
     na, nb = hll_estimate(a), hll_estimate(b)
     nu = hll_estimate(np.maximum(a, b))
     return pd.DataFrame({

@@ -10,9 +10,10 @@ so.  Reference parity: the reference survives worker-process loss via
 its transactional ingest (src/event_dedup/worker/orchestrator.py);
 the batch-engine equivalent is deterministic task replay.
 
-Only workers spawned AFTER the subprocess started (pid > subprocess
-pid) are killed, so the pytest session's own Ray workers are never
-touched.
+Only workers that are process-tree DESCENDANTS of the subprocess are
+killed (PPid chain walked via /proc), so the pytest session's own Ray
+workers are never touched — PID ordering is no guarantee under PID
+wraparound or when pgrep matches an unrelated process.
 """
 
 import json
@@ -23,6 +24,23 @@ import sys
 import time
 
 import pytest
+
+
+def _is_descendant_of(pid: int, ancestor: int) -> bool:
+    """Walk the PPid chain in /proc; True if `ancestor` is on it."""
+    seen = set()
+    while pid > 1 and pid not in seen:
+        seen.add(pid)
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                ppid = next((int(ln.split()[1]) for ln in f
+                             if ln.startswith("PPid:")), 0)
+        except OSError:
+            return False
+        if ppid == ancestor:
+            return True
+        pid = ppid
+    return False
 
 
 def _cli_run(docs: str, run_dir: str, kill_n: int) -> tuple[dict, int]:
@@ -40,7 +58,8 @@ def _cli_run(docs: str, run_dir: str, kill_n: int) -> tuple[dict, int]:
             continue
         out = subprocess.run(["pgrep", "-f", "ray::"],
                              capture_output=True, text=True).stdout.split()
-        mine = [int(x) for x in out if int(x) > p.pid]
+        mine = [int(x) for x in out
+                if _is_descendant_of(int(x), p.pid)]
         if mine:
             try:
                 os.kill(mine[len(mine) // 2], signal.SIGKILL)

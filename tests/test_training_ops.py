@@ -3734,3 +3734,64 @@ def test_boilerplate_lines_planted(ray_session, tmp_path):
     got = q173_boilerplate_lines(sf)
     assert got["line"].tolist() == [banner, footer]
     assert got["df"].tolist() == [3, 2]
+
+
+def test_audience_overlap_hll_one_sided(ray_session, tmp_path):
+    """A present side's cardinality survives the other side being
+    absent (views exist, zero purchase events): viewers estimate is
+    within sketch error, purchasers/intersection are ~0, and all
+    three columns are explicit int64 regardless of which branch
+    built them."""
+    import numpy as np
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        q172_audience_overlap_hll,
+    )
+
+    viewers = np.arange(8_000, dtype=np.int64)
+    sf = _write_tbl(tmp_path, "events", pd.DataFrame({
+        "event_id": np.arange(8_000, dtype=np.int64),
+        "event_type": ["view"] * 8_000,
+        "user_id": viewers,
+        "ts": pd.Timestamp("2024-01-01"),
+        "value": 1.0,
+        "props": "{}",
+    }))
+    got = q172_audience_overlap_hll(sf)
+    sig = 1.04 / np.sqrt(4096)
+    assert abs(got["n_viewers_est"][0] - 8_000) <= 3 * sig * 8_000
+    # empty-register HLL linear-counts to ~0; intersection clamps at 0
+    assert got["n_purchasers_est"][0] == 0
+    assert got["n_both_est"][0] == 0
+    assert all(str(got[c].dtype) == "int64" for c in got.columns)
+
+
+def test_stitch_rewrite_drops_seam_hash_collision():
+    """A u64 seam-hash COLLISION between two different 8-token seams
+    must not produce a corrupted merged document: the assembly kernel
+    string-verifies each seam before trimming and drops the whole
+    chain.  Drives `_assemble_stitch_chains` directly with a forged
+    collision chain (the Ray path can't plant a real u64 collision);
+    a genuine chain in the same partition still assembles."""
+    import pandas as pd
+
+    from event_deduplication_ray.pipelines.queries import (
+        _STITCH_W,
+        _assemble_stitch_chains,
+    )
+
+    w = [f"w{i}" for i in range(30)]
+    good_a = " ".join(w[0:16])        # tail = w8..w15
+    good_b = " ".join(w[8:24])        # head = w8..w15 (true seam)
+    bad_a = " ".join(w[0:16])
+    bad_b = " ".join(["x"] * _STITCH_W + ["after", "collision"])
+    df = pd.DataFrame({
+        "chain_id": [1, 1, 2, 2],
+        "pos": [0, 1, 0, 1],
+        "norm": [good_a, good_b, bad_a, bad_b],
+    })
+    got = _assemble_stitch_chains(df)
+    # chain 2's seam tokens don't match → dropped, not corrupted
+    assert got["chain_id"].tolist() == [1]
+    assert got["text_merged"].tolist() == [" ".join(w[0:24])]
