@@ -79,11 +79,13 @@ def cmd_eval(args: argparse.Namespace) -> int:
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from event_deduplication_ray.pipelines.eval import evaluate_pairs
+    from event_deduplication_ray.pipelines.eval import evaluate_pairs_ds
 
-    asn = rd.read_parquet(f"{args.run_dir}/assignments").to_pandas()
+    # only the golden docs' assignment rows are collected (bounded by
+    # the labeled pair table) — the corpus-sized table stays a Dataset
+    asn = rd.read_parquet(f"{args.run_dir}/assignments")
     gp = pq.read_table(args.golden_pairs)
-    print(json.dumps(evaluate_pairs(asn, gp).as_dict()))
+    print(json.dumps(evaluate_pairs_ds(asn, gp).as_dict()))
     return 0
 
 
@@ -348,12 +350,14 @@ def cmd_compare(args: argparse.Namespace) -> int:
     _ray_init(args.num_cpus)
     import ray.data as rd
 
-    from event_deduplication_ray.pipelines.eval import compare_runs
+    from event_deduplication_ray.pipelines.eval import compare_runs_ds
 
-    a = rd.read_parquet(f"{args.run_dir_a}/assignments").to_pandas()
-    b = rd.read_parquet(f"{args.run_dir_b}/assignments").to_pandas()
-    m = compare_runs(a[["doc_id", "cluster_id"]],
-                     b[["doc_id", "cluster_id"]])
+    # distributed contingency partials — no O(corpus) driver frame
+    a = rd.read_parquet(f"{args.run_dir_a}/assignments") \
+        .select_columns(["doc_id", "cluster_id"])
+    b = rd.read_parquet(f"{args.run_dir_b}/assignments") \
+        .select_columns(["doc_id", "cluster_id"])
+    m = compare_runs_ds(a, b)
     print(json.dumps(m, sort_keys=True))
     return 0
 

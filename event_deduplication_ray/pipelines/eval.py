@@ -298,3 +298,152 @@ def compare_runs(a: pd.DataFrame, b: pd.DataFrame) -> dict:
         "n_moved": n_moved,
     })
     return out
+
+
+def golden_slice(assignments, golden_pairs) -> pd.DataFrame:
+    """Filter an assignment Dataset to the docs a golden-pair table
+    references — the O(golden) frame every eval readout actually
+    needs, extracted WITHOUT collecting the O(corpus) table (the
+    VERDICT r3 cli.py:84 fix).  The sorted golden id array is
+    broadcast once (``ray.put``); each batch keeps matching rows via
+    one searchsorted pass.  Returns the bounded pandas frame."""
+    import ray
+
+    gp = (golden_pairs.to_pandas()
+          if isinstance(golden_pairs, pa.Table) else golden_pairs)
+    ids = np.unique(np.concatenate([
+        doc_ids_for_urls(gp["url_a"]),
+        doc_ids_for_urls(gp["url_b"]),
+    ])) if len(gp) else np.array([], dtype=np.int64)
+    if isinstance(assignments, pd.DataFrame):
+        return assignments[assignments["doc_id"].isin(ids)]
+    ids_ref = ray.put(ids)
+
+    def filt(t: pa.Table) -> pa.Table:
+        arr = ray.get(ids_ref)
+        if not len(arr) or not len(t):
+            return t.slice(0, 0)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(arr, d), len(arr) - 1)
+        return t.filter(pa.array(arr[pos] == d))
+
+    out = assignments.map_batches(filt, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in out.columns:      # zero-row collect drops schema
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "cluster_id": pd.Series(dtype="int64")})
+    return out
+
+
+def evaluate_pairs_ds(assignments, golden_pairs) -> PairMetrics:
+    """evaluate_pairs over an assignment DATASET: only the golden
+    docs' rows are collected (bounded by the labeled pair table, not
+    the corpus)."""
+    return evaluate_pairs(golden_slice(assignments, golden_pairs),
+                          golden_pairs)
+
+
+def compare_runs_ds(a, b, num_parts: int = 32) -> dict:
+    """compare_runs over two assignment DATASETS — identical output,
+    no O(corpus) driver frame (the VERDICT r3 cli.py:353 fix).
+
+    Shape: ONE doc_id cogroup joins the two label columns and emits
+    per-partition cell partials (cluster_a, cluster_b, n), chained —
+    no barrier — into a (cluster_a, cluster_b) shuffle that finalizes
+    GLOBAL cells per partition.  The global-cells dataset (bounded by
+    distinct cluster pairs) is then reduced twice — keyed by
+    cluster_a and by cluster_b — each pass emitting ONE partial row
+    per partition (Σ C(sz,2), fan-out counts, largest-cell sums, plus
+    the ARI index term on the A pass; every cell row lives in exactly
+    one partition of each keying, so the partials sum exactly).
+    Driver traffic: 2·P single-row partials + three scalars."""
+    from event_deduplication_ray.stages.shuffle import (
+        cogroup_apply,
+        partition_apply,
+    )
+
+    n_a, n_b = a.count(), b.count()
+
+    def cells_partial(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l) or not len(r):
+            return pd.DataFrame({"ca": pd.Series(dtype="int64"),
+                                 "cb": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        m = l.merge(r, on="doc_id", suffixes=("_a", "_b"))
+        g = m.groupby(["cluster_id_a", "cluster_id_b"]).size() \
+            .rename("n").reset_index()
+        return g.rename(columns={"cluster_id_a": "ca",
+                                 "cluster_id_b": "cb"}) \
+            .astype({"ca": "int64", "cb": "int64", "n": "int64"})
+
+    shuffled = cogroup_apply(
+        a, b, ["doc_id"], ["doc_id"], num_parts, cells_partial,
+        out_keys=["ca", "cb"])
+
+    def cells_final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"ca": pd.Series(dtype="int64"),
+                                 "cb": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        return (df.groupby(["ca", "cb"], as_index=False)["n"].sum()
+                .astype({"ca": "int64", "cb": "int64", "n": "int64"}))
+
+    cells = partition_apply(shuffled, ["ca", "cb"], num_parts,
+                            cells_final).materialize()
+
+    def a_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame([{"sum2": 0, "k1": 0, "split": 0,
+                                  "largest": 0, "index": 0, "common": 0}],
+                                dtype="int64")
+        n = df["n"].to_numpy(np.int64)
+        g = df.groupby("ca")["n"].agg(k="size", sz="sum", mx="max")
+        sz = g["sz"].to_numpy(np.int64)
+        return pd.DataFrame([{
+            "sum2": int((sz * (sz - 1) // 2).sum()),
+            "k1": int(len(g)),
+            "split": int(((g["k"] > 1) & (g["sz"] >= 2)).sum()),
+            "largest": int(g["mx"].sum()),
+            "index": int((n * (n - 1) // 2).sum()),
+            "common": int(n.sum()),
+        }], dtype="int64")
+
+    def b_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame([{"sum2": 0, "k1": 0, "merged": 0}],
+                                dtype="int64")
+        g = df.groupby("cb")["n"].agg(k="size", sz="sum")
+        sz = g["sz"].to_numpy(np.int64)
+        return pd.DataFrame([{
+            "sum2": int((sz * (sz - 1) // 2).sum()),
+            "k1": int(len(g)),
+            "merged": int(((g["k"] > 1) & (g["sz"] >= 2)).sum()),
+        }], dtype="int64")
+
+    pa_ = partition_apply(cells, ["ca"], num_parts, a_partial) \
+        .to_pandas().sum()
+    pb_ = partition_apply(cells, ["cb"], num_parts, b_partial) \
+        .to_pandas().sum()
+
+    n = int(pa_.get("common", 0))
+    out = {"n_common": n, "n_only_a": int(n_a - n),
+           "n_only_b": int(n_b - n)}
+    if n == 0:
+        out.update({"ari": 1.0, "n_clusters_a": 0, "n_clusters_b": 0,
+                    "n_split_a": 0, "n_merged_b": 0, "n_moved": 0})
+        return out
+    index = int(pa_["index"])
+    sum_a, sum_b = int(pa_["sum2"]), int(pb_["sum2"])
+    total = n * (n - 1) // 2
+    expected = (sum_a * sum_b / total) if total else 0.0
+    max_index = (sum_a + sum_b) / 2.0
+    denom = max_index - expected
+    ari = 1.0 if denom == 0 else (index - expected) / denom
+    out.update({
+        "ari": round(float(ari), 6),
+        "n_clusters_a": int(pa_["k1"]),
+        "n_clusters_b": int(pb_["k1"]),
+        "n_split_a": int(pa_["split"]),
+        "n_merged_b": int(pb_["merged"]),
+        "n_moved": int(n - int(pa_["largest"])),
+    })
+    return out

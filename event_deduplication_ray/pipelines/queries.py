@@ -7829,41 +7829,81 @@ def q160_quality_classifier(sf_dir: str) -> pd.DataFrame:
     accuracy, rank-AUC of the score against the seed labels (the
     driver embeddings are only weakly label-clustered, so AUC — not
     0/1 accuracy — is the informative number), and the top-(seed-
-    size) keep count.  The AUC join collects (score, label) pairs —
-    an EVAL readout bounded by the labeled-seed size, like
-    eval.evaluate_pairs; production scoring stays the lazy Dataset.
-    Rows-only (iterative float fixpoint); planted-separability,
-    determinism and partition-invariance gates in
-    tests/test_classify.py."""
-    from event_deduplication_ray.stages.classify import (
-        logreg_fit,
-        logreg_score,
-        scored_frame,
-    )
+    size) keep count.  The AUC rides per-partition RANK-HISTOGRAM
+    partials — each batch scores AND bins (label already on the row,
+    so no join) into a sparse (bin, n_pos, n_neg) table; the driver
+    merges <= min(rows, 2^20) tiny rows per partition and computes
+    the rank-sum U from bin cumulatives (scores within one 1.2e-4-
+    wide bin tie at half credit — the average-rank convention the
+    exact formula uses for equal floats).  Nothing O(table) reaches
+    the driver.  seed_recall counts positives among the global
+    top-n_pos scores; the boundary bin contributes proportionally
+    (deterministic, partition-order-free).  Rows-only (iterative
+    float fixpoint); planted-separability, determinism and
+    partition-invariance gates in tests/test_classify.py."""
+    from event_deduplication_ray.stages.classify import logreg_fit
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
     fit = logreg_fit(emb, QCFG, positive=0, n_iters=30, lr=12.0, l2=1e-4)
-    scored = scored_frame(logreg_score(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), fit["w"]))
-    lab = _read(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
-    j = scored.merge(lab, on="vec_id")
-    y = (j["label"].to_numpy(np.int64) == 0)
-    n_p, n_n = int(y.sum()), int((~y).sum())
+
+    from event_deduplication_ray.stages.classify import (
+        _emb_matrix,
+        _normalize_rows,
+    )
+
+    wv = np.asarray(fit["w"], np.float64)
+    B, Z = 1 << 20, 64.0          # bins over clipped margin [-Z, Z]
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        X = _normalize_rows(_emb_matrix(t["embedding"]))
+        if not len(X):
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n_pos": pa.array([], pa.int64()),
+                             "n_neg": pa.array([], pa.int64())})
+        z = np.clip(X @ wv[:-1] + wv[-1], -Z, Z)
+        bins = np.minimum((z + Z) * (B / (2 * Z)), B - 1).astype(np.int64)
+        y = t["label"].to_numpy(zero_copy_only=False).astype(np.int64) == 0
+        u_bins = np.unique(bins)
+        pos = np.bincount(np.searchsorted(u_bins, bins[y]),
+                          minlength=len(u_bins))
+        neg = np.bincount(np.searchsorted(u_bins, bins[~y]),
+                          minlength=len(u_bins))
+        return pa.table({"bin": pa.array(u_bins),
+                         "n_pos": pa.array(pos.astype(np.int64)),
+                         "n_neg": pa.array(neg.astype(np.int64))})
+
+    h = (emb.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+         .groupby("bin", as_index=False).sum().sort_values("bin"))
+    n_p = int(h["n_pos"].sum()) if len(h) else 0
+    n_n = int(h["n_neg"].sum()) if len(h) else 0
     if n_p and n_n:
-        ranks = j["score"].rank(method="average").to_numpy()
-        u = ranks[y].sum() - n_p * (n_p + 1) / 2
+        npos = h["n_pos"].to_numpy(np.float64)
+        nneg = h["n_neg"].to_numpy(np.float64)
+        cum_neg_below = np.concatenate([[0.0], np.cumsum(nneg)[:-1]])
+        u = float((npos * (cum_neg_below + 0.5 * nneg)).sum())
         auc_ppm = int(1_000_000 * u / (n_p * n_n))
     else:
         auc_ppm = 0
-    kept = j.nlargest(n_p, "score") if n_p else j.iloc[:0]
+    if n_p:
+        # top-n_p cutoff walked from the highest bin; the boundary
+        # bin's positives count proportionally to the rows taken
+        tot = (h["n_pos"] + h["n_neg"]).to_numpy(np.int64)[::-1]
+        posr = h["n_pos"].to_numpy(np.int64)[::-1]
+        cum = np.cumsum(tot)
+        k = int(np.searchsorted(cum, n_p))         # boundary bin idx
+        full = int(posr[:k].sum())
+        taken = n_p - (int(cum[k - 1]) if k else 0)
+        frac = (taken * int(posr[k])) // max(int(tot[k]), 1) \
+            if k < len(tot) else 0
+        seed_recall_ppm = 1_000_000 * (full + frac) // n_p
+    else:
+        seed_recall_ppm = 0
     return pd.DataFrame({
         "n": [np.int64(fit["n"])],
         "n_pos": [np.int64(fit["n_pos"])],
         "train_accuracy_ppm": [np.int64(fit["accuracy_ppm"])],
         "auc_ppm": [np.int64(auc_ppm)],
-        "seed_recall_at_seed_ppm": [np.int64(
-            1_000_000 * int(y[j.index.isin(kept.index)].sum())
-            // max(n_p, 1))],
+        "seed_recall_at_seed_ppm": [np.int64(seed_recall_ppm)],
     })
 
 

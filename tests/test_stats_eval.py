@@ -217,3 +217,80 @@ def test_compare_runs_trivial_denominator():
     a = pd.DataFrame({"doc_id": [1, 2, 3], "cluster_id": [1, 1, 1]})
     b = pd.DataFrame({"doc_id": [1, 2, 3], "cluster_id": [9, 9, 9]})
     assert compare_runs(a, b)["ari"] == 1.0
+
+
+def test_compare_runs_ds_matches_pandas(ray_session):
+    """compare_runs_ds (distributed contingency partials) must equal
+    the pandas compare_runs on every edge the pandas gates cover:
+    identical runs, a hand ARI, splits+merges with disjoint docs, a
+    random 2k-doc relabeling (multi-partition cells), and zero
+    overlap."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from event_deduplication_ray.pipelines.eval import (
+        compare_runs,
+        compare_runs_ds,
+    )
+
+    rng = np.random.default_rng(7)
+    big_a = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64),
+                          "cluster_id": rng.integers(0, 120, 2000)})
+    big_b = big_a.copy()
+    big_b["cluster_id"] = np.where(rng.random(2000) < 0.3,
+                                   rng.integers(0, 120, 2000),
+                                   big_b["cluster_id"])
+    cases = [
+        (big_a, big_a.copy()),
+        (big_a, big_b),
+        (pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "cluster_id": [1, 1, 2, 2]}),
+         pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "cluster_id": [1, 1, 1, 2]})),
+        (pd.DataFrame({"doc_id": [1, 2, 3],
+                       "cluster_id": [1, 1, 2]}),
+         pd.DataFrame({"doc_id": [3, 4, 5],
+                       "cluster_id": [9, 9, 8]})),
+        (pd.DataFrame({"doc_id": [1], "cluster_id": [1]}),
+         pd.DataFrame({"doc_id": [2], "cluster_id": [1]})),
+    ]
+    for a, b in cases:
+        want = compare_runs(a[["doc_id", "cluster_id"]].astype("int64"),
+                            b[["doc_id", "cluster_id"]].astype("int64"))
+        got = compare_runs_ds(rd.from_pandas(a.astype("int64")),
+                              rd.from_pandas(b.astype("int64")),
+                              num_parts=4)
+        assert got == want, (got, want)
+
+
+def test_evaluate_pairs_ds_matches_pandas(ray_session, corpus_dir):
+    """The bounded golden-slice path must reproduce the full-collect
+    metrics on the fixture corpus truth (and on an empty golden
+    table)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from event_deduplication_ray.functions.hashing import doc_ids_for_urls
+    from event_deduplication_ray.pipelines.eval import (
+        evaluate_pairs,
+        evaluate_pairs_ds,
+    )
+
+    gp = pq.read_table(f"{corpus_dir}/golden_pairs.parquet")
+    gpd = gp.to_pandas()
+    # synthetic assignments: cluster by min golden partner
+    ids = pd.unique(pd.concat([
+        pd.Series(doc_ids_for_urls(gpd["url_a"])),
+        pd.Series(doc_ids_for_urls(gpd["url_b"]))]))
+    asn = pd.DataFrame({"doc_id": ids.astype("int64")})
+    asn["cluster_id"] = (asn["doc_id"] % 97).astype("int64")
+    want = evaluate_pairs(asn, gp).as_dict()
+    got = evaluate_pairs_ds(rd.from_pandas(asn), gp).as_dict()
+    assert got == want
+
+    empty = pa.Table.from_pandas(gpd.iloc[:0])
+    m = evaluate_pairs_ds(rd.from_pandas(asn), empty)
+    assert (m.tp, m.fp, m.fn, m.tn) == (0, 0, 0, 0)
