@@ -51,6 +51,17 @@ class DedupConfig:
     # groups larger than max_block_pairs fall back to star+chain pair
     # enumeration (O(n) pairs, connectivity-preserving) and are counted
     # in stage metrics as "salted" groups.
+    # hot_pair_mode picks the hot-group policy:
+    #   "star_chain" (default): hub star + consecutive-by-id chain —
+    #     O(g) pairs, connectivity survives a dissimilar hub.
+    #   "salted": the north rule's literal "explicit salting of hot
+    #     band-keys" (reference bounds blocks by construction at
+    #     matching/candidate_pairs.py:31-76): a deterministic doc-hash
+    #     salt splits the hot key into ~cap-sized subgroups, all-pairs
+    #     within each subgroup, star+chain over the subgroup minima to
+    #     keep the family connected — O(g·cap) pairs, denser local
+    #     evidence than one chain at higher pair volume.
+    hot_pair_mode: str = "star_chain"
 
     # --- clustering guards (reference coherence validator analog, C2,
     # /root/reference/src/event_dedup/clustering/coherence.py:16-65:

@@ -5179,7 +5179,7 @@ def q124_cluster_labels(sf_dir: str) -> pd.DataFrame:
         * np.log(n_docs / sc["df"].to_numpy(np.int64)), 6)
     sc = sc.sort_values(["cluster_id", "score", "token"],
                         ascending=[True, False, True])
-    out = sc.groupby("cluster_id").head(3)
+    out = sc.groupby("cluster_id").head(3).copy()
     out["cluster_id"] = out["cluster_id"].astype("int64")
     return out[["cluster_id", "token", "score"]].reset_index(drop=True)
 

@@ -126,9 +126,24 @@ def connected_components(edges: Dataset, cfg: DedupConfig) -> Dataset:
         )
         return pa.table({"u": pa.array(nodes), "v": pa.array(roots)})
 
+    def pre_contract(t: pa.Table) -> pa.Table:
+        # per-block union-find FUSED into the split tasks (pre_fn):
+        # the (id_a, id_b) → (u, v) star contraction happens inside
+        # the shuffle's own wave instead of as a separate map stage —
+        # one fewer task wave + no intermediate star table in the
+        # object store.  Final labels are component minima, invariant
+        # to how blocks are grouped for contraction.
+        if len(t) == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        nodes, roots = union_find_contract(
+            t["id_a"].to_numpy(), t["id_b"].to_numpy()
+        )
+        return pa.table({"u": pa.array(nodes), "v": pa.array(roots)})
+
     star = partition_apply(
-        local_unionfind_contract(edges), ["u"], P, contract_part,
-        batch_format="pyarrow",
+        edges, ["u"], P, contract_part,
+        pre_fn=pre_contract, batch_format="pyarrow",
     ).materialize()
     n_star = star.count()
     if n_star == 0:

@@ -148,7 +148,11 @@ def decode_media(
         fn_constructor_args=(decoder,),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # (1, N): the pool may scale down to one actor when the
+        # input has fewer blocks than N (silences Ray's min-
+        # concurrency warning on tiny inputs; big inputs still
+        # fan out to N)
+        concurrency=(1, concurrency),
     )
 
 
@@ -161,7 +165,11 @@ def media_features(
         fn_constructor_args=(decoder, dim),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # (1, N): the pool may scale down to one actor when the
+        # input has fewer blocks than N (silences Ray's min-
+        # concurrency warning on tiny inputs; big inputs still
+        # fan out to N)
+        concurrency=(1, concurrency),
     )
 
 
@@ -289,7 +297,11 @@ def resize_media(
         fn_constructor_args=(decoder, max_w, max_h),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # (1, N): the pool may scale down to one actor when the
+        # input has fewer blocks than N (silences Ray's min-
+        # concurrency warning on tiny inputs; big inputs still
+        # fan out to N)
+        concurrency=(1, concurrency),
     )
 
 
@@ -375,7 +387,11 @@ def frame_samples(
         fn_constructor_args=(decoder, stride, max_frames),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # (1, N): the pool may scale down to one actor when the
+        # input has fewer blocks than N (silences Ray's min-
+        # concurrency warning on tiny inputs; big inputs still
+        # fan out to N)
+        concurrency=(1, concurrency),
     )
 
 
@@ -424,7 +440,11 @@ def media_fingerprints(
         fn_constructor_args=(decoder, grid),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # (1, N): the pool may scale down to one actor when the
+        # input has fewer blocks than N (silences Ray's min-
+        # concurrency warning on tiny inputs; big inputs still
+        # fan out to N)
+        concurrency=(1, concurrency),
     )
 
 

@@ -23,8 +23,11 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from event_deduplication_ray.config import DedupConfig
+from event_deduplication_ray.functions import hashing as H
 from event_deduplication_ray.functions.hashing import hamming_distance_u64
 from event_deduplication_ray.stages.shuffle import partition_apply
+
+U64 = np.uint64
 
 
 def _chain_pairs(groups: pd.DataFrame, key: str) -> pd.DataFrame:
@@ -152,12 +155,16 @@ def _group_offsets(ks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def _enumerate_pair_rows(
     starts: np.ndarray, sizes: np.ndarray, cap: int,
     hub_rows_hot: np.ndarray | None = None,
+    mode: str = "star_chain",
+    ds: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Row-index pairs over (key, doc_id)-sorted rows: all-pairs for
-    groups of 2..cap, star(hub)+chain for larger groups (the skew
-    policy documented on `_pairs_from_groups`).  ``hub_rows_hot``
-    overrides the hub row per hot group (default: group start = min
-    doc_id).  Returns (a_rows, b_rows); with the default hub both are
+    groups of 2..cap; hot groups (> cap) use ``mode`` — "star_chain"
+    (hub star + consecutive chain) or "salted" (doc-hash salt into
+    ~cap-sized subgroups; see DedupConfig.hot_pair_mode; requires
+    ``ds``, ignores ``hub_rows_hot``).  ``hub_rows_hot`` overrides
+    the hub row per hot group (default: group start = min doc_id).
+    Returns (a_rows, b_rows); with the default hub both are
     doc_id-ascending within each pair."""
     a_parts: list[np.ndarray] = []
     b_parts: list[np.ndarray] = []
@@ -177,7 +184,13 @@ def _enumerate_pair_rows(
             b_parts.append((st[:, None] + j[None, :]).ravel())
     hot = sizes > cap
     hstarts, hsizes = starts[hot], sizes[hot]
-    if len(hsizes):
+    if len(hsizes) and mode == "salted":
+        if ds is None:
+            raise ValueError("salted hot_pair_mode needs the doc array")
+        a, b = _salted_pair_rows(hstarts, hsizes, cap, ds)
+        a_parts.append(a)
+        b_parts.append(b)
+    elif len(hsizes):
         tot = int(hsizes.sum())
         pos = np.arange(tot) - np.repeat(np.cumsum(hsizes) - hsizes, hsizes)
         rows = np.repeat(hstarts, hsizes) + pos
@@ -195,6 +208,52 @@ def _enumerate_pair_rows(
         z = np.empty(0, np.int64)
         return z, z
     return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _salted_pair_rows(
+    hstarts: np.ndarray, hsizes: np.ndarray, cap: int, ds: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Salted hot-group enumeration (DedupConfig.hot_pair_mode =
+    "salted"): each hot group's members are split into
+    ceil(g / cap) subgroups by a deterministic splitmix hash of
+    doc_id (the "explicit salting of hot band-keys" the north rule
+    names), all-pairs enumerated within each subgroup for dense local
+    evidence, plus the consecutive-by-doc_id chain across the whole
+    group for cross-subgroup connectivity (NOT subgroup-minimum
+    representatives: a dissimilar rep would disconnect its subgroup —
+    the same failure mode the star_chain chain guards against).
+    ~O(g·cap) pairs per group; every returned pair is doc_id-
+    ascending (rows are swapped where needed so callers can gather
+    payload by row index on either side)."""
+    tot = int(hsizes.sum())
+    pos = np.arange(tot) - np.repeat(np.cumsum(hsizes) - hsizes, hsizes)
+    rows = np.repeat(hstarts, hsizes) + pos
+    gidx = np.repeat(np.arange(len(hsizes), dtype=np.int64), hsizes)
+    n_sub = np.repeat(-(-hsizes // cap), hsizes)      # ceil(g/cap), per row
+    salt = (H._splitmix_array(ds[rows].astype(np.uint64), H._GOLDEN, U64(0))
+            % n_sub.astype(np.uint64)).astype(np.int64)
+    # order by (group, salt, doc): pos is doc-ascending within a group
+    order = np.lexsort((pos, salt, gidx))
+    rows_s, g_s, salt_s = rows[order], gidx[order], salt[order]
+    comb = g_s * int(n_sub.max() + 1) + salt_s        # unique per subgroup
+    sub_starts, sub_sizes = _group_offsets(comb)
+    # all-pairs within each subgroup (sizes ~cap; no inner cap so the
+    # binomial tail of the hash split can't re-trigger hot handling)
+    a_pos, b_pos = _enumerate_pair_rows(sub_starts, sub_sizes,
+                                        cap=int(sub_sizes.max()))
+    a_parts = [rows_s[a_pos]]
+    b_parts = [rows_s[b_pos]]
+    # chain: consecutive members by doc_id across the whole group
+    m2 = pos > 0
+    a_parts.append(rows[m2] - 1)
+    b_parts.append(rows[m2])
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    da, db = ds[a], ds[b]
+    sw = da > db
+    a2 = np.where(sw, b, a)
+    b2 = np.where(sw, a, b)
+    return a2, b2
 
 
 def _unique_pairs(ia: np.ndarray, ib: np.ndarray, *extras: np.ndarray):
@@ -225,21 +284,23 @@ def minhash_candidate_pairs(
     """
     cap = cfg.max_block_pairs
     P = cfg.join_num_partitions
+    mode = cfg.hot_pair_mode
 
     def gen(t: pa.Table) -> pa.Table:
-        return minhash_pair_table(t, cap)
+        return minhash_pair_table(t, cap, mode=mode)
 
     return partition_apply(band_table, ["band_key"], P, gen, pre_fn=pre_fn,
                            out_keys=out_keys, batch_format="pyarrow")
 
 
-def minhash_pair_table(t: pa.Table, cap: int) -> pa.Table:
+def minhash_pair_table(t: pa.Table, cap: int,
+                       mode: str = "star_chain") -> pa.Table:
     """One partition's (band_key, doc_id) rows → deduped (id_a, id_b)."""
     k = t["band_key"].to_numpy(zero_copy_only=False)
     d = t["doc_id"].to_numpy(zero_copy_only=False)
     ks, ds, _ = _sorted_dedup(k, d, [])
     starts, sizes = _group_offsets(ks)
-    a, b = _enumerate_pair_rows(starts, sizes, cap)
+    a, b = _enumerate_pair_rows(starts, sizes, cap, mode=mode, ds=ds)
     # dedup across ALL band keys of this partition (a pair often
     # collides in many bands) — shrinks the shuffle into verify
     ia, ib, _ = _unique_pairs(ds[a], ds[b])
@@ -257,9 +318,10 @@ def simhash_match_pairs(
     cap = cfg.max_block_pairs
     P = cfg.join_num_partitions
     radius, bits = cfg.hamming_radius, cfg.simhash_bits
+    mode = cfg.hot_pair_mode
 
     def gen(t: pa.Table) -> pa.Table:
-        return simhash_pair_table(t, cap, radius, bits)
+        return simhash_pair_table(t, cap, radius, bits, mode=mode)
 
     # chained: gen's merge tasks emit pre-split by (id_a, id_b) — the
     # dedup wave starts per-partition with no driver barrier
@@ -275,7 +337,8 @@ def simhash_match_pairs(
     return partition_apply(raw, ["id_a", "id_b"], P, dedup)
 
 
-def simhash_pair_table(t: pa.Table, cap: int, radius: int, bits: int) -> pa.Table:
+def simhash_pair_table(t: pa.Table, cap: int, radius: int, bits: int,
+                       mode: str = "star_chain") -> pa.Table:
     """One partition's (band_key, doc_id, simhash) rows →
     Hamming-verified (id_a, id_b, score)."""
     k = t["band_key"].to_numpy(zero_copy_only=False)
@@ -283,7 +346,7 @@ def simhash_pair_table(t: pa.Table, cap: int, radius: int, bits: int) -> pa.Tabl
     sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
     ks, ds, (shs,) = _sorted_dedup(k, d, [sh])
     starts, sizes = _group_offsets(ks)
-    a, b = _enumerate_pair_rows(starts, sizes, cap)
+    a, b = _enumerate_pair_rows(starts, sizes, cap, mode=mode, ds=ds)
     dist = hamming_distance_u64(shs[a], shs[b])
     m = dist <= radius
     a, b = a[m], b[m]
@@ -298,6 +361,7 @@ def simhash_pair_table(t: pa.Table, cap: int, radius: int, bits: int) -> pa.Tabl
 def substring_match_pairs(
     fp_table: Dataset, cfg: DedupConfig, pre_fn=None,
     emit_below: float | None = None,
+    nf_table: "Dataset | None" = None,
 ) -> Dataset:
     """(fp_key, doc_id, n_fps) → containment-verified pairs.
 
@@ -309,6 +373,18 @@ def substring_match_pairs(
     hard negatives q162 trains a matcher on (docs that share real
     substrings yet are not duplicates).
 
+    Shuffle shape (VERDICT r3 bytes cut): the pair PARTIALS carry
+    only (id_a, id_b, shared:int32) — 20 B/row instead of the former
+    40 B with na/nb riding every row of the engine's biggest table.
+    After the (id_a, id_b) merge the containment denominators attach
+    from ``nf_table`` (doc_id → n_fps, 12 B/doc — see
+    banding.substring_nf_table) via two chained cogroups keyed id_a
+    then id_b, exactly the minhash-verify signature-attach pattern.
+    ``nf_table`` is REQUIRED unless ``fp_table`` is a signatures
+    dataset (has substr_fps) — then it is derived internally.
+    Scores, decisions and hub selection are bit-identical to the
+    former na/nb-riding shape (equivalence-tested).
+
     Skew: fp groups larger than ``max_block_pairs`` (hot templates)
     use star pairing against a hub — the member with the FEWEST total
     fingerprints (deterministic (n_fps, doc_id) tie-break).  The
@@ -319,68 +395,144 @@ def substring_match_pairs(
     (true boilerplate carries no containment signal).
     Output: id_a, id_b, score (containment), decision, tier.
     """
+    from event_deduplication_ray.stages.shuffle import (
+        cogroup_apply,
+        shuffle_to,
+    )
+
     cap = cfg.substring_small_cap
     drop_cap = cfg.substring_drop_group
     P = cfg.join_num_partitions
     thresh = cfg.substring_containment
+    mode = cfg.hot_pair_mode
+
+    if nf_table is None:
+        if "substr_fps" in fp_table.schema().names:
+            from event_deduplication_ray.stages.banding import (
+                substring_nf_table,
+            )
+
+            nf_table = substring_nf_table(fp_table, cfg)
+        else:
+            # already-exploded input: every row carries the doc's
+            # TOTAL n_fps, so per-batch distinct (doc_id, n_fps) IS
+            # the nf table (duplicate rows across batches carry the
+            # same value — harmless for the searchsorted attach)
+            def batch_nf(t: pa.Table) -> pa.Table:
+                d = t["doc_id"].to_numpy(zero_copy_only=False)
+                nf = t["n_fps"].to_numpy(zero_copy_only=False)
+                o = np.argsort(d, kind="stable")
+                d = d[o]
+                keep = np.empty(len(d), dtype=bool)
+                if len(d):
+                    keep[0] = True
+                    keep[1:] = d[1:] != d[:-1]
+                return pa.table({
+                    "doc_id": pa.array(d[keep]),
+                    "n_fps": pa.array(nf[o][keep].astype(np.int32),
+                                      pa.int32()),
+                })
+
+            nf_table = fp_table.map_batches(batch_nf,
+                                            batch_format="pyarrow")
 
     def gen(t: pa.Table) -> pa.Table:
-        return substring_shared_table(t, cap, drop_cap)
+        return substring_shared_table(t, cap, drop_cap, mode=mode)
 
+    # keyed by id_a ONLY: that already co-locates every partial of a
+    # pair (same id_a → same partition), so the partial merge fuses
+    # into the na attach — 3 waves total (gen → merge+attach_a →
+    # attach_b) instead of 4
     shared_rows = partition_apply(fp_table, ["fp_key"], P, gen, pre_fn=pre_fn,
-                                  out_keys=["id_a", "id_b"],
+                                  out_keys=["id_a"],
                                   batch_format="pyarrow")
 
-    def agg(t: pa.Table) -> pa.Table:
+    nf_by_id = shuffle_to(nf_table, ["doc_id"], P)
+
+    def _nf_of(ids: np.ndarray, r: pa.Table) -> np.ndarray:
+        # an all-empty shuffle partition arrives column-less
+        if "doc_id" not in r.column_names or len(r) == 0:
+            return np.full(len(ids), -1, dtype=np.int64)
+        did = r["doc_id"].to_numpy(zero_copy_only=False)
+        nf = r["n_fps"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(did, kind="stable")
+        did, nf = did[o], nf[o]
+        pos = np.minimum(np.searchsorted(did, ids), len(did) - 1)
+        return np.where(did[pos] == ids, nf[pos], -1)
+
+    def merge_attach_a(l: pa.Table, r: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "shared": pa.array([], pa.int64()),
+            "na": pa.array([], pa.int64()),
+        })
+        if len(l) == 0 or "id_a" not in l.column_names:
+            return empty
+        ia = l["id_a"].to_numpy(zero_copy_only=False)
+        ib = l["id_b"].to_numpy(zero_copy_only=False)
+        sh = l["shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ib, ia))
+        ia, ib, sh = ia[order], ib[order], sh[order]
+        run = np.empty(len(ia), dtype=bool)
+        run[0] = True
+        run[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        rstart = np.flatnonzero(run)
+        ia, ib = ia[rstart], ib[rstart]
+        return pa.table({
+            "id_a": pa.array(ia), "id_b": pa.array(ib),
+            "shared": pa.array(np.add.reduceat(sh, rstart)),
+            "na": pa.array(_nf_of(ia, r)),
+        })
+
+    with_a = cogroup_apply(shared_rows, nf_by_id, ["id_a"], ["doc_id"], P,
+                           merge_attach_a, batch_format="pyarrow",
+                           out_keys=["id_b"], out_parts=P)
+
+    def attach_b(l: pa.Table, r: pa.Table) -> pa.Table:
         empty = pa.table({
             "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
             "score": pa.array([], pa.float64()),
             "decision": pa.array([], pa.string()),
             "tier": pa.array([], pa.string()),
         })
-        if len(t) == 0:
+        if len(l) == 0:
             return empty
-        ia = t["id_a"].to_numpy(zero_copy_only=False)
-        ib = t["id_b"].to_numpy(zero_copy_only=False)
-        sh = t["shared"].to_numpy(zero_copy_only=False)
-        na = t["na"].to_numpy(zero_copy_only=False)
-        nb = t["nb"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ib, ia))
-        ia, ib = ia[order], ib[order]
-        sh, na, nb = sh[order], na[order], nb[order]
-        run = np.empty(len(ia), dtype=bool)
-        run[0] = True
-        run[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
-        rstart = np.flatnonzero(run)
-        shared = np.add.reduceat(sh, rstart)
-        na1, nb1 = na[rstart], nb[rstart]
-        score = shared / np.minimum(na1, nb1)
-        m = score >= thresh
+        nb = _nf_of(l["id_b"].to_numpy(zero_copy_only=False), r)
+        na = l["na"].to_numpy(zero_copy_only=False)
+        sh = l["shared"].to_numpy(zero_copy_only=False)
+        ok = (na > 0) & (nb > 0)          # gate-passing docs only
+        score = np.zeros(len(sh), dtype=np.float64)
+        np.divide(sh, np.minimum(na, nb), out=score, where=ok)
+        m = ok & (score >= thresh)
         if emit_below is not None:
-            m = score >= emit_below
+            m = ok & (score >= emit_below)
         dec = np.where(score >= thresh, "match", "no_match")
         return pa.table({
-            "id_a": pa.array(ia[rstart][m]), "id_b": pa.array(ib[rstart][m]),
+            "id_a": pa.array(l["id_a"].to_numpy(zero_copy_only=False)[m]),
+            "id_b": pa.array(l["id_b"].to_numpy(zero_copy_only=False)[m]),
             "score": pa.array(score[m]),
             "decision": pa.array(dec[m].astype(object), pa.string()),
             "tier": pa.array(np.full(int(m.sum()), "substring"), pa.string()),
         })
 
-    return partition_apply(shared_rows, ["id_a", "id_b"], P, agg,
-                           batch_format="pyarrow")
+    return cogroup_apply(with_a, nf_by_id, ["id_b"], ["doc_id"], P,
+                         attach_b, batch_format="pyarrow")
 
 
-def substring_shared_table(t: pa.Table, cap: int, drop_cap: int) -> pa.Table:
+def substring_shared_table(t: pa.Table, cap: int, drop_cap: int,
+                           mode: str = "star_chain") -> pa.Table:
     """One partition's (fp_key, doc_id, n_fps) rows → partial
-    per-pair shared-fingerprint counts (id_a, id_b, shared, na, nb).
+    per-pair shared-fingerprint counts (id_a, id_b, shared:int32).
 
     All rows of one fp group are in this partition; a pair spanning
-    several fp groups in OTHER partitions is summed in the agg stage.
+    several fp groups in OTHER partitions is summed in the merge
+    stage.  n_fps is read here ONLY for hot-group hub selection —
+    the containment denominators attach later from the per-doc nf
+    table, so they no longer ride every partial row.
     """
     empty = pa.table({
         "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-        "shared": pa.array([], pa.int64()),
-        "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64()),
+        "shared": pa.array([], pa.int32()),
     })
     k = t["fp_key"].to_numpy(zero_copy_only=False)
     d = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -395,7 +547,7 @@ def substring_shared_table(t: pa.Table, cap: int, drop_cap: int) -> pa.Table:
         return empty
     hub = None
     hot_mask = sizes2 > cap
-    if hot_mask.any():
+    if hot_mask.any() and mode != "salted":
         # hub = min (n_fps, doc_id) row per group: least-padded, hence
         # most-contained member — its containment vs every member is
         # ~1.0 for true duplicate families.  Lexsort only the HOT
@@ -412,28 +564,27 @@ def substring_shared_table(t: pa.Table, cap: int, drop_cap: int) -> pa.Table:
         first[0] = True
         first[1:] = ks2[1:] != ks2[:-1]
         hub = rows[order2[first]]         # one per hot group, group order
-    a, b = _enumerate_pair_rows(starts2, sizes2, cap, hub_rows_hot=hub)
+    a, b = _enumerate_pair_rows(starts2, sizes2, cap, hub_rows_hot=hub,
+                                mode=mode, ds=ds)
     if len(a) == 0:
         return empty
     ia, ib = ds[a].copy(), ds[b].copy()
-    na, nb = nfs[a].copy(), nfs[b].copy()
     sw = ia > ib                          # custom hub can break ordering
     tmp = ia[sw]; ia[sw] = ib[sw]; ib[sw] = tmp
-    tmp = na[sw]; na[sw] = nb[sw]; nb[sw] = tmp
     # per-(group, pair) dedup (star + chain can emit the same pair
     # within one group — it must count ONCE toward 'shared'), then
     # partial shared-count per pair across this partition's groups
     ga = np.searchsorted(starts2, a, side="right") - 1
     order = np.lexsort((ib, ia, ga))
     ga_s = ga[order]
-    ia, ib, na, nb = ia[order], ib[order], na[order], nb[order]
+    ia, ib = ia[order], ib[order]
     keep = np.empty(len(ia), dtype=bool)
     keep[0] = True
     keep[1:] = (ga_s[1:] != ga_s[:-1]) | (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
-    ia, ib, na, nb = ia[keep], ib[keep], na[keep], nb[keep]
+    ia, ib = ia[keep], ib[keep]
     # count runs of (ia, ib): re-sort by (ia, ib) for run-length count
     order = np.lexsort((ib, ia))
-    ia, ib, na, nb = ia[order], ib[order], na[order], nb[order]
+    ia, ib = ia[order], ib[order]
     run = np.empty(len(ia), dtype=bool)
     run[0] = True
     run[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
@@ -441,9 +592,9 @@ def substring_shared_table(t: pa.Table, cap: int, drop_cap: int) -> pa.Table:
     shared = np.diff(np.r_[rstart, len(ia)])
     return pa.table({
         "id_a": pa.array(ia[rstart]), "id_b": pa.array(ib[rstart]),
-        "shared": pa.array(shared.astype(np.int64)),
-        # na/nb are per-doc constants — identical in every run row
-        "na": pa.array(na[rstart]), "nb": pa.array(nb[rstart]),
+        # int32: per-partition shared counts are bounded by a doc's
+        # per-partition fp count; summed in int64 at the merge
+        "shared": pa.array(shared.astype(np.int32), pa.int32()),
     })
 
 

@@ -54,23 +54,34 @@ def join_meta_labels(
             ["doc_id", "url", "warc_ts", "lang", "text"]
         ).map_batches(project, batch_format="pyarrow")
 
-    def attach(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        if len(l) == 0:
-            return pd.DataFrame({
-                "doc_id": pd.Series(dtype="int64"), "url": pd.Series(dtype="object"),
-                "warc_ts": pd.Series(dtype="datetime64[us]"),
-                "lang": pd.Series(dtype="object"),
-                "text_len": pd.Series(dtype="int64"),
-                "cluster_id": pd.Series(dtype="int64"),
+    def attach(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        # pure-Arrow left join: one searchsorted against the sorted
+        # label ids, cluster_id appended to the zero-copy meta slice —
+        # the url/ts strings never round-trip through pandas object
+        # dtype (this cogroup ships the whole corpus's meta; pandas
+        # materialization here was measured allocation churn)
+        if len(lt) == 0 or "doc_id" not in lt.column_names:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "url": pa.array([], pa.string()),
+                "warc_ts": pa.array([], pa.timestamp("us")),
+                "lang": pa.array([], pa.string()),
+                "text_len": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
             })
-        r = r.copy()
-        r["cluster_id"] = r["cluster_id"].astype("Int64")   # exact 64-bit
-        m = l.merge(r, on="doc_id", how="left")
-        m["cluster_id"] = m["cluster_id"].fillna(m["doc_id"]).astype(np.int64)
-        return m
+        ld = lt["doc_id"].to_numpy(zero_copy_only=False)
+        cid = ld
+        if len(rt) and "doc_id" in rt.column_names:
+            rd_ = rt["doc_id"].to_numpy(zero_copy_only=False)
+            rc = rt["cluster_id"].to_numpy(zero_copy_only=False)
+            o = np.argsort(rd_, kind="stable")
+            rd_, rc = rd_[o], rc[o]
+            pos = np.minimum(np.searchsorted(rd_, ld), len(rd_) - 1)
+            cid = np.where(rd_[pos] == ld, rc[pos], ld)   # singleton = own id
+        return lt.append_column("cluster_id", pa.array(cid, pa.int64()))
 
     return cogroup_apply(meta, labels, ["doc_id"], ["doc_id"], P, attach,
-                         right_schema=labels_schema)
+                         right_schema=labels_schema, batch_format="pyarrow")
 
 
 def synthesize_joined(joined: Dataset, cfg: DedupConfig) -> Dataset:

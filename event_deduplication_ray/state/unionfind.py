@@ -25,35 +25,46 @@ def union_find_contract(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, n
     no per-edge Python loop.  np.unique returns nodes sorted, so the
     minimum label INDEX is the minimum node id.
     """
-    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-    m = len(nodes)
-    e_src = inv[: len(src)]
-    e_dst = inv[len(src):]
-    label = np.arange(m, dtype=np.int64)
-    # per-node segment layout computed ONCE (np.minimum.at is slow;
-    # argsort + minimum.reduceat is SIMD-friendly and reusable)
-    combined = np.concatenate([e_src, e_dst])
+    # ONE argsort of the 2E value array does triple duty: the sorted
+    # run starts give the node universe, the group ids give the
+    # inverse mapping (what np.unique(return_inverse) would have
+    # re-sorted to produce), and the permutation gives the per-node
+    # segment layout for minimum.reduceat (np.minimum.at is slow;
+    # reduceat over one gathered array is SIMD-friendly).
+    n = len(src)
+    combined = np.concatenate([src, dst])
     perm = np.argsort(combined, kind="stable")
-    sorted_nodes = combined[perm]
-    starts = np.flatnonzero(
-        np.r_[True, sorted_nodes[1:] != sorted_nodes[:-1]]
-    )
-    uniq = sorted_nodes[starts]
+    sorted_vals = combined[perm]
+    first = np.empty(len(sorted_vals), dtype=bool)
+    if len(sorted_vals):
+        first[0] = True
+        first[1:] = sorted_vals[1:] != sorted_vals[:-1]
+    nodes = sorted_vals[first]
+    m = len(nodes)
+    gid = np.cumsum(first) - 1
+    inv = np.empty(len(combined), np.int64)
+    inv[perm] = gid
+    e_src = inv[:n]
+    e_dst = inv[n:]
+    starts = np.flatnonzero(first)
+    label = np.arange(m, dtype=np.int64)
     while True:
         before = label.copy()
         edge_min = np.minimum(label[e_src], label[e_dst])
         vals = np.concatenate([edge_min, edge_min])[perm]
-        mins = np.minimum.reduceat(vals, starts)
-        label[uniq] = np.minimum(label[uniq], mins)
-        label = label[label]              # pointer jumping
+        mins = np.minimum.reduceat(vals, starts) if m else label
+        label = np.minimum(label, mins)
+        # FULL path compression between rounds: label arrays are
+        # m-sized (cheap) while the propagation above is E-sized
+        # (expensive) — compressing chains here converges long-path
+        # graphs in a handful of E-sized rounds instead of O(chain)
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
         if np.array_equal(label, before):
             break
-    # full compression (labels point at component-min indices)
-    while True:
-        nxt = label[label]
-        if np.array_equal(nxt, label):
-            break
-        label = nxt
     return nodes, nodes[label]
 
 

@@ -152,11 +152,53 @@ def test_substring_shared_match_pandas_reference(df, cap, drop_cap):
     ).to_pandas()
     key = ["id_a", "id_b"]
     a = got.sort_values(key).reset_index(drop=True)
-    b = ref.sort_values(key).reset_index(drop=True)[a.columns.tolist()] \
-        if len(ref) else ref
     assert _pairset(got) == _pairset(ref)
     if len(a):
+        # na/nb no longer ride the partials (they attach from the nf
+        # table downstream — see substring_match_pairs); the partial
+        # contract is the pair set + exact shared counts
         m = a.merge(ref, on=key, suffixes=("_n", "_p"))
         assert (m["shared_n"] == m["shared_p"]).all()
-        assert (m["na_n"] == m["na_p"]).all()
-        assert (m["nb_n"] == m["nb_p"]).all()
+
+
+def test_substring_match_pairs_scores_equal_reference(ray_session):
+    """End-to-end over the slimmed partial shape: the full
+    substring_match_pairs (merge → nf attach → score) must reproduce
+    the spec scores shared/min(na, nb) computed from the pandas
+    reference on a random fp table — the equivalence the VERDICT r3
+    bytes cut promised."""
+    import ray.data as rd
+
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.stages.pairs import substring_match_pairs
+
+    rng = np.random.default_rng(5)
+    n_docs, n_keys = 120, 60
+    rows = []
+    nf = {}
+    for doc in range(1, n_docs + 1):
+        k = rng.integers(3, 12)
+        keys = rng.choice(n_keys, size=k, replace=False)
+        nf[doc] = len(keys)
+        rows.extend((int(key), doc, len(keys)) for key in keys)
+    df = pd.DataFrame(rows, columns=["fp_key", "doc_id", "n_fps"]) \
+        .astype("int64")
+
+    cfg = DedupConfig(join_num_partitions=4, substring_containment=0.5,
+                      substring_small_cap=8, substring_drop_group=64,
+                      substring_min_fps=1)
+    got = substring_match_pairs(rd.from_pandas(df), cfg).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    ref = _substring_reference(df, cfg.substring_small_cap,
+                               cfg.substring_drop_group)
+    ref["score"] = ref["shared"] / np.minimum(ref["na"], ref["nb"])
+    ref = ref[ref["score"] >= cfg.substring_containment] \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    assert len(got) == len(ref), (len(got), len(ref))
+    assert (got["id_a"].to_numpy() == ref["id_a"].to_numpy()).all()
+    assert (got["id_b"].to_numpy() == ref["id_b"].to_numpy()).all()
+    assert np.allclose(got["score"].to_numpy(), ref["score"].to_numpy())
+    assert (got["decision"] == "match").all()
+    assert (got["tier"] == "substring").all()
