@@ -246,8 +246,10 @@ def corpus_path(
         for t in base_texts:
             h.update((t or "").encode()); h.update(b"\x00")
         bt = f"_b{h.hexdigest()[:8]}"
-    # v3: finer file sharding (layout-only change; same content)
-    return f"{tmp_root}/dedup_corpus_v3_n{n_docs}_s{seed}{bt}"
+    # v4: strided file sharding (layout-only change; same content —
+    # sequential slicing clustered long docs into the same shards,
+    # giving 3.7x byte skew across files and straggler map tasks)
+    return f"{tmp_root}/dedup_corpus_v4_n{n_docs}_s{seed}{bt}"
 
 
 def materialize_corpus(
@@ -275,9 +277,13 @@ def materialize_corpus(
     # small row groups let Ray split files further if it wants to.
     n = docs.num_rows
     n_files = max(8, min(256, n // 4000))
-    step = -(-n // n_files)
+    # STRIDED assignment (row i -> file i % n_files): doc lengths in
+    # the generator cluster by position, so contiguous slices gave
+    # 2.8-10.6 MB files whose read+extract+signature tasks varied
+    # 3.4x — the straggler tail of every 32-wide wave.  Striding
+    # mixes lengths uniformly into every shard (content unchanged).
     for i in range(n_files):
-        part = docs.slice(i * step, step)
+        part = docs.take(list(range(i, n, n_files)))
         if part.num_rows:
             pq.write_table(part, f"{out}/docs/part-{i:04d}.parquet",
                            row_group_size=2000)

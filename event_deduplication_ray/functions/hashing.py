@@ -157,18 +157,44 @@ def minhash_signatures(
         return sig
     del adds  # kept in the signature for config plumbing symmetry
 
-    nonzero = shingles_per_doc > 0
-    ends = np.cumsum(shingles_per_doc)
-    starts = (ends - shingles_per_doc)[nonzero].astype(np.int64)
+    spd = np.asarray(shingles_per_doc, dtype=np.int64)
+    ends = np.cumsum(spd)
+    starts_all = ends - spd
 
-    for c0 in range(0, num_perms, perm_chunk):
-        c1 = min(c0 + perm_chunk, num_perms)
-        with np.errstate(over="ignore"):
-            # (chunk, n_shingles) layout: reduceat along contiguous rows
-            hv = mults[c0:c1, None] * flat_shingles[None, :]
-        sig[np.ix_(nonzero, range(c0, c1))] = np.minimum.reduceat(
-            hv, starts, axis=1
-        ).T
+    # BLOCK over shingles as well as perms: one (chunk × whole-batch)
+    # temporary is tens of MB and streams DRAM once per perm chunk
+    # (~2.4 GB of memory traffic per 4k-doc batch) — with 32 workers
+    # that saturates the socket's bandwidth and caps the signature
+    # phase's scaling.  Processing ~64k-shingle doc ranges keeps the
+    # shingle slice + temporaries cache-resident across all 16 perm
+    # chunks; the math (and therefore every signature bit) is
+    # unchanged.
+    shingle_block = 1 << 16
+    b = 0
+    while b < n_docs:
+        limit = int(starts_all[b]) + shingle_block
+        e = int(np.searchsorted(ends, limit, side="left")) + 1
+        e = min(max(e, b + 1), n_docs)
+        lo, hi = int(starts_all[b]), int(ends[e - 1])
+        if hi == lo:
+            b = e
+            continue
+        block = flat_shingles[lo:hi]
+        nz = spd[b:e] > 0
+        rel_starts = starts_all[b:e][nz] - lo
+        if rel_starts.size == 0:
+            b = e
+            continue
+        doc_rows = np.arange(b, e, dtype=np.int64)[nz]
+        for c0 in range(0, num_perms, perm_chunk):
+            c1 = min(c0 + perm_chunk, num_perms)
+            with np.errstate(over="ignore"):
+                # (chunk, block) layout: reduceat along contiguous rows
+                hv = mults[c0:c1, None] * block[None, :]
+            sig[np.ix_(doc_rows, range(c0, c1))] = np.minimum.reduceat(
+                hv, rel_starts, axis=1
+            ).T
+        b = e
     return sig
 
 

@@ -99,6 +99,18 @@ def read_docs(path: str) -> Dataset:
             # metadata) must not flip the whole read — read only the
             # remaining data files as Parquet
             return rd.read_parquet([_os.path.join(path, f) for f in other])
+        if other and len(other) >= 64:
+            # a well-sharded directory (the corpus layout this engine
+            # writes: ~4k rows/file) already has >= 2 blocks per core
+            # at the widest bench level; Ray's default row-group
+            # SplitBlocks doubles the task count, and ~20 ms of
+            # per-task dispatch overhead on this host put the extra
+            # tasks straight on the critical path (measured: 254
+            # blocks 14.1 s vs 127 blocks 11.3 s for the signature
+            # phase at 8 cpus; 4.6 vs 4.1 at 32).  One block per file
+            # keeps read→map fusion and the task count matched to the
+            # sharding the corpus writer chose.
+            return rd.read_parquet(path, override_num_blocks=len(other))
     return rd.read_parquet(path)
 
 
@@ -213,7 +225,9 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
             ex = branches[name].select_columns(["id_a", "id_b", "score", "tier"])
             edges = ex if edges is None else edges.union(ex)
 
-    labels = connected_components(edges.select_columns(["id_a", "id_b"]), cfg)
+    # no select_columns wave: the CC split's fused pre-contract
+    # reads only id_a/id_b and emits the narrow (u, v) star table
+    labels = connected_components(edges, cfg)
     _mark("connected_components")
     # one cogroup serves both assignments and synthesis (see
     # join_meta_labels) — singletons filled inside the join

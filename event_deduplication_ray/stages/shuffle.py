@@ -324,6 +324,8 @@ def cogroup_apply(
     right_schema: "pa.Schema | None" = None,
     out_keys: list[str] | None = None,
     out_parts: int | None = None,
+    left_pre_fn=None,
+    right_pre_fn=None,
 ):
     """Co-partition two datasets on their keys and apply ``fn(l, r)``
     per partition (a fully parallel partitioned hash join / cogroup).
@@ -343,8 +345,11 @@ def cogroup_apply(
     import ray.data as rd
 
     del left_schema, right_schema
-    l_parts = _input_parts(left, left_key, num_parts)
-    r_parts = _input_parts(right, right_key, num_parts)
+    # left/right_pre_fn fuse a projection/explode into the side's
+    # split tasks (same contract as partition_apply's pre_fn) — a
+    # separate select_columns/map wave never materializes
+    l_parts = _input_parts(left, left_key, num_parts, pre_fn=left_pre_fn)
+    r_parts = _input_parts(right, right_key, num_parts, pre_fn=right_pre_fn)
 
     if batch_format == "pandas":
         def apply2(lt: pa.Table, rt: pa.Table) -> pa.Table:

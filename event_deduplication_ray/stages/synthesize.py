@@ -39,9 +39,12 @@ def join_meta_labels(
     # already carry text_len (the pinned pipeline table) or raw text.
     meta_cols = set(docs_meta.schema().names)
     if "text_len" in meta_cols:
-        meta = docs_meta.select_columns(
-            ["doc_id", "url", "warc_ts", "lang", "text_len"]
-        )
+        # projection fused into the cogroup's split tasks (pre_fn) —
+        # no separate select_columns wave over the pinned table
+        meta = docs_meta
+
+        def project(t: pa.Table) -> pa.Table:
+            return t.select(["doc_id", "url", "warc_ts", "lang", "text_len"])
     else:
         def project(t: pa.Table) -> pa.Table:
             return pa.table({
@@ -50,9 +53,7 @@ def join_meta_labels(
                 "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
             })
 
-        meta = docs_meta.select_columns(
-            ["doc_id", "url", "warc_ts", "lang", "text"]
-        ).map_batches(project, batch_format="pyarrow")
+        meta = docs_meta
 
     def attach(lt: pa.Table, rt: pa.Table) -> pa.Table:
         # pure-Arrow left join: one searchsorted against the sorted
@@ -80,8 +81,54 @@ def join_meta_labels(
             cid = np.where(rd_[pos] == ld, rc[pos], ld)   # singleton = own id
         return lt.append_column("cluster_id", pa.array(cid, pa.int64()))
 
+    # Fast path: CC's driver-finish returns labels as ONE block
+    # (edge-incident docs only — dup-structure-sized, ~16 B/doc).
+    # Broadcasting that block and mapping once over the meta blocks
+    # replaces the whole doc_id cogroup (split wave + merge wave +
+    # barrier) with a single raw-task wave: per-block searchsorted
+    # against the broadcast sorted label arrays.  The cogroup stays
+    # the fallback for a distributed (multi-block) label table — the
+    # scale-safe path when the dup structure itself is too big to
+    # broadcast.
+    try:
+        n_label_blocks = labels.num_blocks()
+    except Exception:
+        n_label_blocks = None
+    if n_label_blocks == 1:
+        import ray
+        import ray.data as rd_
+
+        lab = labels.to_pandas()
+        if "doc_id" not in lab.columns:     # zero-row collect drops schema
+            lab = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                "cluster_id": pd.Series(dtype="int64")})
+        o = np.argsort(lab["doc_id"].to_numpy(), kind="stable")
+        lab_ids = lab["doc_id"].to_numpy()[o]
+        lab_cids = lab["cluster_id"].to_numpy()[o]
+        lab_ref = ray.put((lab_ids, lab_cids))
+
+        def bmap(t: pa.Table, label_arrays) -> pa.Table:
+            # the ObjectRef arg is plasma-resolved by Ray before the
+            # task runs — zero-copy on every worker of a node
+            t = project(t)
+            if len(t) == 0:
+                return attach(t, pa.table({}))
+            ids, cids = label_arrays
+            ld = t["doc_id"].to_numpy(zero_copy_only=False)
+            if len(ids):
+                pos = np.minimum(np.searchsorted(ids, ld), len(ids) - 1)
+                cid = np.where(ids[pos] == ld, cids[pos], ld)
+            else:
+                cid = ld
+            return t.append_column("cluster_id", pa.array(cid, pa.int64()))
+
+        task = ray.remote(num_cpus=1)(bmap)
+        return rd_.from_arrow_refs(
+            [task.remote(b, lab_ref) for b in meta.to_arrow_refs()]
+        )
     return cogroup_apply(meta, labels, ["doc_id"], ["doc_id"], P, attach,
-                         right_schema=labels_schema, batch_format="pyarrow")
+                         right_schema=labels_schema, batch_format="pyarrow",
+                         left_pre_fn=project)
 
 
 def synthesize_joined(joined: Dataset, cfg: DedupConfig) -> Dataset:
