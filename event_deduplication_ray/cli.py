@@ -18,12 +18,19 @@ import sys
 
 
 def _ray_init(num_cpus: int | None) -> None:
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False,
+        # EDR_RAY_ADDRESS connects to an EXISTING cluster (the
+        # multi-node drill / `ray start` deployments); default is a
+        # fresh local session.  num_cpus only applies locally — a
+        # cluster's size is the cluster's.
+        addr = os.environ.get("EDR_RAY_ADDRESS", "local")
+        kwargs = dict(address=addr, include_dashboard=False,
                       logging_level="ERROR")
-        if num_cpus:
+        if num_cpus and addr == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     from ray.data import DataContext
