@@ -282,11 +282,24 @@ def materialize_corpus(
     # 2.8-10.6 MB files whose read+extract+signature tasks varied
     # 3.4x — the straggler tail of every 32-wide wave.  Striding
     # mixes lengths uniformly into every shard (content unchanged).
-    for i in range(n_files):
-        part = docs.take(list(range(i, n, n_files)))
-        if part.num_rows:
-            pq.write_table(part, f"{out}/docs/part-{i:04d}.parquet",
-                           row_group_size=2000)
+    # Gathers run over <=1M-row slices: pa.Table.take concatenates
+    # the table's chunks first, and a multi-GB string column
+    # overflows 32-bit offsets (seen at 8M docs).
+    import numpy as np
+
+    writers = [pq.ParquetWriter(f"{out}/docs/part-{i:04d}.parquet",
+                                docs.schema) for i in range(n_files)]
+    block_rows = 1_000_000
+    for start in range(0, n, block_rows):
+        blk = docs.slice(start, block_rows)
+        for i in range(n_files):
+            first = (i - start) % n_files
+            idx = np.arange(first, blk.num_rows, n_files)
+            if len(idx):
+                writers[i].write_table(blk.take(pa.array(idx)),
+                                       row_group_size=2000)
+    for w in writers:
+        w.close()
     pq.write_table(gc, f"{out}/golden_clusters.parquet")
     pq.write_table(gp, f"{out}/golden_pairs.parquet")
     with open(done, "w") as f:
