@@ -89,8 +89,14 @@ def run_flagship(corpus_dir: str, repeats: int = 3) -> float:
     # partitions amortize per-object costs while staying well inside
     # worker memory (~31k docs = ~20 MB text per partition at 1M).
     n_docs = corpus_docs_for(SF_DIR)
+    # Round-4 recalibration: ~62.5k docs/partition.  The previous
+    # 31,250 rule put 8M docs at P=256, and the O(P^2) sub-table
+    # object count dominated: direct A/B at 8M/32cpus measured
+    # P=128 148.8s vs P=256 216.5s (clusters identical).  Partitions
+    # of ~62.5k docs are still well inside worker memory (~45MB of
+    # signature rows each).
     cfg = DedupConfig(use_substring=True, use_simhash=True,
-                      join_num_partitions=max(32, round(n_docs / 31_250)))
+                      join_num_partitions=max(32, round(n_docs / 62_500)))
     wd = F.materialize_corpus(CORPUS_ROOT, 1000, seed=42)
     assert dedup_path(f"{wd}/docs", cfg).assignments.count() > 0   # warmup
 
