@@ -32,6 +32,12 @@ def _ray_init(num_cpus: int | None) -> None:
                       logging_level="ERROR")
         if num_cpus and addr == "local":
             kwargs["num_cpus"] = num_cpus
+        elif num_cpus:
+            import sys
+
+            print(f"warning: --num-cpus={num_cpus} ignored — "
+                  f"EDR_RAY_ADDRESS={addr!r} connects to an existing "
+                  "cluster whose size is fixed", file=sys.stderr)
         ray.init(**kwargs)
     from ray.data import DataContext
 
@@ -185,7 +191,12 @@ def cmd_add(args: argparse.Namespace) -> int:
 
     cfg = load_run_config(args.run_dir) or DedupConfig()
     res = incremental_add(args.run_dir, args.input, cfg)
-    asn = res.assignments.to_pandas()
+    # distributed summary — NOT a full-assignments to_pandas collect
+    from event_deduplication_ray.pipelines.incremental import (
+        assignment_summary,
+    )
+
+    summ = assignment_summary(res.assignments, cfg.join_num_partitions)
     if args.persist:
         from event_deduplication_ray.pipelines.incremental import (
             persist_incremental,
@@ -193,8 +204,8 @@ def cmd_add(args: argparse.Namespace) -> int:
 
         persist_incremental(args.run_dir, res, cfg, args.input)
     print(json.dumps({
-        "n_docs": int(len(asn)),
-        "n_clusters": int(asn["cluster_id"].nunique()),
+        "n_docs": summ["n_docs"],
+        "n_clusters": summ["n_clusters"],
         "persisted": bool(args.persist),
     }))
     return 0
@@ -264,14 +275,19 @@ def cmd_remove(args: argparse.Namespace) -> int:
     cfg = load_run_config(args.run_dir) or DedupConfig()
     ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
     res = incremental_remove(args.run_dir, ids, cfg)
-    asn = res.assignments.to_pandas()
+    # distributed summary — NOT a full-assignments to_pandas collect
+    from event_deduplication_ray.pipelines.incremental import (
+        assignment_summary,
+    )
+
+    summ = assignment_summary(res.assignments, cfg.join_num_partitions)
     if args.persist:
         persist_incremental(args.run_dir, res, cfg,
                             f"remove:{len(ids)}-ids")
     print(json.dumps({
         "n_removed": res.metrics["n_removed"],
-        "n_docs": int(len(asn)),
-        "n_clusters": int(asn["cluster_id"].nunique()),
+        "n_docs": summ["n_docs"],
+        "n_clusters": summ["n_clusters"],
         "persisted": bool(args.persist),
     }))
     return 0

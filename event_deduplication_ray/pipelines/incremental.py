@@ -493,3 +493,34 @@ def screen_docs(
     out["tier"] = out["tier"].fillna("")
     return out[["doc_id", "is_dup", "dup_of", "score", "tier"]] \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def assignment_summary(assignments: Dataset, num_partitions: int = 16
+                       ) -> dict[str, int]:
+    """Distributed (n_docs, n_clusters) over an assignments Dataset —
+    the CLI's post-add/remove summary.  Replaces a full-table
+    to_pandas() collect (O(corpus) on the driver) with per-batch
+    distinct cluster_id partials, ONE hash shuffle on cluster_id (so
+    in-partition distincts are globally disjoint), and a sum of the
+    tiny per-partition counts — the q47 exact-distinct shape."""
+    from event_deduplication_ray.stages.shuffle import partition_apply
+
+    n_docs = assignments.count()
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"cluster_id": pc.unique(t["cluster_id"])})
+
+    def part_count(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"n": pa.array(
+            [pc.count_distinct(t["cluster_id"]).as_py()
+             if t.num_rows else 0], pa.int64())})
+
+    parts = partition_apply(
+        assignments.select_columns(["cluster_id"])
+        .map_batches(batch_distinct, batch_format="pyarrow"),
+        ["cluster_id"], num_partitions, part_count,
+        batch_format="pyarrow",
+    ).to_pandas()
+    return {"n_docs": int(n_docs), "n_clusters": int(parts["n"].sum())}

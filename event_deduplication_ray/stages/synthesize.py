@@ -109,10 +109,15 @@ def join_meta_labels(
 
         def bmap(t: pa.Table, label_arrays) -> pa.Table:
             # the ObjectRef arg is plasma-resolved by Ray before the
-            # task runs — zero-copy on every worker of a node
+            # task runs — zero-copy on every worker of a node.
+            # Zero-row blocks come through with an EMPTY schema
+            # (to_arrow_refs drops it, e.g. after a drop_docs filter
+            # removed a whole file's rows), so guard BEFORE project —
+            # both project variants would raise on the missing columns.
+            # Mirrors the cogroup path's pre_fn guard (shuffle.py).
+            if t.num_rows == 0 or "doc_id" not in t.column_names:
+                return attach(pa.table({}), pa.table({}))
             t = project(t)
-            if len(t) == 0:
-                return attach(t, pa.table({}))
             ids, cids = label_arrays
             ld = t["doc_id"].to_numpy(zero_copy_only=False)
             if len(ids):
@@ -122,7 +127,9 @@ def join_meta_labels(
                 cid = ld
             return t.append_column("cluster_id", pa.array(cid, pa.int64()))
 
-        task = ray.remote(num_cpus=1)(bmap)
+        from event_deduplication_ray.stages.shuffle import _task_cpus
+
+        task = ray.remote(num_cpus=_task_cpus())(bmap)
         return rd_.from_arrow_refs(
             [task.remote(b, lab_ref) for b in meta.to_arrow_refs()]
         )

@@ -51,19 +51,23 @@ def test_corpus_delta_empty_on_identical():
 
 
 def _write_synthetic_run(run_dir: str, edges: list[tuple[int, int]],
-                         doc_ids=(1, 2, 3)):
+                         doc_ids=(1, 2, 3), n_files: int = 1):
     """Minimal run-dir checkpoint (extracted / signatures / edges) so
     incremental_remove's contract is testable with a HAND-CHOSEN edge
-    graph — the text pipeline can't easily plant a pure bridge."""
-    n = len(doc_ids)
+    graph — the text pipeline can't easily plant a pure bridge.
+    n_files > 1 fragments the extracted stage across multiple parquet
+    files (round-robin) to exercise multi-block read paths."""
     os.makedirs(f"{run_dir}/extracted")
-    pq.write_table(pa.table({
-        "doc_id": pa.array(list(doc_ids), pa.int64()),
-        "url": [f"https://ex.com/{i}" for i in doc_ids],
-        "warc_ts": ["2024-01-01T00:00:00Z"] * n,
-        "lang": ["en"] * n,
-        "text": [f"text {i}" for i in doc_ids],
-    }), f"{run_dir}/extracted/part0.parquet")
+    for f in range(n_files):
+        ids = [d for i, d in enumerate(doc_ids) if i % n_files == f]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": [f"https://ex.com/{i}" for i in ids],
+            "warc_ts": ["2024-01-01T00:00:00Z"] * len(ids),
+            "lang": ["en"] * len(ids),
+            "text": [f"text {i}" for i in ids],
+        }), f"{run_dir}/extracted/part{f}.parquet")
+    n = len(doc_ids)
     os.makedirs(f"{run_dir}/signatures")
     pq.write_table(pa.table({
         "doc_id": pa.array(list(doc_ids), pa.int64()),
@@ -102,6 +106,25 @@ def test_incremental_remove_keeps_unaffected_component(tmp_path):
     assert asn["doc_id"].tolist() == [2, 3]
     assert asn["cluster_id"].tolist() == [2, 2]
     assert res.canonical.count() == 1
+
+
+def test_incremental_remove_empties_whole_file(tmp_path):
+    """Regression (round-4 bmap bug): a fragmented multi-file
+    checkpoint where removal drains EVERY row of one file leaves a
+    zero-row, schema-less Arrow block flowing into the broadcast
+    label-join fast path — which used to call project() before its
+    emptiness guard and crash with KeyError 'doc_id'.  Round-robin
+    over 3 files puts docs {1,4} / {2,5} / {3,6} per file; removing
+    1 and 4 drains file 0 entirely."""
+    run_dir = str(tmp_path / "fragfile")
+    _write_synthetic_run(run_dir, [(2, 5), (3, 6)],
+                         doc_ids=(1, 2, 3, 4, 5, 6), n_files=3)
+    res = incremental_remove(run_dir, [1, 4], CFG)
+    asn = res.assignments.to_pandas().sort_values("doc_id")
+    assert asn["doc_id"].tolist() == [2, 3, 5, 6]
+    assert asn["cluster_id"].tolist() == [2, 3, 2, 3]
+    assert res.canonical.count() == 2
+    assert res.metrics["n_removed"] == 2
 
 
 @pytest.fixture(scope="module")
