@@ -39,7 +39,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -62,6 +62,8 @@ def main(sf_dir: str) -> int:
     oracles = E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             got = canon(to_pandas(fn(sf_dir)))
@@ -106,4 +108,13 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    # optional argv[2]: comma-separated query-name prefixes to run
+    flt = None
+    if len(sys.argv) > 2:
+        prefixes = [p for p in sys.argv[2].split(",") if p]
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as _E
+
+        flt = {n for n in _E.queries()
+               if any(n.startswith(p) for p in prefixes)}
+    raise SystemExit(main(sf, flt))
