@@ -114,12 +114,21 @@ def read_docs(path: str) -> Dataset:
     return rd.read_parquet(path)
 
 
-def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
+def dedup_docs(
+    docs: Dataset, cfg: DedupConfig | None = None,
+    sigs_precomputed: Dataset | None = None,
+) -> DedupResult:
     """Run the full near-duplicate pipeline on a docs Dataset.
 
     Everything stays lazy; consume via .canonical/.assignments (e.g.
     write_parquet).  The clustering stage internally materializes only
     the narrow edge table between label-propagation rounds.
+
+    ``sigs_precomputed``: an already-materialized signature table
+    (with url/warc_ts/lang/text_len passthrough) — dedup_path's
+    raw-task wave supplies one to skip the fused read→extract→
+    signature Ray Data pass; ``docs`` is still used for the lazy
+    consumers (exact tier, rejected, DedupResult.docs).
     """
     cfg = cfg or DedupConfig()
 
@@ -149,10 +158,13 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
     # (At 100 TB the equivalent pin is a run-dir parquet checkpoint —
     # see state/runstate.py.)
     extracted_lazy = extract_stage(docs, cfg)
-    sigs_full = signature_stage(
-        extracted_lazy, cfg,
-        passthrough=("url", "warc_ts", "lang", "text_len"),
-    ).materialize()
+    if sigs_precomputed is not None:
+        sigs_full = sigs_precomputed
+    else:
+        sigs_full = signature_stage(
+            extracted_lazy, cfg,
+            passthrough=("url", "warc_ts", "lang", "text_len"),
+        ).materialize()
     _mark("signatures_materialized")
     sigs = sigs_full
     meta = sigs_full.select_columns(
@@ -259,7 +271,43 @@ def dedup_docs(docs: Dataset, cfg: DedupConfig | None = None) -> DedupResult:
     )
 
 
+def _raw_sig_wave_files(path: str, cfg: DedupConfig) -> list[str] | None:
+    """File list for the raw-task signature wave, or None when the
+    input/config isn't eligible: a directory of >=64 pure-parquet
+    shards (the corpus layout this engine writes) and an extract that
+    is purely per-batch (no canonicalize_urls keep-first shuffle).
+    EDR_RAW_SIG_WAVE=0 opts out."""
+    import os as _os
+
+    if _os.environ.get("EDR_RAW_SIG_WAVE") == "0":
+        return None
+    if cfg.canonicalize_urls or not _os.path.isdir(path):
+        return None
+    entries = sorted(_os.listdir(path))
+    files = [
+        _os.path.join(path, f) for f in entries
+        if _os.path.isfile(_os.path.join(path, f))
+        and not f.startswith((".", "_"))
+    ]
+    if len(files) < 64:
+        return None
+    if any(not f.endswith((".parquet", ".pq")) for f in files):
+        return None
+    return files
+
+
 def dedup_path(path: str, cfg: DedupConfig | None = None) -> DedupResult:
+    cfg = cfg or DedupConfig()
+    files = _raw_sig_wave_files(path, cfg)
+    if files is not None:
+        from event_deduplication_ray.stages.signatures import (
+            signatures_from_files,
+        )
+
+        sigs = signatures_from_files(
+            files, cfg, passthrough=("url", "warc_ts", "lang", "text_len")
+        )
+        return dedup_docs(read_docs(path), cfg, sigs_precomputed=sigs)
     return dedup_docs(read_docs(path), cfg)
 
 

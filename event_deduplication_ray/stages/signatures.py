@@ -118,6 +118,68 @@ class SignatureStage:
         return pa.table(cols)
 
 
+def signatures_from_files(
+    files: list[str],
+    cfg: DedupConfig,
+    passthrough: tuple[str, ...] = (),
+) -> Dataset:
+    """Raw-task read → extract → signature wave over a parquet file
+    list: ONE ``ray.remote`` task per file, results assembled with
+    ``from_arrow_refs`` — already materialized, one block per file.
+
+    Why this exists alongside ``signature_stage``: Ray Data's
+    streaming executor dispatches map tasks at ~20 ms apiece on this
+    host (raw ``ray.remote`` dispatch measures ~0.1 ms — the gap is
+    the executor, not Ray core; ROUND4_NOTES §5).  For a well-sharded
+    corpus the signature phase is embarrassingly parallel per file,
+    so the executor buys nothing and its serialized dispatch puts
+    ~2.5 s on the 32-wide critical path.  Semantics are IDENTICAL to
+    read_parquet → extract_stage → signature_stage for configs whose
+    extract is purely per-batch (no canonicalize_urls shuffle) —
+    equivalence-tested (test_raw_sig_wave.py).  Per-doc outputs don't
+    depend on batch boundaries, so slicing per file matches Ray's
+    block batching bit-for-bit.
+
+    Multi-node note: files live on shared storage, so per-file tasks
+    schedule anywhere — same locality profile as Ray Data's read
+    tasks; outputs land in the local object store of whichever node
+    ran the task, exactly like read→map blocks.
+    """
+    import ray
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from event_deduplication_ray.stages.extract import extract_batch
+    from event_deduplication_ray.stages.shuffle import _task_cpus
+
+    stage = SignatureStage(cfg, passthrough)
+    narrow_cols = list(dict.fromkeys(["doc_id", "text_norm", *passthrough]))
+    langs = sorted(set(cfg.langs)) if cfg.langs else None
+    bs = cfg.sig_batch_size
+
+    def file_sigs(fp: str) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(fp)
+        outs = []
+        for off in range(0, t.num_rows, bs):
+            e = extract_batch(t.slice(off, bs), cfg=cfg)
+            e = e.filter(pc.is_null(e["reject_reason"]))
+            if langs:
+                e = e.filter(pc.is_in(e["lang"], value_set=pa.array(langs)))
+            if e.num_rows:
+                outs.append(stage(e.select(narrow_cols)))
+        if not outs:
+            # empty / fully-rejected file: typed empty block
+            e = extract_batch(t.slice(0, 0), cfg=cfg)
+            outs.append(stage(e.select(narrow_cols)))
+        return pa.concat_tables(outs)
+
+    task = ray.remote(num_cpus=_task_cpus())(file_sigs)
+    return rd.from_arrow_refs([task.remote(f) for f in files])
+
+
 def signature_stage(
     docs: Dataset,
     cfg: DedupConfig,

@@ -1,0 +1,127 @@
+"""Equivalence of the raw-task signature wave vs the Ray Data path.
+
+``dedup_path`` bypasses the streaming executor for well-sharded
+parquet dirs (>=64 files) with one raw ``ray.remote`` task per file
+doing read → extract → signature (stages/signatures.py
+``signatures_from_files``).  The bypass must be output-IDENTICAL to
+read_parquet → extract_stage → signature_stage — per-doc outputs
+cannot depend on batch/block boundaries.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sharded_docs(tmp_path_factory, corpus_dir, ray_session) -> str:
+    """The 1k fixture corpus re-sharded into 70 small files so the
+    >=64-file eligibility gate triggers."""
+    root = tmp_path_factory.mktemp("sharded")
+    docs = str(root / "docs")
+    os.makedirs(docs)
+    src = pq.read_table(f"{corpus_dir}/docs")
+    per = (src.num_rows + 69) // 70
+    for i in range(70):
+        pq.write_table(src.slice(i * per, per),
+                       f"{docs}/part{i:03d}.parquet")
+    return docs
+
+
+def _run(docs: str, enabled: bool):
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.dedup_pipeline import (
+        _raw_sig_wave_files,
+        dedup_path,
+    )
+
+    cfg = DedupConfig(use_substring=True, use_simhash=True)
+    old = os.environ.get("EDR_RAW_SIG_WAVE")
+    os.environ["EDR_RAW_SIG_WAVE"] = "1" if enabled else "0"
+    try:
+        if enabled:
+            assert _raw_sig_wave_files(docs, cfg) is not None
+        res = dedup_path(docs, cfg)
+        asn = res.assignments.to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # edge tier order within one (id_a, id_b) follows union block
+        # order — sort on all columns for the comparison
+        edges = res.edges.to_pandas() \
+            .sort_values(["id_a", "id_b", "tier", "score"]) \
+            .reset_index(drop=True)
+        return asn, edges
+    finally:
+        if old is None:
+            os.environ.pop("EDR_RAW_SIG_WAVE", None)
+        else:
+            os.environ["EDR_RAW_SIG_WAVE"] = old
+
+
+def test_raw_wave_output_identical(sharded_docs, ray_session):
+    a0, e0 = _run(sharded_docs, enabled=False)
+    a1, e1 = _run(sharded_docs, enabled=True)
+    assert len(a0) > 0 and len(e0) > 0
+    assert a0.equals(a1)
+    assert e0.equals(e1)
+
+
+def test_raw_wave_eligibility_gates(tmp_path, corpus_dir, ray_session):
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.pipelines.dedup_pipeline import (
+        _raw_sig_wave_files,
+    )
+
+    cfg = DedupConfig()
+    # the fixture corpus dir has < 64 files → ineligible
+    assert _raw_sig_wave_files(f"{corpus_dir}/docs", cfg) is None
+    # canonicalize_urls needs the keep-first shuffle → ineligible
+    many = tmp_path / "many"
+    many.mkdir()
+    src = pq.read_table(f"{corpus_dir}/docs")
+    for i in range(64):
+        pq.write_table(src.slice(i, 1), str(many / f"p{i:02d}.parquet"))
+    assert _raw_sig_wave_files(str(many), cfg) is not None
+    assert _raw_sig_wave_files(
+        str(many), DedupConfig(canonicalize_urls=True)) is None
+    # a stray non-parquet sidecar flips the dir ineligible
+    (many / "manifest.json").write_text("{}")
+    assert _raw_sig_wave_files(str(many), cfg) is None
+
+
+def test_raw_wave_handles_rejected_and_empty_files(tmp_path, ray_session):
+    """A file whose rows are ALL rejected (empty html+text) must yield
+    a typed empty block, not crash the wave."""
+    import pyarrow as pa
+
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.stages.signatures import (
+        signatures_from_files,
+    )
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    bad = pa.table({
+        "url": pa.array(["https://x.com/a", "https://x.com/b"]),
+        "warc_ts": pa.array([None, None], pa.timestamp("us")),
+        "html": pa.array([b"", b""], pa.binary()),
+        "text": pa.array([None, None], pa.string()),
+        "lang": pa.array(["en", "en"]),
+    })
+    ok = pa.table({
+        "url": pa.array(["https://x.com/c"]),
+        "warc_ts": pa.array([None], pa.timestamp("us")),
+        "html": pa.array([b"<html><body>some real text here for doc c"
+                          b" with enough words</body></html>"], pa.binary()),
+        "text": pa.array([None], pa.string()),
+        "lang": pa.array(["en"]),
+    })
+    pq.write_table(bad, str(docs / "p0.parquet"))
+    pq.write_table(ok, str(docs / "p1.parquet"))
+    ds = signatures_from_files(
+        [str(docs / "p0.parquet"), str(docs / "p1.parquet")],
+        DedupConfig(), passthrough=("url", "warc_ts", "lang", "text_len"))
+    df = ds.to_pandas()
+    assert len(df) == 1
+    assert set(["doc_id", "url", "warc_ts", "lang", "text_len"]) \
+        <= set(df.columns)
