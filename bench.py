@@ -64,15 +64,19 @@ def ensure_corpus(sf_dir: str) -> tuple[str, int]:
     return d, n
 
 
-def run_flagship(corpus_dir: str, repeats: int = 3) -> float:
+def run_flagship(corpus_dir: str, repeats: int | None = None) -> float:
     """Best-of-N timed runs after one tiny warmup pipeline.
 
     The warmup spawns + import-loads every Ray worker so the timed
     runs measure the pipeline, not process bootstrap.  Best-of-3
     because this sandbox's page-fault cost varies 2-3x run-to-run
     (virtualized memory; see BASELINE.md) — the minimum reflects the
-    engine, the variance reflects the host.
+    engine, the variance reflects the host.  GRAFT_BENCH_REPEATS
+    overrides N (e.g. 1 for the multi-hour 8M size-sweep legs, whose
+    best-of comes from --scaling's interleaved run pairs instead).
     """
+    if repeats is None:
+        repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     from event_deduplication_ray import fixtures as F
     from event_deduplication_ray.config import DedupConfig
     from event_deduplication_ray.pipelines.dedup_pipeline import dedup_path

@@ -305,13 +305,20 @@ def cmd_update(args: argparse.Namespace) -> int:
 
     cfg = load_run_config(args.run_dir) or DedupConfig()
     delta = incremental_update(args.run_dir, args.input, cfg)
-    import pandas as pd
+    # distributed summary — NOT a full-assignments driver read
+    import ray.data as rd
 
-    asn = pd.read_parquet(f"{args.run_dir}/assignments")
+    from event_deduplication_ray.pipelines.incremental import (
+        assignment_summary,
+    )
+
+    summ = assignment_summary(
+        rd.read_parquet(f"{args.run_dir}/assignments"),
+        cfg.join_num_partitions)
     print(json.dumps({
         **delta,
-        "n_docs": int(len(asn)),
-        "n_clusters": int(asn["cluster_id"].nunique()),
+        "n_docs": summ["n_docs"],
+        "n_clusters": summ["n_clusters"],
     }))
     return 0
 
@@ -343,8 +350,17 @@ def cmd_review(args: argparse.Namespace) -> int:
         return 0
     asn = rd.read_parquet(f"{args.run_dir}/assignments")
     if args.action == "merge":
+        # merge only reads the DONOR cluster's members — filter
+        # distributedly, collect O(donor-cluster) rows, not the corpus
+        import pyarrow.compute as pc
+
+        donor = int(args.donor)
+        donor_rows = asn.map_batches(
+            lambda t: t.filter(pc.equal(t["cluster_id"], donor)),
+            batch_format="pyarrow",
+        ).to_pandas()
         edits, audit = RV.merge_clusters(
-            edits, audit, asn.to_pandas(), args.donor, args.survivor,
+            edits, audit, donor_rows, args.donor, args.survivor,
             operator=args.operator, log=log)
         print(json.dumps({"action": "merge", "donor": args.donor,
                           "survivor": args.survivor,

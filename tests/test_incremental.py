@@ -269,3 +269,26 @@ def test_add_rejects_existing_doc_ids(split_corpus, tmp_path):
     dedup_path_resumable(f"{old_dir}/docs.parquet", run_dir, CFG)
     with pytest.raises(ValueError, match="incremental_update"):
         incremental_add(run_dir, f"{old_dir}/docs.parquet", CFG)
+
+
+def test_assignment_summary_distributed(ray_session):
+    """assignment_summary must equal the pandas ground truth — and
+    stay correct when one cluster's rows span multiple blocks (the
+    per-batch distinct partial must not double-count)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from event_deduplication_ray.pipelines.incremental import (
+        assignment_summary,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "doc_id": np.arange(5000, dtype=np.int64),
+        "cluster_id": rng.integers(0, 700, 5000).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(13)
+    s = assignment_summary(ds, num_partitions=8)
+    assert s["n_docs"] == 5000
+    assert s["n_clusters"] == df["cluster_id"].nunique()
