@@ -247,6 +247,7 @@ def dedup_docs(
     _mark("join_meta_labels")
     assignments = joined.select_columns(["doc_id", "cluster_id"])
     canonical = synthesize_joined(joined, cfg)
+    _mark("synthesized")
     if cfg.coherence_min_confidence is not None:
         # C2 coherence validator: mean intra-cluster MATCH-edge score
         # joined into canonical; low-coherence clusters flagged
