@@ -272,17 +272,14 @@ def dedup_docs(
     )
 
 
-def _raw_sig_wave_files(path: str, cfg: DedupConfig) -> list[str] | None:
-    """File list for the raw-task signature wave, or None when the
-    input/config isn't eligible: a directory of >=64 pure-parquet
-    shards (the corpus layout this engine writes) and an extract that
-    is purely per-batch (no canonicalize_urls keep-first shuffle).
-    EDR_RAW_SIG_WAVE=0 opts out."""
+def _sharded_parquet_files(path: str) -> list[str] | None:
+    """>=64 pure-parquet shards in a directory, or None.
+    EDR_RAW_SIG_WAVE=0 opts out of every raw signature wave."""
     import os as _os
 
     if _os.environ.get("EDR_RAW_SIG_WAVE") == "0":
         return None
-    if cfg.canonicalize_urls or not _os.path.isdir(path):
+    if not _os.path.isdir(path):
         return None
     entries = sorted(_os.listdir(path))
     files = [
@@ -295,6 +292,17 @@ def _raw_sig_wave_files(path: str, cfg: DedupConfig) -> list[str] | None:
     if any(not f.endswith((".parquet", ".pq")) for f in files):
         return None
     return files
+
+
+def _raw_sig_wave_files(path: str, cfg: DedupConfig) -> list[str] | None:
+    """File list for the raw-task signature wave, or None when the
+    input/config isn't eligible: a directory of >=64 pure-parquet
+    shards (the corpus layout this engine writes) and an extract that
+    is purely per-batch (no canonicalize_urls keep-first shuffle).
+    EDR_RAW_SIG_WAVE=0 opts out."""
+    if cfg.canonicalize_urls:
+        return None
+    return _sharded_parquet_files(path)
 
 
 def dedup_path(path: str, cfg: DedupConfig | None = None) -> DedupResult:
@@ -335,10 +343,24 @@ def dedup_path_resumable(
     # per-lang threshold overrides (P5) need lang riding the signature
     # checkpoint so verify_pairs can resolve per-pair thresholds
     sig_pass = ("lang",) if cfg.lang_match_overrides else ()
-    sigs = rs.stage(
-        "signatures",
-        lambda: signature_stage(extracted, cfg, passthrough=sig_pass),
-    )
+
+    def compute_sigs() -> Dataset:
+        # raw wave over the extracted checkpoint when it is sharded
+        # enough: per-file tasks read ONLY the narrow signature
+        # columns (text bodies stay on disk) and skip the streaming
+        # executor's per-task dispatch — same output, see
+        # signatures_from_extracted_files
+        files = _sharded_parquet_files(rs.stage_dir("extracted"))
+        if files is not None:
+            from event_deduplication_ray.stages.signatures import (
+                signatures_from_extracted_files,
+            )
+
+            return signatures_from_extracted_files(
+                files, cfg, passthrough=sig_pass)
+        return signature_stage(extracted, cfg, passthrough=sig_pass)
+
+    sigs = rs.stage("signatures", compute_sigs)
 
     def compute_edges() -> Dataset:
         verified = (

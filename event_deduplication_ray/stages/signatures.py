@@ -180,6 +180,41 @@ def signatures_from_files(
     return rd.from_arrow_refs([task.remote(f) for f in files])
 
 
+def signatures_from_extracted_files(
+    files: list[str],
+    cfg: DedupConfig,
+    passthrough: tuple[str, ...] = (),
+) -> Dataset:
+    """Raw-task signature wave over an ALREADY-EXTRACTED parquet
+    checkpoint (the resumable path's `extracted` stage): one
+    ``ray.remote`` task per file reading ONLY the narrow columns the
+    signature stage needs (doc_id, text_norm, passthrough — the text
+    bodies never leave disk).  Same rationale and identical-output
+    guarantee as ``signatures_from_files``, minus the extract step
+    (the checkpoint is already gated/normalized)."""
+    import ray
+    import ray.data as rd
+
+    from event_deduplication_ray.stages.shuffle import _task_cpus
+
+    stage = SignatureStage(cfg, passthrough)
+    narrow_cols = list(dict.fromkeys(["doc_id", "text_norm", *passthrough]))
+    bs = cfg.sig_batch_size
+
+    def file_sigs(fp: str) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(fp, columns=narrow_cols)
+        outs = [stage(t.slice(off, bs))
+                for off in range(0, t.num_rows, bs)]
+        if not outs:
+            outs.append(stage(t.slice(0, 0)))
+        return pa.concat_tables(outs)
+
+    task = ray.remote(num_cpus=_task_cpus())(file_sigs)
+    return rd.from_arrow_refs([task.remote(f) for f in files])
+
+
 def signature_stage(
     docs: Dataset,
     cfg: DedupConfig,

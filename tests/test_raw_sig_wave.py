@@ -125,3 +125,58 @@ def test_raw_wave_handles_rejected_and_empty_files(tmp_path, ray_session):
     assert len(df) == 1
     assert set(["doc_id", "url", "warc_ts", "lang", "text_len"]) \
         <= set(df.columns)
+
+
+def test_extracted_checkpoint_wave_identical(tmp_path, corpus_dir, ray_session):
+    """signatures_from_extracted_files over a sharded extracted
+    checkpoint must equal signature_stage over the same data —
+    including the narrow column-pruned read."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.stages.extract import extract_stage
+    from event_deduplication_ray.stages.signatures import (
+        signature_stage,
+        signatures_from_extracted_files,
+    )
+
+    cfg = DedupConfig()
+    ex = extract_stage(rd.read_parquet(f"{corpus_dir}/docs"), cfg) \
+        .materialize()
+    # shard the checkpoint into 70 files
+    src = pa.concat_tables(
+        [ray_get_table(b) for b in ex.to_arrow_refs()])
+    ckpt = tmp_path / "extracted"
+    ckpt.mkdir()
+    per = (src.num_rows + 69) // 70
+    for i in range(70):
+        pq.write_table(src.slice(i * per, per),
+                       str(ckpt / f"part{i:03d}.parquet"))
+
+    want = signature_stage(
+        rd.read_parquet(str(ckpt)), cfg,
+        passthrough=("url", "warc_ts", "lang", "text_len"),
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = signatures_from_extracted_files(
+        sorted(str(p) for p in ckpt.glob("*.parquet")), cfg,
+        passthrough=("url", "warc_ts", "lang", "text_len"),
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    import numpy as np
+
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype == object:
+            assert all(
+                np.array_equal(x, y) if isinstance(x, np.ndarray) else x == y
+                for x, y in zip(a, b)), c
+        else:
+            assert np.array_equal(a, b), c
+
+
+def ray_get_table(ref):
+    import ray
+
+    return ray.get(ref)
