@@ -202,3 +202,83 @@ def test_substring_match_pairs_scores_equal_reference(ray_session):
     assert np.allclose(got["score"].to_numpy(), ref["score"].to_numpy())
     assert (got["decision"] == "match").all()
     assert (got["tier"] == "substring").all()
+
+
+# ---- ngram_jaccard_match_pairs (slim 20 B partials) vs brute spec ----
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_ngram_jaccard_matches_brute_spec(ray_session, data):
+    """The 3-wave slim shape (partials without na/nb, denominators
+    attached from the nf table) must reproduce the brute-force
+    per-pair intersection spec for all three modes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from event_deduplication_ray.config import DedupConfig
+    from event_deduplication_ray.stages.pairs import ngram_jaccard_match_pairs
+
+    n_docs = data.draw(st.integers(2, 10))
+    universe = data.draw(st.integers(3, 16))
+    drop_cap = data.draw(st.integers(2, 8))
+    thresh = data.draw(st.sampled_from([0.2, 0.5, 0.75]))
+    mode = data.draw(st.sampled_from(
+        ["jaccard", "containment", "containment_directed"]))
+    fp_sets = {
+        100 + i: frozenset(data.draw(st.sets(
+            st.integers(1, universe), min_size=1, max_size=universe)))
+        for i in range(n_docs)
+    }
+
+    rows = [(fp, d, len(s)) for d, s in fp_sets.items() for fp in s]
+    t = pa.table({
+        "fp_key": pa.array([r[0] for r in rows], pa.uint64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "n_fps": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    cfg = DedupConfig(join_num_partitions=4,
+                      substring_drop_group=drop_cap)
+    got = ngram_jaccard_match_pairs(
+        rd.from_arrow(t), cfg, threshold=thresh, mode=mode).to_pandas()
+
+    # brute spec: count shared fps over groups with 2..drop_cap docs
+    group_sizes = {}
+    for fp, d, _ in rows:
+        group_sizes.setdefault(fp, set()).add(d)
+    live = {fp for fp, ds_ in group_sizes.items()
+            if 2 <= len(ds_) <= drop_cap}
+    exp = {}
+    ids = sorted(fp_sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = len({f for f in (fp_sets[a] & fp_sets[b]) if f in live})
+            if shared:
+                exp[(a, b)] = shared
+    exp_rows = []
+    for (a, b), sh in exp.items():
+        na, nb = len(fp_sets[a]), len(fp_sets[b])
+        if mode == "jaccard":
+            score = sh / (na + nb - sh)
+            if score >= thresh:
+                exp_rows.append((a, b, score))
+        elif mode == "containment":
+            score = sh / min(na, nb)
+            if score >= thresh:
+                exp_rows.append((a, b, score))
+        else:
+            n_min = min(na, nb)
+            if sh * 1_000_000 >= int(round(thresh * 1e6)) * n_min:
+                inner, outer = (a, b) if (na < nb or (na == nb and a < b)) \
+                    else (b, a)
+                exp_rows.append((inner, outer, sh * 1_000_000 // n_min))
+
+    if mode == "containment_directed":
+        got_set = {(r.inner_id, r.outer_id, r.cont_ppm)
+                   for r in got.itertuples()} if len(got) else set()
+        assert got_set == set(exp_rows)
+    else:
+        got_set = {(r.id_a, r.id_b, round(r.score, 9))
+                   for r in got.itertuples()} if len(got) else set()
+        assert got_set == {(a, b, round(s, 9)) for a, b, s in exp_rows}
