@@ -252,6 +252,29 @@ def corpus_path(
     return f"{tmp_root}/dedup_corpus_v4_n{n_docs}_s{seed}{bt}"
 
 
+_WRITE_DOCS = None   # fork-inherited docs table for parallel shard writes
+
+
+def _write_strided_shard(args: tuple) -> None:
+    """One shard file's strided rows (row j -> file j % n_files),
+    block-sliced to keep every take under 32-bit string offsets —
+    byte-of-content identical to the serial writer loop."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out, i, n_files, n = args
+    docs = _WRITE_DOCS
+    writer = pq.ParquetWriter(f"{out}/docs/part-{i:04d}.parquet", docs.schema)
+    block_rows = 1_000_000
+    for start in range(0, n, block_rows):
+        blk = docs.slice(start, block_rows)
+        first = (i - start) % n_files
+        idx = np.arange(first, blk.num_rows, n_files)
+        if len(idx):
+            writer.write_table(blk.take(pa.array(idx)), row_group_size=2000)
+    writer.close()
+
+
 def materialize_corpus(
     tmp_root: str, n_docs: int, seed: int = 42, base_texts: list[str] | None = None
 ) -> str:
@@ -287,19 +310,39 @@ def materialize_corpus(
     # overflows 32-bit offsets (seen at 8M docs).
     import numpy as np
 
-    writers = [pq.ParquetWriter(f"{out}/docs/part-{i:04d}.parquet",
-                                docs.schema) for i in range(n_files)]
-    block_rows = 1_000_000
-    for start in range(0, n, block_rows):
-        blk = docs.slice(start, block_rows)
-        for i in range(n_files):
-            first = (i - start) % n_files
-            idx = np.arange(first, blk.num_rows, n_files)
-            if len(idx):
-                writers[i].write_table(blk.take(pa.array(idx)),
-                                       row_group_size=2000)
-    for w in writers:
-        w.close()
+    if n >= 1_000_000:
+        # big corpora: parallelize the strided take+compress across a
+        # fork pool — children read the in-memory docs table through
+        # copy-on-write, each owning a disjoint file range.  Content
+        # is IDENTICAL to the serial path (same strided indices, same
+        # row-group size); only wall time changes (the 8 M corpus
+        # write was the 80-minute wall of the abandoned 12 M attempt).
+        import multiprocessing as mp
+        import os as _os
+
+        global _WRITE_DOCS
+        _WRITE_DOCS = docs
+        workers = min(16, _os.cpu_count() or 8, n_files)
+        args = [(out, i, n_files, n) for i in range(n_files)]
+        try:
+            with mp.get_context("fork").Pool(workers) as pool:
+                pool.map(_write_strided_shard, args, chunksize=1)
+        finally:
+            _WRITE_DOCS = None
+    else:
+        writers = [pq.ParquetWriter(f"{out}/docs/part-{i:04d}.parquet",
+                                    docs.schema) for i in range(n_files)]
+        block_rows = 1_000_000
+        for start in range(0, n, block_rows):
+            blk = docs.slice(start, block_rows)
+            for i in range(n_files):
+                first = (i - start) % n_files
+                idx = np.arange(first, blk.num_rows, n_files)
+                if len(idx):
+                    writers[i].write_table(blk.take(pa.array(idx)),
+                                           row_group_size=2000)
+        for w in writers:
+            w.close()
     pq.write_table(gc, f"{out}/golden_clusters.parquet")
     pq.write_table(gp, f"{out}/golden_pairs.parquet")
     with open(done, "w") as f:

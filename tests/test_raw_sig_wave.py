@@ -180,3 +180,40 @@ def ray_get_table(ref):
     import ray
 
     return ray.get(ref)
+
+
+def test_parallel_shard_writer_byte_identical(tmp_path):
+    """The fork-pool strided shard writer (big-corpus fixtures path)
+    must produce byte-identical files to the serial writer loop."""
+    import hashlib
+    import multiprocessing as mp
+
+    import numpy as np
+    import pyarrow as pa
+
+    import event_deduplication_ray.fixtures as F
+
+    docs, _, _ = F.generate_corpus(3000, seed=7)
+    n, n_files = docs.num_rows, 8
+    ser, par = tmp_path / "ser", tmp_path / "par"
+    for d in (ser, par):
+        (d / "docs").mkdir(parents=True)
+    writers = [pq.ParquetWriter(str(ser / "docs" / f"part-{i:04d}.parquet"),
+                                docs.schema) for i in range(n_files)]
+    for i in range(n_files):
+        idx = np.arange(i, n, n_files)
+        writers[i].write_table(docs.take(pa.array(idx)), row_group_size=2000)
+    for w in writers:
+        w.close()
+    F._WRITE_DOCS = docs
+    try:
+        with mp.get_context("fork").Pool(4) as pool:
+            pool.map(F._write_strided_shard,
+                     [(str(par), i, n_files, n) for i in range(n_files)],
+                     chunksize=1)
+    finally:
+        F._WRITE_DOCS = None
+    for i in range(n_files):
+        a = (ser / "docs" / f"part-{i:04d}.parquet").read_bytes()
+        b = (par / "docs" / f"part-{i:04d}.parquet").read_bytes()
+        assert hashlib.sha256(a).digest() == hashlib.sha256(b).digest(), i
