@@ -99,8 +99,11 @@ def run_flagship(corpus_dir: str, repeats: int | None = None) -> float:
     # P=128 148.8s vs P=256 216.5s (clusters identical).  Partitions
     # of ~62.5k docs are still well inside worker memory (~45MB of
     # signature rows each).
-    cfg = DedupConfig(use_substring=True, use_simhash=True,
-                      join_num_partitions=max(32, round(n_docs / 62_500)))
+    p_override = os.environ.get("GRAFT_BENCH_P")
+    cfg = DedupConfig(
+        use_substring=True, use_simhash=True,
+        join_num_partitions=int(p_override) if p_override
+        else max(32, round(n_docs / 62_500)))
     wd = F.materialize_corpus(CORPUS_ROOT, 1000, seed=42)
     assert dedup_path(f"{wd}/docs", cfg).assignments.count() > 0   # warmup
 
