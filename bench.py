@@ -99,11 +99,16 @@ def run_flagship(corpus_dir: str, repeats: int | None = None) -> float:
     # P=128 148.8s vs P=256 216.5s (clusters identical).  Partitions
     # of ~62.5k docs are still well inside worker memory (~45MB of
     # signature rows each).
+    # Round-5 recalibration: cap P at 128 on this host — the O(P^2)
+    # shuffle-object count keeps dominating past it (12M direct A/B:
+    # P=128 213.7s vs P=192 260.7s @32, clusters identical; matches
+    # the round-4 8M finding P=128 148.8s vs P=256 216.5s).  On a
+    # real multi-node cluster P grows with node count instead.
     p_override = os.environ.get("GRAFT_BENCH_P")
     cfg = DedupConfig(
         use_substring=True, use_simhash=True,
         join_num_partitions=int(p_override) if p_override
-        else max(32, round(n_docs / 62_500)))
+        else max(32, min(128, round(n_docs / 62_500))))
     wd = F.materialize_corpus(CORPUS_ROOT, 1000, seed=42)
     assert dedup_path(f"{wd}/docs", cfg).assignments.count() > 0   # warmup
 
