@@ -179,6 +179,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 def main() -> None:
     import ray
 
+    # corpus generation BEFORE ray.init: big corpora (>=1M docs) write
+    # shards through a fork pool, and forking a Ray-connected process
+    # (grpc threads) is undefined behavior territory
+    ensure_corpus(SF_DIR)
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
                  logging_level="ERROR")

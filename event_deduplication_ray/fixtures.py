@@ -310,7 +310,16 @@ def materialize_corpus(
     # overflows 32-bit offsets (seen at 8M docs).
     import numpy as np
 
-    if n >= 1_000_000:
+    def _ray_up() -> bool:
+        # forking a Ray-connected process (grpc threads) is unsafe;
+        # callers that want the parallel writer should generate the
+        # corpus BEFORE ray.init (bench.py does)
+        import sys as _sys
+
+        r = _sys.modules.get("ray")
+        return bool(r is not None and getattr(r, "is_initialized", lambda: False)())
+
+    if n >= 1_000_000 and not _ray_up():
         # big corpora: parallelize the strided take+compress across a
         # fork pool — children read the in-memory docs table through
         # copy-on-write, each owning a disjoint file range.  Content
