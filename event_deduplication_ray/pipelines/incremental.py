@@ -509,13 +509,19 @@ def assignment_summary(assignments: Dataset, num_partitions: int = 16
 
     def batch_distinct(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+
+        # zero-row blocks can arrive column-less (same shape as the
+        # round-4 bmap bug) — return a typed empty partial
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return pa.table({"cluster_id": pa.array([], pa.int64())})
         return pa.table({"cluster_id": pc.unique(t["cluster_id"])})
 
     def part_count(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         return pa.table({"n": pa.array(
             [pc.count_distinct(t["cluster_id"]).as_py()
-             if t.num_rows else 0], pa.int64())})
+             if t.num_rows and "cluster_id" in t.column_names else 0],
+            pa.int64())})
 
     parts = partition_apply(
         assignments.select_columns(["cluster_id"])
